@@ -1,0 +1,89 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Everything here targets the same configuration posture we would ship to a
+1000-executor cluster reading ~100 TB:
+
+- **AQE on** (runtime re-planning, partition coalescing, skew-join splitting).
+- **UTC session timezone** so timestamp semantics are stable across engines
+  (and match the DuckDB oracle used in tests).
+- **Arrow enabled** for any pandas-UDF path (vectorized Python boundary).
+- ``spark.sql.shuffle.partitions`` sized for the local test harness; on a real
+  cluster this is superseded by AQE's coalescing
+  (``spark.sql.adaptive.coalescePartitions.enabled``), which right-sizes
+  post-shuffle partitions from runtime statistics, so the static value only
+  sets the *initial* partitioning.
+
+The reference system (/root/reference/dpp.py) has no session concept at all —
+it is a single-process dict of Python objects (dpp.py:178).  This module is
+the Spark-native replacement for "a place where data lives".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "data-pipeline-package-for-python-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with the engine's standard posture.
+
+    In local mode we default ``shuffle_partitions`` to the core count — small
+    enough to avoid tiny-task overhead at test scale, while AQE coalescing
+    keeps the same code correct when the input is 100 TB and the initial
+    shuffle partitioning needs to be in the thousands
+    (``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` can be
+    raised per-job for that).
+    """
+    parallelism = _default_parallelism()
+    if master is None:
+        master = f"local[{parallelism}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = parallelism
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / oracle alignment ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Python boundary: always Arrow, never pickled rows ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- keep the UI quiet in test runs ---
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.log.level", "WARN")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,75 @@
+"""Skew mitigation helpers (SURVEY §4.2: "engine exposes repartition/salting
+helper for pathological keys").
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in our session factory) handles most skew at runtime; explicit
+salting remains necessary for skewed *aggregations* and for joins where one
+hot key dominates an entire executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_groupby_agg", "explode_salt_join"]
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (keys + random salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 re-aggregates the partials.  Only
+    decomposable aggregates are supported: sum, count, min, max.
+
+    At 100 TB a single hot key (e.g. one dominant language in a documents
+    table) can put >1 executor-memory of rows on one reducer; this caps the
+    per-reducer volume at 1/salt_buckets of the hot key.
+    """
+    supported = {"sum", "count", "min", "max"}
+    bad = {a for a in aggs.values() if a not in supported}
+    if bad:
+        raise ValueError(f"non-decomposable aggregates for salting: {bad}")
+
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial_exprs = []
+    for col, agg in aggs.items():
+        if agg == "count":
+            partial_exprs.append(F.count(col).alias(f"__p_{col}"))
+        else:
+            partial_exprs.append(getattr(F, agg)(col).alias(f"__p_{col}"))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+
+    final_exprs = []
+    for col, agg in aggs.items():
+        merge = "sum" if agg in ("sum", "count") else agg
+        final_exprs.append(getattr(F, merge)(f"__p_{col}").alias(f"{agg}_{col}"))
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def explode_salt_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join: salt the skewed (large) side randomly, explode the
+    small side once per salt value, join on (key, salt).  Row-multiplies the
+    small side by ``salt_buckets`` — only use when `small` is genuinely
+    small and the key distribution on `skewed` is pathological."""
+    salted_big = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    exploded_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(exploded_small, [on, "__salt"], how)
+    return out.drop("__salt")

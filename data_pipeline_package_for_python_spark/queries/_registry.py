@@ -1,0 +1,105 @@
+"""Query registry: every SURVEY §2.2 operator row registers here as a
+(spark implementation, DuckDB oracle SQL) pair.
+
+Determinism contract (SURVEY §2.2 preamble / FIXTURES §C):
+- the driver's comparison is order-insensitive, so no final ORDER BY is
+  required for correctness — but every aggregate/computed column must carry
+  the SAME alias on both sides;
+- double aggregations go through exact DECIMAL sums and surface as DOUBLE
+  (``dsum``/``davg`` helpers) so Spark's parallel summation order can never
+  diverge from DuckDB's;
+- no raw sub-second timestamps in outputs (Spark truncates parquet ns→µs,
+  DuckDB keeps ns) — use date_trunc/CAST(DATE);
+- approximate/nondeterministic ops register with ``oracle=None`` (the
+  driver then records a weaker rows-only check) or a bound-style oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["Query", "QUERIES", "query", "load", "dsum", "davg", "dmul"]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Register a query under ``name`` with its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.ts is nanosecond-precision parquet, which Spark rejects by
+        # default (PARQUET_TYPE_ILLEGAL).  Read nanos as long, floor-divide
+        # to µs — exactly DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) behavior.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------- #
+# deterministic numeric helpers                                          #
+#                                                                        #
+# Floating-point SUM is order-dependent; Spark sums partials in shuffle  #
+# order, DuckDB in its own scan order, so raw double sums can differ in  #
+# the last ulps.  Two exact-summation strategies:                        #
+#                                                                        #
+# dsum(col)  — for RAW stored columns whose values have ≤`scale` decimal #
+#   digits (prices, discounts): cast to DECIMAL is lossless, the sum is  #
+#   exact, and converting the exact decimal back to DOUBLE picks the     #
+#   same nearest double on every engine.                                 #
+#   DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)           #
+#                                                                        #
+# ssum(expr) — for COMPUTED doubles (products etc.): double→DECIMAL      #
+#   casts round differently across engines (Spark: exact-decimal         #
+#   HALF_UP; DuckDB: fp-scaled), so instead scale to integer units in    #
+#   double math (identical on both engines), round to BIGINT, sum        #
+#   exactly, divide once.                                                #
+#   DuckDB twin: SUM(CAST(ROUND((expr) * S) AS BIGINT)) / S.0            #
+#                                                                        #
+# NO final ROUND on outputs: both engines hold bit-identical doubles by  #
+# construction, and ROUND itself is the only remaining divergence risk   #
+# (Spark rounds via exact decimal expansion, DuckDB via fp scaling —     #
+# they disagree when a value sits on a representable .5 boundary).       #
+# ---------------------------------------------------------------------- #
+
+def dsum(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c)
+
+
+def ssum(expr: Column, scale: int = 10_000) -> Column:
+    """Exact sum of a computed-double expression via scaled integers."""
+    longs = F.round(expr * F.lit(float(scale))).cast("long")
+    return F.sum(longs) / F.lit(float(scale))

@@ -1,0 +1,1138 @@
+"""SURVEY §2.2.1–2.2.6 — scans, projection/filter, joins, aggregation,
+windows, sort/limit/set-ops.  Each entry registers a Spark implementation
+and the equivalent DuckDB oracle SQL (None ⇒ rows-only check).
+
+Scale notes appear per-query; the common posture:
+- dimension joins broadcast explicitly (`F.broadcast`) so the fact table
+  never shuffles for a lookup;
+- aggregations rely on Spark's partial (map-side) aggregation — the
+  `groupBy().agg()` path, never RDD ops;
+- all money math goes through exact decimals (see _registry.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._registry import davg, dsum, load, query, ssum
+from ..operators.joins import asof_join, broadcast_join, range_join, star_join
+
+# ---------------------------------------------------------------------- #
+# §2.2.1 scans                                                           #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "scan_parquet_count",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def scan_parquet_count(spark, sf_dir):
+    """Parquet scan + exact distinct. Plan check: scan reads only
+    l_orderkey (column pruning)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    """,
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """orders → CSV (explicit schema + timestamp format) → read back →
+    aggregate; lossless round-trip must match the oracle on the original."""
+    import tempfile
+
+    from ..sources import read_csv, write_csv
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dpp_csv_") + "/orders"
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    write_csv(orders, path, timestamp_format=fmt)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    back = read_csv(spark, path, schema=schema, timestamp_format=fmt)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_json_roundtrip(spark, sf_dir):
+    """events → JSONL → read back with explicit schema → grouped agg."""
+    import tempfile
+
+    from ..sources import read_json, write_json
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="dpp_json_") + "/events"
+    write_json(ev, path)
+    back = read_json(
+        spark, path, schema="event_id long, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 4).alias("sum_value"),
+    )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT p_brand) AS n_brands
+    FROM part
+    """,
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """part → ORC → read back → counts."""
+    import tempfile
+
+    part = load(spark, sf_dir, "part")
+    path = tempfile.mkdtemp(prefix="dpp_orc_") + "/part"
+    part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("p_brand").alias("n_brands"),
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    """Partitioned parquet sink → re-read → per-partition agg.  The layout
+    written here is what enables partition pruning at 100 TB."""
+    import tempfile
+
+    from ..sources import write_parquet
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dpp_psink_") + "/orders"
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "source_in_memory",
+    oracle="""
+    SELECT 3 AS n_rows, 60 AS total
+    """,
+)
+def source_in_memory(spark, sf_dir):
+    """spark.createDataFrame literal table (schema mandatory)."""
+    from ..sources import from_rows
+
+    df = from_rows(
+        spark, [(1, 10), (2, 20), (3, 30)], "id long, v long"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("total")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# §2.2.2 projection / filter                                             #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "project_net_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    """,
+)
+def project_net_price(spark, sf_dir):
+    """Projection with computed column; per-row double math is IEEE-
+    deterministic so no decimal detour is needed."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("net"),
+    )
+
+
+@query(
+    "filter_q6",
+    oracle="""
+    SELECT CAST(ROUND(SUM(
+               CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_q6(spark, sf_dir):
+    """TPC-H Q6 shape: selective conjunctive filter + global agg.  Plan
+    check: all four predicates appear in PushedFilters at the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * F.col("l_discount").cast("decimal(18,4)")
+        ),
+        2,
+    ).cast("double")
+    return filtered.agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "filter_case_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def filter_case_tiers(spark, sf_dir):
+    """F.when conditional bucketing + grouped count."""
+    orders = load(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return orders.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS bal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name LIKE '%5%'
+      AND c_acctbal IS NOT NULL
+      AND NOT (c_acctbal < 0)
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    """IN / LIKE / IS NULL / boolean algebra in one predicate."""
+    c = load(spark, sf_dir, "customer")
+    out = c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_name").like("%5%")
+        & F.col("c_acctbal").isNotNull()
+        & ~(F.col("c_acctbal") < 0)
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("bal")
+    )
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "drop_duplicates_subset",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, min(c_custkey) AS first_key
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def drop_duplicates_subset(spark, sf_dir):
+    """Deterministic dropDuplicates: built as min-per-group (plain
+    dropDuplicates keeps an arbitrary row — fine as an operator, not
+    hash-checkable)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min("c_custkey").alias("first_key")
+    )
+
+
+@query("sample_fraction", oracle=None,
+       doc="df.sample is seed-stable within Spark but not across engines; "
+           "rows-only check (bound-verified in tests).")
+def sample_fraction(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# §2.2.3 joins                                                           #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_inner(spark, sf_dir):
+    """Fact-fact equi-join; Catalyst picks the strategy (SMJ/shuffled-hash;
+    AQE may convert to broadcast at runtime when one side is small)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS n_customers_without_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("n_customers_without_orders"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT count(*) AS n, SUM(c_custkey) AS key_sum
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_sum")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT count(*) AS n, SUM(c_custkey) AS key_sum
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_sum")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT count(*) AS n FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Dimension lookups via explicit broadcast: zero fact-side shuffle
+    before the aggregation.  Plan check: BroadcastHashJoin × 2."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = broadcast_join(c, n, c.c_nationkey == n.n_nationkey)
+    j = broadcast_join(j, r, j.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("bal"),
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS qty
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Theta join with an equality conjunct: stays hash-joinable, the
+    range predicate evaluates post-match (see operators.joins.range_join)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = range_join(
+        li, p, F.col("l_quantity") > F.col("p_size"),
+        equi_keys=("l_partkey", "p_partkey"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, o_orderkey, o_totalprice FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (events ↔ latest order per user at event time) via the
+    engine's asof_join operator: key-partitioned shuffles + one window,
+    never a cartesian product."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "user_id"
+    ).select("user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+    j = asof_join(
+        ev, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        left_key="event_id", tie_break="o_orderkey",
+    )
+    return j.select("event_id", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_star_q5",
+    oracle="""
+    SELECT n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+               AS BIGINT)) / 10000.0 AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_star_q5(spark, sf_dir):
+    """TPC-H Q5 shape: multi-way star join.  Dimensions broadcast (region/
+    nation/customer); the lineitem↔orders edge is the only shuffle."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+
+    dims = star_join(
+        c,
+        (n, F.col("c_nationkey") == F.col("n_nationkey")),
+        (r, F.col("n_regionkey") == F.col("r_regionkey")),
+    ).select("c_custkey", "n_name")
+    enriched_orders = o.join(
+        F.broadcast(dims), o.o_custkey == dims.c_custkey
+    ).select("o_orderkey", "n_name")
+    revenue_expr = ssum(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        li.join(enriched_orders, li.l_orderkey == enriched_orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(revenue_expr.alias("revenue"))
+    )
+
+
+@query(
+    "join_q3_topk",
+    oracle="""
+    SELECT o.o_orderkey,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+               AS BIGINT)) / 10000.0 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def join_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + group + deterministic top-k."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-01-01"
+    )
+    revenue_expr = ssum(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue_expr.alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------- #
+# §2.2.4 aggregation                                                     #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "agg_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+               AS DOUBLE) AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+               AS BIGINT)) / 10000.0 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_q1(spark, sf_dir):
+    """TPC-H Q1: the flagship grouped aggregation.  2×3 groups at any SF —
+    partial aggregation collapses nearly everything map-side, so the
+    shuffle moves ~#groups×#partitions rows regardless of input size."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        ssum(disc_price).alias("sum_disc_price"),
+        ssum(charge, 1_000_000).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+           count(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def agg_global(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        dsum("o_totalprice").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(*) AS n
+    FROM orders
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct("o_custkey").alias("n_cust"),
+        F.count_distinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None,
+       doc="HLL sketch differs across engines by construction; bound-checked "
+           "in tests (within 5% of exact), rows-only here.")
+def agg_approx_count_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    WITH i AS (
+        SELECT CAST(ROUND(l_quantity * 10) AS BIGINT) AS qi,
+               CAST(ROUND(l_discount * 1000) AS BIGINT) AS di
+        FROM lineitem
+    ), s AS (
+        SELECT count(*) AS n,
+               CAST(SUM(qi) AS DOUBLE) / 10.0 AS sx,
+               CAST(SUM(qi*qi) AS DOUBLE) / 100.0 AS sxx,
+               CAST(SUM(di) AS DOUBLE) / 1000.0 AS sy,
+               CAST(SUM(di*di) AS DOUBLE) / 1000000.0 AS syy,
+               CAST(SUM(qi*di) AS DOUBLE) / 10000.0 AS sxy
+        FROM i
+    )
+    SELECT n,
+           (sxx - sx*sx/n) / (n-1) AS var_qty,
+           SQRT((sxx - sx*sx/n) / (n-1)) AS std_qty,
+           (sxy - sx*sy/n) / (n-1) AS covar_qd,
+           (sxy - sx*sy/n)
+               / (SQRT(sxx - sx*sx/n) * SQRT(syy - sy*sy/n)) AS corr_qd
+    FROM s
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """variance/stddev/covar/corr derived from exact scaled-integer
+    moments: BIGINT sums are exact and convert to identical doubles on
+    both engines (built-in stddev aggregates doubles in engine-specific
+    order, and wide decimal→double casts double-round in DuckDB — neither
+    is cross-engine hashable)."""
+    li = load(spark, sf_dir, "lineitem")
+    qi = F.round(F.col("l_quantity") * 10).cast("long")
+    di = F.round(F.col("l_discount") * 1000).cast("long")
+    ints = li.select(qi.alias("qi"), di.alias("di"))
+    s = ints.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("qi").cast("double") / 10.0).alias("sx"),
+        (F.sum(F.col("qi") * F.col("qi")).cast("double") / 100.0).alias("sxx"),
+        (F.sum("di").cast("double") / 1000.0).alias("sy"),
+        (F.sum(F.col("di") * F.col("di")).cast("double") / 1000000.0)
+        .alias("syy"),
+        (F.sum(F.col("qi") * F.col("di")).cast("double") / 10000.0)
+        .alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "n",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("std_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qd"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qd"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias(
+            "p90_price"
+        ),
+    )
+
+
+@query("agg_percentile_approx", oracle=None,
+       doc="approx_percentile sketch is engine-specific; bound-checked in "
+           "tests against the exact percentile.")
+def agg_percentile_approx(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median")
+    )
+
+
+@query(
+    "agg_collect_set_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set_sorted(spark, sf_dir):
+    """collect_set canonicalized by array_sort + join for determinism."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), ","
+        ).alias("segments")
+    )
+
+
+@query(
+    "agg_first_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
+    FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def agg_first_per_group(spark, sf_dir):
+    """Deterministic 'first' (earliest order per customer) — window +
+    row_number, never F.first (which is order-undefined in Spark)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("first_date"),
+        )
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS cnt_f,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS cnt_o,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS cnt_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (no extra distinct-scan job)."""
+    o = load(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# §2.2.5 windows                                                         #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 3
+    """,
+)
+def window_rank(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER w AS delta,
+           LEAD(value) OVER w - value AS next_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead deltas per user.  Oracle casts ts to µs-precision TIMESTAMP
+    to match Spark's parquet ns→µs truncation."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.lead("value").over(w) - F.col("value")).alias("next_delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Running frame aggregate over exact decimals (cross-engine stable)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           CAST(FIRST_VALUE(o_orderdate) OVER w AS DATE) AS first_date,
+           CAST(LAST_VALUE(o_orderdate) OVER w AS DATE) AS last_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderdate").over(w).cast("date").alias("first_date"),
+        F.last("o_orderdate").over(w).cast("date").alias("last_date"),
+    ).distinct()
+
+
+@query(
+    "window_ntile_percent",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    QUALIFY o_orderkey < 500
+    """,
+)
+def window_ntile_percent(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+        .filter(F.col("o_orderkey") < 500)
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS rn
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# §2.2.6 sort / limit / set ops                                          #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "sort_top100",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_top100(spark, sf_dir):
+    """Global top-k: Spark executes orderBy+limit as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a full global sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "sort_multikey_nulls",
+    oracle="""
+    SELECT n_name, n_regionkey FROM nation
+    ORDER BY n_regionkey DESC NULLS LAST, n_name ASC
+    """,
+)
+def sort_multikey_nulls(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    return n.select("n_name", "n_regionkey").orderBy(
+        F.col("n_regionkey").desc_nulls_last(), F.col("n_name").asc()
+    )
+
+
+@query(
+    "setop_union",
+    oracle="""
+    SELECT count(*) AS n_all, count(DISTINCT o_orderkey) AS n_keys FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F'
+    )
+    """,
+)
+def setop_union(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    b = o.filter(F.col("o_orderstatus") != "F").select("o_orderkey")
+    u = a.unionByName(b)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@query(
+    "setop_intersect_except",
+    oracle="""
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT
+        (SELECT count(*) FROM (SELECT k FROM with_orders INTERSECT
+                               SELECT k FROM rich)) AS n_intersect,
+        (SELECT count(*) FROM (SELECT k FROM rich EXCEPT
+                               SELECT k FROM with_orders)) AS n_except,
+        (SELECT count(*) FROM (SELECT k FROM with_orders
+                               EXCEPT ALL SELECT k FROM rich)) AS n_except_all
+    """,
+)
+def setop_intersect_except(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    n_i = with_orders.intersect(rich).count()
+    n_e = rich.exceptAll(with_orders).distinct().count()
+    n_ea = with_orders.exceptAll(rich).count()
+    from ..sources import from_rows
+
+    return from_rows(
+        spark,
+        [(n_i, n_e, n_ea)],
+        "n_intersect long, n_except long, n_except_all long",
+    )

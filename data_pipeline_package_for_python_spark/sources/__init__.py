@@ -1,0 +1,126 @@
+"""Sources & sinks (SURVEY §2.2.1).
+
+Thin, disciplined facades over ``spark.read`` / ``df.write``: the value-add
+is consistent defaults (header/schema handling, overwrite semantics,
+partitioned layouts) and the scale notes living in one place.
+
+At 100 TB the decisions that matter are made HERE:
+- parquet with partitioned directory layout → static + dynamic partition
+  pruning (Catalyst's DPP) prune entire directory trees at plan time;
+- explicit schemas on text formats (csv/json) → no sampling pass over the
+  input just to infer types;
+- ``maxRecordsPerFile`` guards against single-file hotspots on skewed
+  partition columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "TPCH_TABLES",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_parquet",
+    "from_rows",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+]
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    *,
+    header: bool = True,
+    timestamp_format: str | None = None,
+    **options,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Inference costs a full extra pass over the data — acceptable in
+        # tests, never in production paths; callers at scale pass a schema.
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def from_rows(spark: SparkSession, rows, schema: StructType | str) -> DataFrame:
+    """In-memory source; schema is mandatory (no inference surprises)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    header: bool = True,
+    mode: str = "overwrite",
+    timestamp_format: str | None = None,
+) -> None:
+    writer = df.write.mode(mode).option("header", header)
+    if timestamp_format:
+        writer = writer.option("timestampFormat", timestamp_format)
+    writer.csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the standard fixture tables from a scale-factor directory."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TPCH_TABLES}

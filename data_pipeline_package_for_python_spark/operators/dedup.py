@@ -1,0 +1,307 @@
+"""Deduplication operators for large-scale text corpora (SURVEY §2.2.10).
+
+Four tiers, all composed from DataFrame primitives (no custom Catalyst
+rules, no driver-side loops):
+
+1. ``exact_dedup``            — hash-groupBy on content (one shuffle).
+2. ``jaccard_similar_pairs``  — EXACT n-gram Jaccard via shingle
+   explode + self-join.  The verification tier: right answer, quadratic
+   in the worst case, pruned by a shingle-frequency cap.
+3. ``minhash_signatures`` / ``lsh_candidate_pairs`` — MinHash+LSH: the
+   100 TB path.  Cost is linear in corpus size: shingle → signature is a
+   map-side aggregation; banding turns all-pairs comparison into an
+   equality join on band keys.
+4. ``simhash64``              — 64-bit SimHash fingerprints; near-dup
+   lookup by hamming distance over band-exact matches.
+
+Cross-engine determinism: every hash derives from md5 (identical
+everywhere) — shingle hash = first 8 md5 hex digits as int64, MinHash
+permutations are fixed-coefficient affine maps mod a prime.  A DuckDB
+oracle can replay the exact same integers (see queries/llm.py).
+
+Reference parity note: the reference system has no dedup of any kind
+(/root/reference/dpp.py — no such operator exists in the file); this
+module implements the north-star extension declared in SURVEY §2.2.10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MINHASH_PRIME",
+    "exact_dedup",
+    "jaccard_similar_pairs",
+    "lsh_candidate_pairs",
+    "minhash_coefficients",
+    "minhash_signatures",
+    "near_dedup_minhash",
+    "simhash64",
+    "word_shingles",
+]
+
+MINHASH_PRIME = 1_000_000_007
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed affine coefficients (a, b) for the MinHash permutations.
+
+    Deterministic LCG (no RNG import, reproducible in SQL by listing the
+    constants); a must be nonzero mod the prime.
+    """
+    coeffs = []
+    state = 88172645463325252
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = (state % (MINHASH_PRIME - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MINHASH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    by_hash: bool = True,
+) -> DataFrame:
+    """Exact dedup: one row per distinct content, keeping the smallest id.
+
+    Grouping on ``md5(text)`` keeps shuffle rows narrow (32 bytes instead
+    of document bodies) — at 100 TB the difference between shuffling 100 TB
+    and shuffling ~3 GB of digests.  Collision probability at 10^12 docs is
+    ~10^-14; use ``by_hash=False`` to group on raw content instead.
+
+    Returns (content_key, keep_id, n_copies).
+    """
+    key = F.md5(F.col(text_col)) if by_hash else F.col(text_col)
+    return df.groupBy(key.alias("content_key")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Built with JVM-side higher-order functions (split / sequence /
+    transform / slice) — the shingle expansion never leaves codegen.
+    """
+    words = F.split(F.col(text_col), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingle_hash() -> F.Column:
+    """int64 hash of a shingle derived from md5 — engine-portable."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs: (id_a, id_b, n_common, n_a,
+    n_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Scale posture: the self-join explodes on shingle frequency f as
+    O(f²) — ``max_shingle_freq`` drops stop-shingles above the cap
+    (standard prefix-filtering practice).  For full-corpus dedup at scale
+    prefer ``near_dedup_minhash`` and use this as the verifier on its
+    candidate pairs.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_w = Window.partitionBy("shingle")
+        sh = sh.withColumn("__f", F.count(F.lit(1)).over(freq_w)).filter(
+            F.col("__f") <= max_shingle_freq
+        ).drop("__f")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures: (id, s0..s{k-1}).
+
+    One shuffle (groupBy id); the k permutations are computed as k
+    parallel MIN aggregates over the shingle hashes — map-side partials
+    shrink each document to k int64s before the shuffle.
+    """
+    sh = word_shingles(df, id_col, text_col, n).withColumn(
+        "h", _shingle_hash()
+    )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become
+    candidate pairs (id_a < id_b, distinct).
+
+    The all-pairs problem becomes ``bands`` equality self-joins on a
+    narrow band-key column — at scale each is a shuffle on a well-
+    distributed key, and the union dedups candidates.
+    """
+    sig_cols = [c for c in signatures.columns if c != "id"]
+    if len(sig_cols) != bands * rows_per_band:
+        raise ValueError(
+            f"{len(sig_cols)} signature columns != bands*rows_per_band"
+        )
+    band_frames = []
+    for bi in range(bands):
+        cols = sig_cols[bi * rows_per_band : (bi + 1) * rows_per_band]
+        key = F.concat_ws(
+            ":", F.lit(str(bi)), *[F.col(c).cast("string") for c in cols]
+        )
+        band_frames.append(
+            signatures.select(F.col("id"), key.alias("band_key"))
+        )
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.unionByName(bf)
+    a = all_bands.select(F.col("id").alias("id_a"), "band_key")
+    b = all_bands.select(F.col("id").alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The scale path end-to-end: MinHash → LSH candidates → exact-Jaccard
+    verification of candidates only.  Returns verified (id_a, id_b,
+    jaccard ≥ threshold) pairs."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_hashes // bands
+    )
+    exact = jaccard_similar_pairs(
+        df, id_col, text_col, n=n, threshold=threshold
+    )
+    return cands.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document: (id, simhash_hi, simhash_lo).
+
+    Token hash = two 32-bit halves of md5 (engine-portable); each output
+    bit is the sign of the sum of per-token ±1 votes.  All 64 bit-votes are
+    computed as one groupBy with 64 SUM aggregates — single shuffle,
+    entirely JVM-side.
+    """
+    words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .withColumn("md", F.md5(F.col("w")))
+        .withColumn(
+            "hi", F.conv(F.substring("md", 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "lo", F.conv(F.substring("md", 9, 8), 16, 10).cast("long")
+        )
+    )
+    votes = []
+    for bit in range(32):
+        votes.append(
+            F.sum(
+                F.when(F.shiftright("hi", bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v_hi_{bit}")
+        )
+        votes.append(
+            F.sum(
+                F.when(F.shiftright("lo", bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v_lo_{bit}")
+        )
+    agg = words.groupBy("id").agg(*votes)
+    hi_bits = [
+        F.when(F.col(f"v_hi_{b}") > 0, F.lit(2**b)).otherwise(0)
+        for b in range(32)
+    ]
+    lo_bits = [
+        F.when(F.col(f"v_lo_{b}") > 0, F.lit(2**b)).otherwise(0)
+        for b in range(32)
+    ]
+    out = agg.select(
+        "id",
+        sum(hi_bits[1:], hi_bits[0]).cast("long").alias("simhash_hi"),
+        sum(lo_bits[1:], lo_bits[0]).cast("long").alias("simhash_lo"),
+    )
+    return out

@@ -1,0 +1,485 @@
+"""SURVEY §2.2.7 — the scalar function library, exercised family-by-family
+with DuckDB oracles.
+
+Cross-engine semantic notes baked into the oracles (discovered by probing
+DuckDB 1.0, see git history):
+- DuckDB ``dayofweek`` is 0=Sunday, Spark is 1=Sunday → oracle adds 1;
+- DuckDB ``CAST(double AS BIGINT)`` rounds, Spark truncates → oracle uses
+  ``TRUNC`` before casting;
+- DuckDB ``%`` matches Spark's ``%`` (sign of dividend); Spark ``pmod`` has
+  no DuckDB twin → expressed as ``((a % b) + b) % b``;
+- transcendental functions (exp/ln) may differ in the last ulp between
+  libm implementations → those columns are rounded to 4 decimals;
+- no ``initcap`` in DuckDB → checked via lower/upper composition instead;
+- DuckDB ``regexp_replace`` replaces only the first match unless passed the
+  ``'g'`` flag (Spark is global by default);
+- DuckDB ``date_trunc('month', ts)`` returns DATE, Spark returns timestamp
+  → both sides cast to DATE;
+- DuckDB ``ceil``/``floor`` return DOUBLE (Spark: LONG), ``sign`` returns
+  INT (Spark: DOUBLE) → explicit casts pin the shared type.
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; zero Python UDFs (that surface is §2.2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._registry import davg, dsum, load, query
+
+# ---------------------------------------------------------------------- #
+# strings                                                                #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "func_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_name) AS lo,
+           length(c_name) AS len,
+           substring(c_name, 3, 5) AS sub,
+           concat_ws('-', c_mktsegment, c_name) AS joined,
+           lpad(c_name, 25, '*') AS padded,
+           rpad(c_name, 25, '.') AS rpadded,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           replace(c_name, '0', '#') AS replaced,
+           instr(c_name, '1') AS pos1,
+           starts_with(c_name, 'C') AS is_c,
+           contains(c_name, '5') AS has5,
+           translate(c_name, '0123', 'abcd') AS translated,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', 'x', 'g') AS nodigits,
+           split_part(c_name, '#', 1) AS first_tok,
+           printf('%s/%d', c_mktsegment, c_custkey) AS formatted
+    FROM customer
+    """,
+)
+def func_string(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.lower(name).alias("lo"),
+        F.length(name).alias("len"),
+        F.substring(name, 3, 5).alias("sub"),
+        F.concat_ws("-", F.col("c_mktsegment"), name).alias("joined"),
+        F.lpad(name, 25, "*").alias("padded"),
+        F.rpad(name, 25, ".").alias("rpadded"),
+        F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("trimmed"),
+        F.replace(name, F.lit("0"), F.lit("#")).alias("replaced"),
+        F.instr(name, "1").alias("pos1"),
+        F.startswith(name, F.lit("C")).alias("is_c"),
+        F.contains(name, F.lit("5")).alias("has5"),
+        F.translate(name, "0123", "abcd").alias("translated"),
+        F.regexp_extract(name, r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace(name, r"[0-9]", "x").alias("nodigits"),
+        F.split_part(name, F.lit("#"), F.lit(1)).alias("first_tok"),
+        F.printf(F.lit("%s/%d"), F.col("c_mktsegment"), F.col("c_custkey"))
+        .alias("formatted"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# date / time                                                            #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "func_datetime_parts",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           dayofmonth(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow,
+           hour(o_orderdate) AS h,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(o_orderdate AS DATE) - 7 AS minus7,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mo_start,
+           CAST(o_orderdate AS DATE) AS as_date,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def func_datetime_parts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.dayofweek(d).alias("dow"),
+        F.hour(d).alias("h"),
+        F.date_add(d, 30).alias("plus30"),
+        F.date_sub(d, 7).alias("minus7"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since"),
+        F.add_months(d, 2).alias("plus2mo"),
+        F.date_trunc("month", d).cast("date").alias("mo_start"),
+        F.to_date(d).alias("as_date"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.unix_timestamp(d).alias("unix_s"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@query(
+    "func_date_histogram",
+    oracle="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def func_date_histogram(spark, sf_dir):
+    """Per-month order histogram — the date-dimension rollup pattern."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# math                                                                   #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "func_math",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1500) AS dist,
+           CAST(ceil(p_retailprice / 100) AS BIGINT) AS ceil_h,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS floor_h,
+           sqrt(p_size) AS root,
+           ROUND(exp(p_size / 50.0), 4) AS grown,
+           ROUND(ln(p_size + 1.0), 4) AS logged,
+           ROUND(log10(p_size + 1.0), 4) AS log10ed,
+           power(p_size, 2) AS squared,
+           p_size % 7 AS m7,
+           ((p_size % 7) + 7) % 7 AS pm7,
+           CAST(sign(p_retailprice - 1500) AS DOUBLE) AS sgn,
+           greatest(p_size, 25) AS hi,
+           least(p_size, 25) AS lo
+    FROM part
+    """,
+)
+def func_math(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    size, price = F.col("p_size"), F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.abs(price - 1500).alias("dist"),
+        F.ceil(price / 100).alias("ceil_h"),
+        F.floor(price / 100).alias("floor_h"),
+        F.sqrt(size).alias("root"),
+        F.round(F.exp(size / F.lit(50.0)), 4).alias("grown"),
+        F.round(F.log(size + F.lit(1.0)), 4).alias("logged"),
+        F.round(F.log10(size + F.lit(1.0)), 4).alias("log10ed"),
+        F.pow(size, 2).alias("squared"),
+        (size % 7).alias("m7"),
+        F.pmod(size, F.lit(7)).alias("pm7"),
+        F.signum(price - 1500).alias("sgn"),
+        F.greatest(size, F.lit(25)).alias("hi"),
+        F.least(size, F.lit(25)).alias("lo"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# null handling / conditional                                            #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "func_null_handling",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.o_totalprice, 0.0) AS price_or_zero,
+           COALESCE(o.o_orderstatus, 'NONE') AS status_or_none,
+           NULLIF(c.c_mktsegment, 'BUILDING') AS seg_nullified,
+           o.o_orderkey IS NULL AS no_order,
+           isnan(COALESCE(o.o_totalprice, 0.0)) AS never_nan
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def func_null_handling(spark, sf_dir):
+    """coalesce/nullif/isNull over a deliberately null-producing left join
+    (first order per customer; customers without orders yield nulls).
+    Also exercises df.na.fill via the coalesce equivalence."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    first_orders = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    j = c.join(first_orders, c.c_custkey == first_orders.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("price_or_zero"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("NONE")).alias(
+            "status_or_none"
+        ),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "seg_nullified"
+        ),
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.isnan(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias(
+            "never_nan"
+        ),
+    )
+
+
+@query(
+    "func_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_totalprice AS VARCHAR) AS price_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(o_orderdate AS DATE) AS just_date,
+           CAST(o_totalprice > 100000 AS INTEGER) AS is_big
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def func_casts(spark, sf_dir):
+    """Casting across primitive types.  Note: Spark double→long truncates
+    while DuckDB's CAST rounds — the oracle uses TRUNC to pin shared
+    semantics."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderdate").cast("date").alias("just_date"),
+        (F.col("o_totalprice") > 100000).cast("int").alias("is_big"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# arrays + higher-order functions                                        #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "func_array_explode_tf",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def func_array_explode_tf(spark, sf_dir):
+    """split + explode → term frequency (the §2.2.7 array-row check)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "func_array_ops",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+           list_sort(string_split(p_name, ' ')) AS sorted_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|')
+               AS joined,
+           [p_size, p_size * 2, p_size * 3] AS triples,
+           list_sum([p_size, p_size * 2, p_size * 3]) AS triple_sum,
+           range(1, 4) AS seq3
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def func_array_ops(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    words = F.split("p_name", " ")
+    triples = F.array(
+        F.col("p_size"),
+        F.col("p_size") * 2,
+        F.col("p_size") * 3,
+    )
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "widget").alias("has_widget"),
+        F.array_sort(words).alias("sorted_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_join(F.array_sort(words), "|").alias("joined"),
+        triples.alias("triples"),
+        F.aggregate(
+            triples, F.lit(0), lambda acc, x: acc + x
+        ).alias("triple_sum"),
+        F.sequence(F.lit(1), F.lit(3)).alias("seq3"),
+    )
+
+
+@query(
+    "func_array_hof",
+    oracle="""
+    SELECT vec_id,
+           list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> x * x)) AS norm2,
+           list_sum(list_filter(CAST(embedding AS DOUBLE[]),
+                                x -> x > 0)) AS pos_sum,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+               AS n_pos
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def func_array_hof(spark, sf_dir):
+    """Higher-order functions over embedding arrays (transform / filter /
+    aggregate).  Floats are cast to double FIRST so both engines square
+    and sum identical doubles in array order."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(dvec, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("norm2"),
+        F.aggregate(
+            F.filter(dvec, lambda x: x > 0),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("pos_sum"),
+        F.size(F.filter(dvec, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# maps / JSON / structs                                                  #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "func_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def func_json_extract(spark, sf_dir):
+    """get_json_object + typed cast + histogram over events.props."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "func_json_struct_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS parsed_k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2
+               AS via_map,
+           event_type AS unpacked_type
+    FROM events WHERE event_id < 500
+    """,
+)
+def func_json_struct_map(spark, sf_dir):
+    """from_json into a struct, create_map + element_at, struct pack/
+    unpack — the oracle states the end-to-end semantics directly."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json("props", "k long")
+    packed = F.struct(F.col("event_type").alias("t"), F.col("value").alias("v"))
+    m = F.create_map(F.lit("k2"), parsed.getField("k") * 2)
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("parsed_k"),
+        F.element_at(m, F.lit("k2")).alias("via_map"),
+        packed.getField("t").alias("unpacked_type"),
+    )
+
+
+@query(
+    "func_to_json_roundtrip",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 500
+    """,
+)
+def func_to_json_roundtrip(spark, sf_dir):
+    """props → from_json → struct → to_json → from_json → field (lossless
+    round-trip through Spark's JSON codec)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json("props", "k long")
+    rejson = F.to_json(parsed)
+    reparsed = F.from_json(rejson, "k long")
+    return ev.select(
+        "event_id", reparsed.getField("k").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# hashing                                                                #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "func_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           length(md5(c_name || c_mktsegment)) AS combo_len
+    FROM customer
+    """,
+)
+def func_hash(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.length(
+            F.md5(F.concat(F.col("c_name"), F.col("c_mktsegment")))
+        ).alias("combo_len"),
+    )
+
+
+@query("func_hash_spark_native", oracle=None,
+       doc="xxhash64 / crc32 / murmur hash are Spark-specific algorithms "
+           "with no DuckDB twin; rows-only (stability pinned in tests).")
+def func_hash_spark_native(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xx64"),
+        F.crc32("c_name").alias("name_crc32"),
+        F.hash("c_name").alias("name_murmur"),
+    )

@@ -1,0 +1,210 @@
+"""SURVEY §2.2.8 — the UDF / UDAF / UDTF surface.
+
+All Python-boundary crossings are Arrow-batched (pandas UDFs,
+applyInPandas, mapInPandas) — row-at-a-time ``F.udf`` appears exactly once,
+as the equivalence demonstration, never in a hot path.
+
+Determinism across engines: any float statistic computed inside Python is
+derived from exact scaled-integer sums (int64), mirrored verbatim in the
+oracle SQL, so pandas and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ._registry import load, query
+
+
+@query(
+    "udf_scalar_python",
+    oracle="""
+    SELECT c_custkey, upper(c_name) AS shouted, length(c_name) AS n
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def udf_scalar_python(spark, sf_dir):
+    """Row-at-a-time Python UDF == built-in upper (the equivalence check).
+    This is the slow path by design — ~100× slower than the JVM builtin at
+    scale; exists to prove semantics, not for production use."""
+    up = F.udf(lambda s: s.upper() if s is not None else None, "string")
+    nlen = F.udf(lambda s: len(s) if s is not None else None, "int")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        up("c_name").alias("shouted"),
+        nlen("c_name").alias("n"),
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized (Arrow) pandas UDF: numpy float64 elementwise ops are
+    IEEE-identical to the engines' per-row double math."""
+
+    @pandas_udf("double")
+    def net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net("l_extendedprice", "l_discount").alias("net"),
+    )
+
+
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+    WITH i AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), s AS (
+        SELECT seg, count(*) AS n,
+               CAST(SUM(cents) AS DOUBLE) AS sx,
+               CAST(SUM(cents * cents) AS DOUBLE) AS sxx
+        FROM i GROUP BY seg
+    )
+    SELECT i.seg, i.o_orderkey,
+           ((CAST(i.cents AS DOUBLE) - s.sx / s.n)
+            / SQRT((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) AS zscore
+    FROM i JOIN s ON i.seg = s.seg
+    """,
+)
+def udf_grouped_map_zscore(spark, sf_dir):
+    """applyInPandas grouped-map: per-segment z-score of order totals.
+    The mean/std are derived from exact int64 cent-sums with the identical
+    formula as the oracle, so pandas emits bit-identical doubles."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = pdf["cents"].to_numpy()
+        n = float(len(cents))
+        sx = float(cents.sum())
+        sxx = float((cents * cents).sum())
+        std = ((sxx - sx * sx / n) / (n - 1.0)) ** 0.5
+        z = (cents.astype("float64") - sx / n) / std
+        return pd.DataFrame(
+            {"seg": pdf["seg"], "o_orderkey": pdf["o_orderkey"], "zscore": z}
+        )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return base.groupBy("seg").applyInPandas(
+        zscore, "seg string, o_orderkey long, zscore double"
+    )
+
+
+@query(
+    "udf_map_in_pandas_expand",
+    oracle="""
+    SELECT o_orderkey, 'base' AS component, o_totalprice AS amount
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, 'half' AS component, o_totalprice / 2 AS amount
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def udf_map_in_pandas_expand(spark, sf_dir):
+    """mapInPandas as a UDTF-style 1→N row expander (each order emits a
+    'base' and a 'half' component row)."""
+
+    def expand(batches):
+        for pdf in batches:
+            base = pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "component": "base",
+                    "amount": pdf["o_totalprice"],
+                }
+            )
+            half = pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "component": "half",
+                    "amount": pdf["o_totalprice"] / 2,
+                }
+            )
+            yield pd.concat([base, half], ignore_index=True)
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select("o_orderkey", "o_totalprice").mapInPandas(
+        expand, "o_orderkey long, component string, amount double"
+    )
+
+
+@query(
+    "udf_grouped_agg_weighted_mean",
+    oracle="""
+    WITH i AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(ROUND(l_quantity * 10) AS BIGINT) AS qty_t
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(price_c * qty_t) AS DOUBLE)
+               / CAST(SUM(qty_t) AS DOUBLE) / 100.0 AS wmean
+    FROM i GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg_weighted_mean(spark, sf_dir):
+    """pandas_udf grouped-agg UDAF: quantity-weighted mean price from
+    exact int64 sums (same formula as the oracle)."""
+
+    @pandas_udf("double")
+    def wmean(price_c: pd.Series, qty_t: pd.Series) -> float:
+        num = float((price_c.to_numpy() * qty_t.to_numpy()).sum())
+        den = float(qty_t.to_numpy().sum())
+        return num / den / 100.0
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity") * 10).cast("long").alias("qty_t"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        wmean("price_c", "qty_t").alias("wmean")
+    )
+
+
+@query(
+    "udf_sql_registered",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udf_sql_registered(spark, sf_dir):
+    """spark.udf.register + spark.sql: the SQL entry point calls the same
+    Python function the DataFrame API would."""
+    spark.udf.register(
+        "is_big_order", lambda p: 1 if p is not None and p > 250000 else 0,
+        "int",
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               SUM(is_big_order(o_totalprice)) AS n_big
+        FROM orders_v GROUP BY o_orderstatus
+        """
+    )

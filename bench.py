@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""BENCH harness (BASELINE.md §2): B1–B8 on PySpark local[*] vs the
+DuckDB single-node baseline, at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Protocol: 1 discarded warm-up + median of 5 timed runs per query, timing
+the action only (session startup excluded, reported separately).  Prints
+exactly ONE JSON line on stdout:
+
+    {"metric": "...", "value": <sum of spark medians>, "unit": "sec",
+     "queries": {"b1": ..., ...}, "sf": 0.1,
+     "duckdb": {...}, "ratio": {...}, "startup_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+# BASELINE.md B1–B8 → registry query names (queries/__init__.QUERIES).
+BENCH_SET: dict[str, tuple[str, ...]] = {
+    "b1": ("agg_q1",),
+    "b2": ("filter_q6",),
+    "b3": ("join_q3_topk",),
+    "b4": ("join_star_q5",),
+    "b5": ("window_running_sum", "window_topk_per_group"),
+    "b6": ("agg_rollup",),
+    "b7": ("func_array_explode_tf",),
+    "b8": ("dedup_exact", "dedup_near_minhash"),
+}
+
+
+def median_time(fn, runs: int = RUNS) -> float:
+    fn()  # warm-up, discarded
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    import duckdb
+
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+    from data_pipeline_package_for_python_spark.session import get_spark
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+
+    t0 = time.perf_counter()
+    spark = get_spark(app_name="dpp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    startup = time.perf_counter() - t0
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    spark_sec: dict[str, float] = {}
+    duck_sec: dict[str, float] = {}
+    for bid, names in BENCH_SET.items():
+        s_total = d_total = 0.0
+        for name in names:
+            q = QUERIES[name]
+            s_total += median_time(
+                lambda q=q: q.spark_fn(spark, SF_DIR).collect()
+            )
+            if q.oracle:
+                d_total += median_time(
+                    lambda q=q: con.execute(q.oracle).fetchall()
+                )
+        spark_sec[bid] = round(s_total, 4)
+        duck_sec[bid] = round(d_total, 4)
+        print(
+            f"{bid}: spark={s_total:.3f}s duckdb={d_total:.3f}s "
+            f"({', '.join(names)})",
+            file=sys.stderr,
+        )
+
+    total = round(sum(spark_sec.values()), 4)
+    out = {
+        "metric": "bench_b1_b8_total_spark_median",
+        "value": total,
+        "unit": "sec",
+        "queries": spark_sec,
+        "sf": sf,
+        "duckdb": duck_sec,
+        "ratio": {
+            b: (round(spark_sec[b] / duck_sec[b], 2) if duck_sec[b] else None)
+            for b in spark_sec
+        },
+        "startup_sec": round(startup, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

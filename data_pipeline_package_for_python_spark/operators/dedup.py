@@ -92,9 +92,12 @@ def word_shingles(
     Built with JVM-side higher-order functions (split / sequence /
     transform / slice) — the shingle expansion never leaves codegen.
     """
-    words = F.split(F.col(text_col), " ")
+    # greatest(..., 1): a doc shorter than n words yields itself as its one
+    # shingle.  The floor must be 1, not 0 — Spark's sequence(1, 0) counts
+    # DOWN to [1, 0] and slice(_, 0, n) then throws, whereas the DuckDB
+    # oracle's generate_series(1, 0) is empty.
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
     )
     return (

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (SURVEY §2.2.10).
+
+Two tiers:
+
+1. ``cosine_topk``     — exact brute-force top-k.  The baseline and the
+   verifier.  Cost O(|queries| x |corpus|); the query side is broadcast,
+   so the corpus is never shuffled — the plan is scan -> broadcast
+   nested-loop join -> per-query top-k.  Right answer at any corpus size
+   *provided the query set is small*.
+2. ``sign_buckets`` / ``bucketed_topk`` — the scale path: a deterministic
+   sign-LSH coarse quantizer (random-hyperplane LSH with axis-aligned
+   hyperplanes) turns the cross join into an equality join on bucket id.
+   Recall is tunable via ``n_bits`` (fewer bits -> bigger buckets -> higher
+   recall); candidates are re-ranked by exact cosine, so precision is 1.
+
+Numeric determinism: dot products fold left-to-right over the array via
+the ``aggregate`` higher-order function in double precision — the same
+fold a DuckDB oracle performs with ``list_reduce`` — so scores are
+bit-identical across engines and ties are broken by neighbor id.
+
+Everything is JVM-side column algebra (zip_with/aggregate HOFs); no
+Python in the row path.
+
+Reference parity note: the reference system (/root/reference/dpp.py) has
+no vector or similarity support of any kind; this implements the
+north-star extension rows "Similarity search" of SURVEY §2.2.10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bucketed_topk",
+    "cosine_topk",
+    "dot",
+    "l2_norm",
+    "sign_buckets",
+]
+
+
+def dot(a: str, b: str) -> F.Column:
+    """Left-to-right double-precision dot product of two array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm(a: str) -> F.Column:
+    """sqrt of the left-to-right sum of squares (double precision)."""
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, rank, neighbor_id, cosine), rank 1..k, excluding
+    the query row itself; ties broken by ascending neighbor id so the
+    result is a total order.
+
+    Scale posture: ``queries`` is broadcast (it must be small — this is
+    the verifier/baseline tier); the corpus side streams through a
+    broadcast nested-loop join with no shuffle, and the only wide
+    operation is the per-query top-k window over |queries| x |corpus|
+    scored rows, partitioned on query_id (perfectly distributed for a
+    small query set when AQE splits skew).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sign_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+) -> DataFrame:
+    """Deterministic sign-LSH bucket id from the first ``n_bits`` dims.
+
+    bucket = sum over i < n_bits of (vec[i] >= 0) << i.  Axis-aligned
+    hyperplanes keep the construction reproducible in plain SQL on any
+    engine (no stored random planes), which is what the differential
+    oracle needs; swapping in md5-seeded random hyperplanes is a local
+    change to this one expression.
+
+    Returns the input plus a ``bucket`` int column.
+    """
+    bits = [
+        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(n_bits)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    re-ranked by exact cosine.  (query_id, rank, neighbor_id, cosine).
+
+    The cross join becomes an equality join on ``bucket`` — at 100 TB
+    this is one shuffle on a low-cardinality key (or a broadcast of the
+    bucketed query set), and each bucket's candidate set is ~corpus/2^n_bits.
+    Recall < 1 by construction; callers trade n_bits for recall.
+    """
+    qb = sign_buckets(
+        queries, id_col=id_col, vec_col=vec_col, n_bits=n_bits
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "bucket",
+    )
+    cb = sign_buckets(
+        corpus, id_col=id_col, vec_col=vec_col, n_bits=n_bits
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "bucket",
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

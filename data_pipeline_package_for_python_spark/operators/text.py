@@ -1,0 +1,196 @@
+"""Text-analysis operators for large-scale corpora (SURVEY §2.2.10).
+
+Everything here is pure ``pyspark.sql.functions`` column algebra — no UDFs,
+no Python in the hot path.  Each operator is a narrow projection over the
+document table, so at 100 TB the scan is column-pruned to (id, text) and
+every derived stat stays inside whole-stage codegen.
+
+Determinism contract: all outputs are integers, strings, or doubles
+produced by IEEE-deterministic expressions (integer counts, single
+divisions), so a DuckDB oracle can reproduce them bit-for-bit
+(see queries/llm.py).
+
+Reference parity note: the reference system (/root/reference/dpp.py) has
+no text operators of any kind; this module is the north-star extension
+declared in SURVEY §2.2.10 (text analysis rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "LANG_MARKERS",
+    "TOKEN_REGEX",
+    "doc_fingerprint",
+    "language_id",
+    "quality_score",
+    "rolling_hash_fingerprint",
+    "term_frequencies",
+    "token_counts",
+]
+
+# Function-word markers per language for the n-gram-free heuristic
+# classifier.  Scoring is a JVM-side ``filter`` over the whitespace
+# tokens — no Python, no shuffle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "von", "mit", "das", "nicht"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es": ("el", "la", "de", "los", "las", "que", "es", "una"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans"),
+}
+
+# BPE-ish lexer: letter runs | digit runs | single non-alnum-non-space.
+# Kept to constructs with identical semantics in Java regex and RE2 so
+# the DuckDB oracle can run the same pattern.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    quoted = ",".join(f"'{m}'" for m in markers)
+    return F.size(F.filter(words, lambda w: w.isin(*markers))) if False else (
+        F.size(F.expr(f"filter(__words__, w -> w IN ({quoted}))"))
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Heuristic language ID: (id, s_de, s_en, s_es, s_fr, lang_guess).
+
+    Scores = marker-function-word hits per language over whitespace
+    tokens; argmax with a fixed de<en<es<fr tie-break so the result is
+    total-order deterministic.
+    """
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__words__"),
+    )
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"s_{lang}", _marker_hits(F.col("__words__"), markers))
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    guess = (
+        F.when(
+            (s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]),
+            F.lit("de"),
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return out.withColumn("lang_guess", guess).drop("__words__")
+
+
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document quality stats: (id, n_chars, n_words, avg_word_len,
+    stopword_ratio, punct_count, quality_bucket).
+
+    The bucket rule mirrors common LLM-corpus filters: drop too-short
+    docs, drop docs with implausibly long "words" (markup/binary), keep
+    docs whose stopword ratio suggests natural language.
+    """
+    words = F.split(F.col(text_col), " ")
+    all_markers = tuple(m for ms in LANG_MARKERS.values() for m in ms)
+    quoted = ",".join(f"'{m}'" for m in all_markers)
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    stop_hits = F.expr(
+        f"size(filter(split({text_col}, ' '), w -> w IN ({quoted})))"
+    )
+    stopword_ratio = stop_hits.cast("double") / n_words
+    punct_count = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
+    bucket = (
+        F.when(n_words < 5, F.lit("too_short"))
+        .when(avg_word_len > 15.0, F.lit("weird_tokens"))
+        .when(stopword_ratio >= 0.05, F.lit("natural"))
+        .otherwise(F.lit("keep"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_count.alias("punct_count"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (letter runs / digit runs / single punctuation).
+
+    (id, ws_tokens, lex_tokens).  ``regexp_extract_all`` runs in the JVM.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
+        ).alias("lex_tokens"),
+    )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide term frequencies: (term, tf).
+
+    explode → groupBy: the classic two-phase (map-side partial count,
+    one shuffle on term).  At 100 TB the explode never materializes —
+    it streams through codegen into the partial aggregation.
+    """
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_count)
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive bag fingerprint: md5 over the sorted distinct
+    vocabulary of the document.  (id, vocab_fingerprint).
+
+    Two documents that are word-permutations of each other collide — a
+    cheap shuffle-free near-dup signal complementary to MinHash.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(F.split(F.col(text_col), " "))
+                ),
+            )
+        ).alias("vocab_fingerprint"),
+    )
+
+
+ROLLING_MOD = 2**31
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Order-SENSITIVE rolling polynomial hash over word hashes:
+    ``h = (h*31 + word_hash) mod 2^31`` left-to-right.  (id, rolling_hash).
+
+    word_hash = first 8 md5 hex digits as int64 (engine-portable, same
+    construction as operators/dedup.py).  The fold is a single
+    ``aggregate`` higher-order function — per-row, no shuffle at all,
+    and the modulus keeps every intermediate below 2^36 so the math is
+    exact int64 on any engine.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"aggregate(split({text_col}, ' '), CAST(0 AS BIGINT), "
+            f"(acc, w) -> (acc * 31 + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)) % {ROLLING_MOD})"
+        ).alias("rolling_hash"),
+    )

@@ -1,0 +1,538 @@
+"""SURVEY §2.2.10 — LLM-data-pipeline operators: dedup (exact / n-gram
+Jaccard / MinHash+LSH / SimHash), text analysis, similarity search, and
+multimodal binary columns.
+
+Every oracle here replays the *same integer/hash construction* as the
+Spark operator (md5-derived int64s, fixed MinHash coefficients,
+left-to-right double folds), so results are bit-identical across
+engines — no rounding, no tolerance.  The heavier SQL (16-permutation
+MinHash, 64-bit SimHash votes) is generated programmatically below from
+the exact constants the operators use.
+
+Scale notes are on the operator modules themselves
+(operators/dedup.py, operators/text.py, operators/similarity.py,
+operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._registry import load, query
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+
+# ---------------------------------------------------------------------- #
+# shared DuckDB CTE fragments (documents table, 3-word shingles)         #
+# ---------------------------------------------------------------------- #
+
+# Mirrors operators/dedup.py::word_shingles (n=3): 1-based starts,
+# floor of 1 start so a short doc yields itself as its one shingle.
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+  FROM words
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM idx
+)
+"""
+
+# int64 shingle hash — first 8 md5 hex digits (operators/dedup.py).
+_H = "CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)"
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    """DuckDB CTE computing the same MinHash signature columns s0..s{k-1}
+    as operators/dedup.py::minhash_signatures (same coefficients)."""
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {D.MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(D.minhash_coefficients(num_hashes))
+    )
+    return f"""
+{_SHINGLE_CTE},
+hashed AS (
+  SELECT id, {_H} AS h FROM sh
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM hashed GROUP BY id
+)
+"""
+
+
+def _band_union_sql(bands: int = 4, rows_per_band: int = 4) -> str:
+    """UNION ALL of band-key projections, mirroring lsh_candidate_pairs."""
+    parts = []
+    for bi in range(bands):
+        cols = ", ".join(
+            f"s{bi * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        parts.append(
+            f"SELECT id, concat_ws(':', '{bi}', {cols}) AS band_key FROM sig"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------- #
+# dedup                                                                  #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_key,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact content dedup — narrow md5 groupBy (operators/dedup.py)."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_shingles",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id, count(*) AS n_shingles FROM sh GROUP BY id
+    """,
+)
+def dedup_shingles(spark, sf_dir):
+    """Distinct 3-word shingles per doc — the unit under MinHash/Jaccard."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        D.word_shingles(docs, "doc_id", "text", 3)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs ≥ 0.1 — the verification tier."""
+    docs = load(spark, sf_dir, "documents")
+    return D.jaccard_similar_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    )
+
+
+@query("dedup_minhash_signatures", oracle=f"WITH {_minhash_sig_sql(16)} SELECT * FROM sig")
+def dedup_minhash_signatures(spark, sf_dir):
+    """16-permutation MinHash signatures; oracle replays the exact same
+    affine-map constants over the same md5-derived shingle hashes."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+
+
+@query(
+    "dedup_lsh_pairs",
+    oracle=f"""
+    WITH {_minhash_sig_sql(16)},
+    bands AS (
+      {_band_union_sql(4, 4)}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b USING (band_key)
+    WHERE a.id < b.id
+    """,
+)
+def dedup_lsh_pairs(spark, sf_dir):
+    """LSH banding (4 bands x 4 rows) candidate pairs — the linear-cost
+    scale path for near-dedup."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+    return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+    WITH {_minhash_sig_sql(16)},
+    bands AS (
+      {_band_union_sql(4, 4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    exact AS (
+      SELECT id_a, id_b,
+             n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    )
+    SELECT c.id_a, c.id_b, e.jaccard
+    FROM cand c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b
+    """,
+)
+def dedup_near_minhash(spark, sf_dir):
+    """End-to-end near-dedup: MinHash → LSH candidates → exact-Jaccard
+    verification of candidates only (the 100 TB pipeline shape)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.near_dedup_minhash(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.1
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    for half, off in (("hi", 1), ("lo", 9)):
+        for b in range(32):
+            votes.append(
+                f"SUM(CASE WHEN ({half} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+                f" AS v_{half}_{b}"
+            )
+    votes_sql = ",\n         ".join(votes)
+    hi_bits = " + ".join(
+        f"(CASE WHEN v_hi_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32)
+    )
+    lo_bits = " + ".join(
+        f"(CASE WHEN v_lo_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT id,
+             CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS lo
+      FROM toks
+    ),
+    votes AS (
+      SELECT id,
+         {votes_sql}
+      FROM hashed GROUP BY id
+    )
+    SELECT id,
+           CAST({hi_bits} AS BIGINT) AS simhash_hi,
+           CAST({lo_bits} AS BIGINT) AS simhash_lo
+    FROM votes
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints — one groupBy with 64 SUM votes."""
+    return D.simhash64(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------- #
+# text analysis                                                          #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id AS id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{T.TOKEN_REGEX}')) AS lex_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts (operators/text.py)."""
+    return T.token_counts(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quality_oracle() -> str:
+    all_markers = tuple(m for ms in T.LANG_MARKERS.values() for m in ms)
+    quoted = ",".join(f"'{m}'" for m in all_markers)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             strlen(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({quoted}))) AS stop_hits,
+             strlen(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                 AS punct_count
+      FROM documents
+    )
+    SELECT id, n_chars, n_words,
+           (n_chars - (n_words - 1)) / n_words AS avg_word_len,
+           stop_hits / n_words AS stopword_ratio,
+           punct_count,
+           CASE WHEN n_words < 5 THEN 'too_short'
+                WHEN (n_chars - (n_words - 1)) / n_words > 15.0
+                     THEN 'weird_tokens'
+                WHEN stop_hits / n_words >= 0.05 THEN 'natural'
+                ELSE 'keep' END AS quality_bucket
+    FROM base
+    """
+
+
+@query("text_quality", oracle=_quality_oracle())
+def text_quality(spark, sf_dir):
+    """Per-doc quality stats + corpus-filter bucket (operators/text.py)."""
+    return T.quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _language_oracle() -> str:
+    score_cols = []
+    for lang, markers in T.LANG_MARKERS.items():
+        quoted = ",".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(ws, w -> w IN ({quoted}))) AS s_{lang}"
+        )
+    scores = ",\n             ".join(score_cols)
+    return f"""
+    WITH words AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents
+    ),
+    scored AS (
+      SELECT id,
+             {scores}
+      FROM words
+    )
+    SELECT id, s_de, s_en, s_es, s_fr,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                     THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM scored
+    """
+
+
+@query("text_language_id", oracle=_language_oracle())
+def text_language_id(spark, sf_dir):
+    """Marker-word language scores + deterministic argmax."""
+    return T.language_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_term_frequencies",
+    oracle="""
+    SELECT term, count(*) AS tf
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term HAVING count(*) >= 2
+    """,
+)
+def text_term_frequencies(spark, sf_dir):
+    """Corpus term frequencies — explode + partial-agg shuffle on term."""
+    return T.term_frequencies(
+        load(spark, sf_dir, "documents"), "text", min_count=2
+    )
+
+
+@query(
+    "text_doc_fingerprint",
+    oracle="""
+    SELECT doc_id AS id,
+           md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS vocab_fingerprint
+    FROM documents
+    """,
+)
+def text_doc_fingerprint(spark, sf_dir):
+    """Order-insensitive vocabulary fingerprint (permutation-collision)."""
+    return T.doc_fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id AS id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {T.ROLLING_MOD}) AS rolling_hash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Order-sensitive rolling polynomial hash — per-row HOF fold."""
+    return T.rolling_hash_fingerprint(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------- #
+# similarity search                                                      #
+# ---------------------------------------------------------------------- #
+
+# Ordered double folds, bit-identical to Spark's aggregate() HOF.
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({v}, x -> x * x)), (a, b) -> a + b))"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+                 AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for every 50th vector — broadcast
+    nested-loop, per-query window top-k (operators/similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+
+
+def _bucket_expr(v: str, n_bits: int = 4) -> str:
+    return " + ".join(
+        f"(CASE WHEN {v}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+@query(
+    "sim_topk_bucketed",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_bucket_expr('embedding')} AS bucket
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_bucket_expr('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+                 AS cosine
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_bucketed(spark, sf_dir):
+    """Approximate top-5 via sign-LSH buckets (the equality-join scale
+    path), re-ranked by exact cosine within the bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.bucketed_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_bits=4
+    )
+
+
+# ---------------------------------------------------------------------- #
+# multimodal binary columns                                              #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "multimodal_fingerprint",
+    oracle="""
+    SELECT doc_id AS media_id,
+           strlen(text) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_fingerprint(spark, sf_dir):
+    """Binary payload integrity projection: content-address sha2 +
+    byte length, computed JVM-side without decoding (text bytes stand in
+    for media payloads; the layout is the real one)."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.pack_media(docs, "doc_id", "text")
+    return M.media_fingerprint(media)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, strlen(text))) AS i
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bin, count(*) AS c
+      FROM chars GROUP BY doc_id, bin
+    ),
+    ranked AS (
+      SELECT doc_id, bin, c,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+      FROM counts
+    )
+    SELECT d.doc_id AS media_id,
+           16 AS dim,
+           r.c / strlen(d.text) AS f_max,
+           CAST(r.bin + 1 AS INTEGER) AS f_argmax
+    FROM documents d JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode (deterministic fake codec) +
+    feature summary — the full distributed multimodal plumbing."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.pack_media(docs, "doc_id", "text")
+    return M.media_features(media, fake=True)

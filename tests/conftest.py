@@ -23,8 +23,10 @@ def sf_dir():
 
 @pytest.fixture(scope="session")
 def tables(spark, sf_dir):
+    from data_pipeline_package_for_python_spark.queries import _registry
+
     names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: _registry.load(spark, sf_dir, n) for n in names}

@@ -1,0 +1,161 @@
+"""Operator-level tests for SURVEY §2.2.10 (dedup / text / similarity /
+multimodal) — planted-duplicate recovery and independent Python/numpy
+oracles, complementing the DuckDB differential checks in queries/llm.py."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_package_for_python_spark.operators import (
+    dedup as D,
+    multimodal as M,
+    similarity as S,
+    text as T,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while birds sing in the tall green trees every morning"
+    )
+    near = base.replace("green", "blue")  # 1-word edit => high jaccard
+    far = "completely different words about spark shuffles and partitions"
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, near),          # near dup of 0
+        (3, far),
+        (4, "tiny doc"),    # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_planted(docs):
+    out = D.exact_dedup(docs, "text", "doc_id").collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep[0] == 2          # docs 0 and 1 collapse
+    assert len(out) == 4            # 5 docs -> 4 distinct contents
+    assert sum(by_keep.values()) == 5
+
+
+def test_short_doc_shingles_no_crash(docs):
+    sh = D.word_shingles(docs, "doc_id", "text", 3)
+    rows = sh.filter(F.col("id") == 4).collect()
+    assert [r.shingle for r in rows] == ["tiny doc"]
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = D.jaccard_similar_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(0, 1)] == 1.0                     # exact dup
+    assert 0.5 <= got[(0, 2)] < 1.0               # near dup
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_lsh_recovers_planted_pair(docs):
+    verified = D.near_dedup_minhash(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in verified}
+    assert (0, 1) in found
+    assert (0, 2) in found  # 1-word edit survives 4x4 banding
+
+
+def test_simhash_identical_docs_identical_bits(docs):
+    fp = {r.id: (r.simhash_hi, r.simhash_lo)
+          for r in D.simhash64(docs, "doc_id", "text").collect()}
+    assert fp[0] == fp[1]
+    # near-dup hamming distance small, unrelated doc large
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+
+
+def test_fingerprints_order_sensitivity(spark):
+    rows = [(0, "alpha beta gamma"), (1, "gamma beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bag = {r.id: r.vocab_fingerprint
+           for r in T.doc_fingerprint(df, "doc_id", "text").collect()}
+    roll = {r.id: r.rolling_hash
+            for r in T.rolling_hash_fingerprint(df, "doc_id", "text").collect()}
+    assert bag[0] == bag[1]        # bag fingerprint ignores order
+    assert roll[0] != roll[1]      # rolling hash is order-sensitive
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat with the hat"), (1, "a b")],
+        "doc_id long, text string",
+    )
+    q = {r.id: r for r in T.quality_score(df, "doc_id", "text").collect()}
+    assert q[0].n_words == 9 and q[0].quality_bucket == "natural"
+    assert q[1].quality_bucket == "too_short"
+    t = {r.id: r for r in T.token_counts(df, "doc_id", "text").collect()}
+    assert t[0].ws_tokens == 9
+    assert t[0].lex_tokens == 9    # pure letter words
+
+
+def test_cosine_topk_matches_numpy(spark, tables):
+    emb = tables["embeddings"]
+    out = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=3
+    ).collect()
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for qid in [r.vec_id for r in rows if r.vec_id % 100 == 0]:
+        qv = vecs[qid]
+        sims = sorted(
+            (
+                (-(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v)), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            ),
+        )[:3]
+        expect = [nid for _, nid in sims]
+        got = [r.neighbor_id for r in sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank)]
+        assert got == expect, f"query {qid}: {got} != {expect}"
+
+
+def test_bucketed_topk_is_bucket_restricted(spark, tables):
+    emb = tables["embeddings"]
+    out = S.bucketed_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=3, n_bits=4
+    ).collect()
+    buckets = {
+        r[0]: r[1]
+        for r in S.sign_buckets(emb).select("vec_id", "bucket").collect()
+    }
+    assert out, "bucketed search returned nothing"
+    for r in out:
+        assert buckets[r.query_id] == buckets[r.neighbor_id]
+        assert r.rank >= 1
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello world"), (2, "bye")],
+        "doc_id long, text string",
+    )
+    media = M.pack_media(df, "doc_id", "text", modality="text")
+    fp = M.media_fingerprint(media).collect()
+    shas = {r.media_id: r.content_sha for r in fp}
+    assert shas[0] == shas[1] != shas[2]
+    assert {r.n_bytes for r in fp} == {11, 3}
+
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media).collect()
+
+    feats = {r.media_id: r for r in M.decode_media(media, fake=True).collect()}
+    assert feats[0].features == M._fake_decode(b"hello world")
+    assert len(feats[0].features) == M.FEATURE_DIM
+    assert abs(sum(feats[0].features) - 1.0) < 1e-9
+
+    summary = {r.media_id: r for r in M.media_features(media).collect()}
+    py = M._fake_decode(b"hello world")
+    assert summary[0].f_max == max(py)
+    assert summary[0].f_argmax == py.index(max(py)) + 1

@@ -8,6 +8,6 @@ contract.
 
 from ._registry import QUERIES, Query, query  # noqa: F401
 
-from . import functionslib, llm, relational, udfs  # noqa: E402,F401
+from . import functionslib, llm, relational, streaming, udfs  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

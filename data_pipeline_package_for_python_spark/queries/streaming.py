@@ -1,0 +1,217 @@
+"""SURVEY §2.2.9 — streaming query catalog.
+
+Each entry runs a REAL Structured Streaming job (file source staged from the
+fixture, Trigger.AvailableNow, in-memory sink) and returns the drained sink
+as a batch DataFrame; the oracle is the batch-equivalent DuckDB SQL over the
+same events table.  This is the strongest check streaming admits: the
+incremental, stateful execution must converge to exactly the batch answer.
+
+The reference has no streaming (SURVEY §2.1 "does NOT implement") — this
+catalog exists per the engine north star.  Watermark late-drop semantics are
+micro-batch-order dependent and therefore live in tests/test_streaming.py
+rather than here (a SQL oracle cannot express arrival order).
+
+Determinism notes:
+- window starts are epoch-aligned -> expressed in DuckDB as date_trunc /
+  epoch bucketing;
+- session starts are emitted as ``unix_micros`` (both engines hold µs);
+- value sums go through the registry's exact-decimal helpers (`dsum`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    prepare_events_stream_dir,
+    read_events_stream,
+    run_available_now,
+    running_user_counters,
+    session_agg,
+    sliding_agg,
+    stateful_dedup,
+    stream_static_join,
+    tumbling_agg,
+)
+from ._registry import dsum, load, query
+
+
+def _stream(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    path = prepare_events_stream_dir(spark, sf_dir)
+    return read_events_stream(spark, path, **kw)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows, keyed by event_type.
+
+    1-hour epoch-aligned tumbling windows == date_trunc('hour') buckets, so
+    the incremental answer is hash-identical to the batch GROUP BY.
+    """
+    agg = tumbling_agg(
+        _stream(spark, sf_dir),
+        duration="1 hour",
+        watermark="2 hours",
+        aggs={"cnt": F.count("*"), "value_sum": dsum("value")},
+    )
+    # complete mode so trailing windows (whose end the final watermark never
+    # passes) are emitted too — append mode would hold them in state forever
+    return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH b AS (
+      -- make_timestamp(µs) keeps the bucket a naive TIMESTAMP (to_timestamp
+      -- would return TIMESTAMPTZ and hash differently than Spark's output)
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT)
+                            * 1800 * 1000000) AS s30, event_type
+      FROM events
+    ), w AS (
+      SELECT s30 AS w_start, event_type FROM b
+      UNION ALL
+      SELECT s30 - INTERVAL 30 MINUTE AS w_start, event_type FROM b
+    )
+    SELECT w_start, event_type, count(*) AS cnt
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event belongs to
+    exactly two windows; the oracle materializes both membership copies."""
+    agg = sliding_agg(
+        _stream(spark, sf_dir),
+        duration="1 hour",
+        slide="30 minutes",
+        watermark="2 hours",
+        aggs={"cnt": F.count("*")},
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS cnt
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via F.session_window;
+    oracle is the classic lag + cumulative-sum batch sessionization."""
+    agg = session_agg(_stream(spark, sf_dir), gap="30 minutes")
+    return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream unioned with itself (every
+    event_id arrives twice) must collapse back to exactly the batch counts."""
+    s = _stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    deduped = stateful_dedup(doubled, keys=("event_id",), watermark="24 hours")
+    out = run_available_now(deduped, output_mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "stream_static_join_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS cnt
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched against the static customer dim; the small
+    static side is broadcast per micro-batch (no shuffle of the stream)."""
+    customer = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = stream_static_join(
+        _stream(spark, sf_dir),
+        customer,
+        on=F.col("user_id") == F.col("c_custkey"),
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events WHERE value > 100 GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink: filtered stream lands as parquet batch
+    writes; re-reading the sink must equal the batch pipeline's answer."""
+    import tempfile
+
+    from ..streaming import foreach_batch_parquet
+
+    out_dir = tempfile.mkdtemp(prefix="dpp_fb_sink_")
+    foreach_batch_parquet(
+        _stream(spark, sf_dir).filter(F.col("value") > 100),
+        out_dir,
+    )
+    return (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("value_sum"))
+    )
+
+
+@query(
+    "stream_running_counters",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    running counters; a single AvailableNow batch emits the final totals,
+    which must equal the batch GROUP BY."""
+    counters = running_user_counters(_stream(spark, sf_dir))
+    return run_available_now(counters, output_mode="append")

@@ -1,0 +1,366 @@
+"""Structured Streaming surface (SURVEY §2.2.9).
+
+The reference (/root/reference/dpp.py) has no streaming of any kind — its
+execution is a single eager in-process loop (dpp.py:283-296).  This module is
+the engine's extension for unbounded data, built directly on Structured
+Streaming so that the SAME DataFrame expressions used in batch run
+incrementally with state managed by Spark:
+
+- file stream sources over the fixture schema (micro-batched via
+  ``maxFilesPerTrigger``), rate + memory sources for tests;
+- tumbling / sliding window aggregation (``F.window``);
+- session windows (``F.session_window``) with a batch-equivalent
+  sessionization (lag + cumulative-sum) used as the differential oracle;
+- event-time watermarks with late-data drop;
+- stateful streaming dedup (``dropDuplicates`` bounded by a watermark);
+- stream-static joins;
+- ``foreachBatch`` parquet sinks;
+- arbitrary stateful processing via ``applyInPandasWithState``.
+
+Scale posture: every operator here is incremental — state lives in the
+executors' state store (RocksDB-compatible at cluster scale), keyed by the
+grouping columns, and watermarks bound state size.  Nothing collects to the
+driver.  ``run_available_now`` exists for tests and the oracle harness only:
+it drains the source with ``Trigger.AvailableNow`` and returns the sink
+contents as a batch DataFrame, which is how the driver hash-checks streaming
+results against DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+import time
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "EVENTS_DDL",
+    "prepare_events_stream_dir",
+    "read_events_stream",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "batch_sessionize",
+    "stateful_dedup",
+    "stream_static_join",
+    "run_available_now",
+    "foreach_batch_parquet",
+    "running_user_counters",
+]
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+_name_lock = threading.Lock()
+_name_counter = 0
+
+
+def _unique_name(prefix: str) -> str:
+    global _name_counter
+    with _name_lock:
+        _name_counter += 1
+        return f"{prefix}_{os.getpid()}_{_name_counter}"
+
+
+# --------------------------------------------------------------------- #
+# sources                                                               #
+# --------------------------------------------------------------------- #
+
+def prepare_events_stream_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    base: str | None = None,
+) -> str:
+    """Stage ``{sf_dir}/events.parquet`` as a streamable directory.
+
+    File stream sources need a *directory* of files; the fixture is a single
+    parquet file with nanosecond timestamps (which Spark's µs event-time
+    clock cannot use directly).  This batch-rewrites events once per sf_dir
+    into ``n_files`` µs-timestamp parquet files — giving AvailableNow +
+    ``maxFilesPerTrigger`` a deterministic multi-micro-batch replay.  The
+    staging is cached across calls (marker: ``_SUCCESS``).
+    """
+    base = base or os.path.join(tempfile.gettempdir(), "dpp_stream_src")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(base, f"{tag}_events_{n_files}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # split by event-time order so each staged file is a contiguous time
+        # range -> oldest-file-first replay is a realistic arrival order
+        from pyspark.sql.window import Window
+
+        df = df.withColumn(
+            "_bucket",
+            F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+        )
+        (
+            df.repartition("_bucket")
+            .drop("_bucket")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a staged events directory (schema pinned, no
+    inference pass — mandatory posture for production file streams)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+# --------------------------------------------------------------------- #
+# windowed aggregation                                                  #
+# --------------------------------------------------------------------- #
+
+def tumbling_agg(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark bound.
+
+    State per (window, keys) group is dropped once the watermark passes the
+    window end — the property that keeps state finite on an unbounded
+    stream.  Window starts align to epoch multiples of ``duration`` exactly
+    like ``date_trunc`` for whole-unit durations (the oracle's form).
+    """
+    aggs = aggs or {"cnt": F.count("*")}
+    w = F.window("ts", duration)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("w_start"), *keys, *aggs.keys())
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event lands in
+    ``duration/slide`` windows; Spark expands rows window-side before the
+    partial aggregation, so the shuffle carries pre-aggregated partials."""
+    aggs = aggs or {"cnt": F.count("*")}
+    w = F.window("ts", duration, slide)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("w_start"), *keys, *aggs.keys())
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows per key (``F.session_window``).
+
+    A session absorbs an event when it arrives strictly within ``gap`` of
+    the session's current end; sessions merge as micro-batches close gaps.
+    Output one row per closed session: (key, session start µs, event count).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), key)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col(key),
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "cnt",
+        )
+    )
+
+
+def batch_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Batch twin of :func:`session_agg` via lag + cumulative sum.
+
+    New session when ``ts - lag(ts) >= gap`` (session windows are
+    half-open ``[start, end)``).  This is both the batch-equivalence check
+    and the shape of the DuckDB oracle SQL.
+    """
+    from pyspark.sql.window import Window
+
+    order = Window.partitionBy(key).orderBy("ts", "event_id")
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    marked = events.withColumn("_pts", F.lag("ts").over(order)).withColumn(
+        "_new",
+        F.when(
+            F.col("_pts").isNull()
+            | (F.col("ts") >= F.col("_pts") + gap_expr),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sid = marked.withColumn(
+        "_sid",
+        F.sum("_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sid.groupBy(key, "_sid").agg(
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.count("*").alias("cnt"),
+    ).drop("_sid")
+
+
+# --------------------------------------------------------------------- #
+# stateful dedup / joins / sinks                                        #
+# --------------------------------------------------------------------- #
+
+def stateful_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keeps the first arrival per key, with per-key
+    state expired by the event-time watermark (unbounded keyspace would
+    otherwise grow state forever)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(list(keys))
+
+
+def stream_static_join(
+    stream: DataFrame,
+    static: DataFrame,
+    on: Column | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: the static side is re-planned per micro-batch (so
+    broadcast selection applies batch-by-batch); no state is kept."""
+    return stream.join(static, on=on, how=how)
+
+
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain the streaming ``result`` with Trigger.AvailableNow into an
+    in-memory sink and return the sink as a batch DataFrame.
+
+    Test/oracle harness only — production flows use real sinks
+    (:func:`foreach_batch_parquet`, kafka, delta...).
+    """
+    spark = result.sparkSession
+    name = _unique_name("dpp_mem")
+    ckpt = tempfile.mkdtemp(prefix="dpp_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def foreach_batch_parquet(
+    stream: DataFrame,
+    path: str,
+    timeout_s: int = 300,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """``foreachBatch`` parquet sink: each micro-batch is appended as a
+    normal batch write (full DataFrame API available inside, unlike the
+    row-level ``foreach``).  Exactly-once here relies on the checkpoint +
+    idempotent overwrite-by-batch-id discipline; for the fixture-scale test
+    we append."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        out.write.mode("append").parquet(path)
+
+    ckpt = tempfile.mkdtemp(prefix="dpp_ckpt_fb_")
+    q = (
+        stream.writeStream.foreachBatch(_write)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+# --------------------------------------------------------------------- #
+# arbitrary stateful processing                                         #
+# --------------------------------------------------------------------- #
+
+def running_user_counters(stream: DataFrame) -> DataFrame:
+    """Per-user running (events, value-sum) counters via
+    ``applyInPandasWithState`` — the engine's arbitrary-state escape hatch
+    when windows/dedup can't express the statefulness.
+
+    Emits one row per user per micro-batch with the post-batch totals; with
+    a single AvailableNow batch the output is the final per-user totals
+    (what the oracle checks).  Value sums are accumulated in integer cents
+    so the result is exactly comparable across engines.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state) -> "pd.DataFrame":
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["value"].sum() * 100))
+        state.update((n, cents))
+        return iter(
+            [pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "value_sum": [cents / 100.0]}
+            )]
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n bigint, value_sum double",
+            stateStructType="n bigint, cents bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

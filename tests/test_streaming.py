@@ -1,0 +1,172 @@
+"""SURVEY §2.2.9 streaming checks: incremental execution must converge to
+the batch answer on the same data (the batch-equivalence harness), plus the
+arrival-order-dependent semantics (watermark late-drop) that the SQL-oracle
+catalog cannot express.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_package_for_python_spark.streaming import (
+    EVENTS_DDL,
+    batch_sessionize,
+    prepare_events_stream_dir,
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    stateful_dedup,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir):
+    return prepare_events_stream_dir(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, stream_dir):
+    # batch view of the SAME staged files the stream reads
+    return spark.read.schema(EVENTS_DDL).parquet(stream_dir)
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_staged_dir_preserves_events(spark, tables, events_batch):
+    assert events_batch.count() == tables["events"].count()
+
+
+def test_tumbling_equals_batch_group_by(spark, stream_dir, events_batch):
+    agg = tumbling_agg(
+        read_events_stream(spark, stream_dir),
+        duration="1 hour",
+        aggs={"cnt": F.count("*")},
+    )
+    streamed = run_available_now(agg, output_mode="complete")
+    batch = (
+        events_batch.groupBy(
+            F.date_trunc("hour", "ts").alias("w_start"), "event_type"
+        ).agg(F.count("*").alias("cnt"))
+    )
+    assert rows_set(streamed) == rows_set(batch)
+
+
+def test_multi_microbatch_replay_converges(spark, stream_dir, events_batch):
+    # maxFilesPerTrigger=1 -> one micro-batch per staged file; incremental
+    # state across 4 batches must still equal the single-shot batch answer
+    agg = tumbling_agg(
+        read_events_stream(spark, stream_dir, max_files_per_trigger=1),
+        duration="1 hour",
+        aggs={"cnt": F.count("*")},
+    )
+    streamed = run_available_now(agg, output_mode="complete")
+    batch = events_batch.groupBy(
+        F.date_trunc("hour", "ts").alias("w_start"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    assert rows_set(streamed) == rows_set(batch)
+
+
+def test_session_windows_equal_batch_sessionization(
+    spark, stream_dir, events_batch
+):
+    streamed = run_available_now(
+        session_agg(read_events_stream(spark, stream_dir), gap="30 minutes"),
+        output_mode="complete",
+    )
+    batch = batch_sessionize(events_batch, gap="30 minutes").select(
+        "user_id", "session_start_us", "cnt"
+    )
+    assert rows_set(streamed) == rows_set(batch)
+
+
+def test_stateful_dedup_drops_reinjected_duplicates(spark, stream_dir):
+    s = read_events_stream(spark, stream_dir)
+    deduped = stateful_dedup(
+        s.unionByName(s), keys=("event_id",), watermark="24 hours"
+    )
+    out = run_available_now(deduped, output_mode="append")
+    n_distinct = (
+        spark.read.schema(EVENTS_DDL).parquet(stream_dir)
+        .select("event_id").distinct().count()
+    )
+    assert out.count() == n_distinct
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Arrival-order semantics: rows arriving behind the watermark are
+    dropped.  Late-event filtering uses the watermark the PREVIOUS batch ran
+    with (Spark separates the late-event watermark from the eviction
+    watermark, SPARK-40925), so the drop needs the watermark to have been
+    active for a full batch: file 0 advances event time to 12:00, file 1 is
+    a normal batch run at watermark 11:50, file 2 then replays an old 10:00
+    row — late vs 11:50, dropped.  maxFilesPerTrigger=1 pins the batch
+    order via file modification times.
+    """
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_file(idx, rows):
+        df = spark.createDataFrame(rows, EVENTS_DDL)
+        f = str(tmp_path / f"stage{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(f)
+        part = next(
+            p for p in os.listdir(f) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"file{idx}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (time.time() + idx * 10, time.time() + idx * 10))
+
+    import datetime as dt
+
+    def ev(eid, hh, mm):
+        return (
+            eid, dt.datetime(2024, 1, 1, hh, mm), 1, "click", 1.0, "{}"
+        )
+
+    write_file(0, [ev(1, 10, 0), ev(2, 11, 0), ev(3, 12, 0)])
+    write_file(1, [ev(4, 12, 10)])
+    write_file(2, [ev(5, 10, 0), ev(6, 12, 30)])  # eid=5 is late
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "cnt")
+    )
+    # append mode: complete mode disables watermarking entirely (all state
+    # must be preserved), so the late-drop semantics only exist here
+    out = run_available_now(agg, output_mode="append")
+    got = {r["w_start"].hour: r["cnt"] for r in out.collect()}
+    # late eid=5 (10:00 arriving once the late-event watermark is 11:50) is
+    # dropped; the 12:00 window never finalizes (final watermark 12:20)
+    assert got == {10: 1, 11: 1}
+
+
+def test_stream_static_join_matches_batch(spark, stream_dir, tables):
+    customer = tables["customer"].select("c_custkey", "c_mktsegment")
+    s = read_events_stream(spark, stream_dir)
+    streamed = run_available_now(
+        s.join(
+            F.broadcast(customer),
+            on=F.col("user_id") == F.col("c_custkey"),
+        ),
+        output_mode="append",
+    )
+    batch_n = (
+        spark.read.schema(EVENTS_DDL).parquet(stream_dir)
+        .join(customer, F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert streamed.count() == batch_n

@@ -1,0 +1,115 @@
+"""SURVEY §5.2(3) — algebraic laws the relational layer must satisfy,
+property-checked with hypothesis over generated micro-tables.
+
+These pin optimizer-facing equivalences: if any law breaks, Catalyst
+rewrites (filter fusion, pushdown through joins, partial aggregation) would
+silently change results at scale, where plans differ from the local ones.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),          # k
+        st.integers(min_value=-100, max_value=100),     # v
+        st.sampled_from(["a", "b", "c", None]),         # tag
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def mkdf(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int, tag string")
+
+
+@SLOW
+@given(rows=rows_st, lo=st.integers(-50, 50))
+def test_filter_fusion(spark, rows, lo):
+    # filter(p).filter(q) == filter(p & q) — the rewrite behind pushdown
+    df = mkdf(spark, rows)
+    split = df.filter(F.col("v") > lo).filter(F.col("k") % 2 == 0)
+    fused = df.filter((F.col("v") > lo) & (F.col("k") % 2 == 0))
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, fused.collect())
+    )
+
+
+@SLOW
+@given(rows=rows_st, other=rows_st)
+def test_union_conserves_rows(spark, rows, other):
+    a, b = mkdf(spark, rows), mkdf(spark, other)
+    assert a.unionByName(b).count() == len(rows) + len(other)
+
+
+@SLOW
+@given(rows=rows_st, other=rows_st)
+def test_inner_join_cardinality_bounds(spark, rows, other):
+    a, b = mkdf(spark, rows), mkdf(spark, other)
+    n = a.join(b, on="k", how="inner").count()
+    # bounded by the product of per-key multiplicities; simple global bound:
+    assert n <= len(rows) * max(1, len(other))
+    # left join returns at least every left row
+    assert a.join(b, on="k", how="left").count() >= len(rows)
+    # semi + anti partition the left side exactly
+    semi = a.join(b, on="k", how="left_semi").count()
+    anti = a.join(b, on="k", how="left_anti").count()
+    assert semi + anti == len(rows)
+
+
+@SLOW
+@given(rows=rows_st)
+def test_distinct_idempotent(spark, rows):
+    df = mkdf(spark, rows).distinct()
+    assert df.count() == df.distinct().count()
+
+
+@SLOW
+@given(rows=rows_st)
+def test_partial_plus_final_agg_equals_direct(spark, rows):
+    # two-level aggregation (the map-side-combine shape) == direct grouped
+    # sum; this is the contract that lets Spark pre-aggregate per partition
+    df = mkdf(spark, rows)
+    direct = df.groupBy("k").agg(F.sum("v").alias("s"))
+    two_level = (
+        df.withColumn("bucket", F.pmod(F.xxhash64("v"), F.lit(4)))
+        .groupBy("k", "bucket")
+        .agg(F.sum("v").alias("ps"))
+        .groupBy("k")
+        .agg(F.sum("ps").alias("s"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, two_level.collect())
+    )
+
+
+@SLOW
+@given(rows=rows_st)
+def test_sort_is_stable_under_resort(spark, rows):
+    df = mkdf(spark, rows)
+    once = df.orderBy("k", "v", "tag").collect()
+    twice = df.orderBy("k", "v", "tag").orderBy("k", "v", "tag").collect()
+    assert once == twice
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_join_null_keys_never_match(spark, how):
+    a = spark.createDataFrame([(None, 1), (1, 2)], "k int, v int")
+    b = spark.createDataFrame([(None, 9), (1, 8)], "k int, v int")
+    matched = (
+        a.join(b, on=(a["k"] == b["k"]), how=how)
+        .filter(a["k"].isNotNull() & b["k"].isNotNull())
+        .count()
+    )
+    assert matched == 1  # only the non-null key pairs up

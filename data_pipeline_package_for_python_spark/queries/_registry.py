@@ -71,10 +71,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # the last ulps.  Two exact-summation strategies:                        #
 #                                                                        #
 # dsum(col)  — for RAW stored columns whose values have ≤`scale` decimal #
-#   digits (prices, discounts): cast to DECIMAL is lossless, the sum is  #
-#   exact, and converting the exact decimal back to DOUBLE picks the     #
-#   same nearest double on every engine.                                 #
+#   digits (prices, discounts): scale to integer units, round to BIGINT  #
+#   (lossless for such data), sum exactly, divide once.  Numerically     #
+#   identical to an exact DECIMAL(18,s) sum cast back to DOUBLE — both   #
+#   compute nearest-double(total_units / 10^s) — but ~3× faster: long    #
+#   hash-agg stays in whole-stage codegen while Spark's Decimal sum      #
+#   pays per-row overflow-checked BigDecimal updates.                    #
 #   DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)           #
+#   Overflow headroom: LONG holds ±9.2e18 units; at scale 2 that is      #
+#   ±9.2e16 in value — safe for any per-group sum we ship.  For higher   #
+#   dynamic range switch that call site back to an explicit DECIMAL(38)  #
+#   sum and accept the slower path.                                      #
 #                                                                        #
 # ssum(expr) — for COMPUTED doubles (products etc.): double→DECIMAL      #
 #   casts round differently across engines (Spark: exact-decimal         #
@@ -91,12 +98,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def dsum(col: str | Column, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    s = float(10 ** scale)
+    return F.sum(F.round(c * F.lit(s)).cast("long")) / F.lit(s)
 
 
 def davg(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c)
+    s = float(10 ** 6)
+    return F.sum(F.round(c * F.lit(s)).cast("long")) / F.lit(s) / F.count(c)
 
 
 def ssum(expr: Column, scale: int = 10_000) -> Column:

@@ -76,8 +76,12 @@ def main() -> None:
         s_total = d_total = 0.0
         for name in names:
             q = QUERIES[name]
+            # toPandas() = Arrow-batched full materialization, the Spark
+            # analogue of DuckDB's native fetchall(); collect() would add
+            # row-at-a-time pickle overhead that is harness cost, not query
+            # cost.
             s_total += median_time(
-                lambda q=q: q.spark_fn(spark, SF_DIR).collect()
+                lambda q=q: q.spark_fn(spark, SF_DIR).toPandas()
             )
             if q.oracle:
                 d_total += median_time(

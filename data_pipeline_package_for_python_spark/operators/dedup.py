@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallel
+
 __all__ = [
     "MINHASH_PRIME",
     "exact_dedup",
@@ -90,18 +92,23 @@ def word_shingles(
     """Distinct n-word shingles per document: (id, shingle).
 
     Built with JVM-side higher-order functions (split / sequence /
-    transform / slice) — the shingle expansion never leaves codegen.
+    transform / slice) — the shingle expansion never leaves codegen.  The
+    text is split ONCE per document (``ws`` projection), not once per
+    shingle inside the lambda.
     """
     # greatest(..., 1): a doc shorter than n words yields itself as its one
     # shingle.  The floor must be 1, not 0 — Spark's sequence(1, 0) counts
     # DOWN to [1, 0] and slice(_, 0, n) then throws, whereas the DuckDB
     # oracle's generate_series(1, 0) is empty.
+    words = ensure_parallel(df).select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__ws")
+    )
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f"transform(sequence(1, greatest(size(__ws) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__ws, i, {n})))"
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        words.select("id", F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -137,16 +144,43 @@ def jaccard_similar_pairs(
         sh = sh.withColumn("__f", F.count(F.lit(1)).over(freq_w)).filter(
             F.col("__f") <= max_shingle_freq
         ).drop("__f")
+    return _jaccard_from_shingles(sh, threshold=threshold)
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame,
+    *,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over a (id, shingle) table.
+
+    ``candidates=None`` → all-pairs via shingle self-join (quadratic in
+    shingle frequency).  With a (id_a, id_b) ``candidates`` frame, the
+    intersection is counted ONLY for those pairs: candidates ⋈ shingles of
+    id_a ⋈ shingles of id_b — linear in |candidates| × shingles-per-doc,
+    which is what makes LSH-then-verify the 100 TB path.
+    """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if candidates is None:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
     )
@@ -180,16 +214,21 @@ def minhash_signatures(
     parallel MIN aggregates over the shingle hashes — map-side partials
     shrink each document to k int64s before the shuffle.
     """
-    sh = word_shingles(df, id_col, text_col, n).withColumn(
-        "h", _shingle_hash()
-    )
+    sh = word_shingles(df, id_col, text_col, n)
+    return _signatures_from_shingles(sh, num_hashes=num_hashes)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, *, num_hashes: int
+) -> DataFrame:
+    hashed = sh.withColumn("h", _shingle_hash())
     aggs = [
         F.min(
             (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -207,18 +246,20 @@ def lsh_candidate_pairs(
         raise ValueError(
             f"{len(sig_cols)} signature columns != bands*rows_per_band"
         )
-    band_frames = []
+    # One band key per band, exploded in a single pass — NOT a union of
+    # per-band frames, which would put `bands` copies of the upstream
+    # signature subtree into the plan and re-aggregate it per band.
+    keys = []
     for bi in range(bands):
         cols = sig_cols[bi * rows_per_band : (bi + 1) * rows_per_band]
-        key = F.concat_ws(
-            ":", F.lit(str(bi)), *[F.col(c).cast("string") for c in cols]
+        keys.append(
+            F.concat_ws(
+                ":", F.lit(str(bi)), *[F.col(c).cast("string") for c in cols]
+            )
         )
-        band_frames.append(
-            signatures.select(F.col("id"), key.alias("band_key"))
-        )
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionByName(bf)
+    all_bands = signatures.select(
+        "id", F.explode(F.array(*keys)).alias("band_key")
+    )
     a = all_bands.select(F.col("id").alias("id_a"), "band_key")
     b = all_bands.select(F.col("id").alias("id_b"), "band_key")
     return (
@@ -241,19 +282,23 @@ def near_dedup_minhash(
 ) -> DataFrame:
     """The scale path end-to-end: MinHash → LSH candidates → exact-Jaccard
     verification of candidates only.  Returns verified (id_a, id_b,
-    jaccard ≥ threshold) pairs."""
-    sigs = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes
-    )
+    jaccard ≥ threshold) pairs.
+
+    The (id, shingle) table is computed once and persisted — it feeds the
+    signature aggregation, the per-doc sizes, and the candidate
+    intersection counts.  The exact-Jaccard stage is restricted to LSH
+    candidate pairs (never the all-pairs self-join), so total cost stays
+    linear in corpus size + candidate volume.
+    """
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    sigs = _signatures_from_shingles(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=num_hashes // bands
     )
-    exact = jaccard_similar_pairs(
-        df, id_col, text_col, n=n, threshold=threshold
+    verified = _jaccard_from_shingles(
+        sh, threshold=threshold, candidates=cands
     )
-    return cands.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
-    )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def simhash64(
@@ -267,7 +312,7 @@ def simhash64(
     entirely JVM-side.
     """
     words = (
-        df.select(
+        ensure_parallel(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         )

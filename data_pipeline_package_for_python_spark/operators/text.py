@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallel
+
 __all__ = [
     "LANG_MARKERS",
     "TOKEN_REGEX",
@@ -145,7 +147,8 @@ def term_frequencies(
     it streams through codegen into the partial aggregation.
     """
     return (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        ensure_parallel(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .filter(F.col("tf") >= min_count)

@@ -48,7 +48,18 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Scan-handle catalog: DataFrames are immutable, so the reader for a given
+# (sf_dir, table) is built once per session and reused — a real engine
+# resolves tables through a catalog instead of re-reading parquet footers
+# (schema inference + py4j round-trips) on every query.
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (sf_dir, table)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     if table == "events":
         # events.ts is nanosecond-precision parquet, which Spark rejects by
         # default (PARQUET_TYPE_ILLEGAL).  Read nanos as long, floor-divide
@@ -59,8 +70,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    _SCAN_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------- #

@@ -951,7 +951,8 @@ def window_lag_lead(spark, sf_dir):
     """,
 )
 def window_running_sum(spark, sf_dir):
-    """Running frame aggregate over exact decimals (cross-engine stable)."""
+    """Running frame aggregate, exact via scaled-long units (cross-engine
+    stable; same construction as _registry.dsum)."""
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -961,10 +962,10 @@ def window_running_sum(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+            / F.lit(100.0)
+        ).alias("running_total"),
     )
 
 

@@ -58,6 +58,7 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = parallelism
 
+    local_mode = master.startswith("local")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -76,6 +77,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.log.level", "WARN")
     )
+    if local_mode:
+        # Local test/bench fixtures are single small parquet files; at the
+        # default 128 MB split size a 10 MB table scans on ONE core of 32.
+        # Small splits keep every scan parallel locally.  Cluster deploys
+        # (master != local) keep Spark's defaults — at 100 TB the input is
+        # already thousands of row-group splits.
+        builder = (
+            builder.config(
+                "spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+            )
+            .config("spark.sql.files.openCostInBytes", "1m")
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -109,19 +109,43 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # they disagree when a value sits on a representable .5 boundary).       #
 # ---------------------------------------------------------------------- #
 
+# String inputs (a column name or any SQL snippet) build ONE F.expr tree —
+# a single py4j round-trip — instead of ~6 Column-algebra calls per
+# aggregate; on a plan with many aggregates the construction overhead is
+# measurable.  `cast(... as double)` for the divisor: a bare `100.0`
+# literal would parse as DECIMAL in Spark SQL and drag the whole division
+# into decimal arithmetic.
+
+
 def dsum(col: str | Column, scale: int = 2) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    s = float(10 ** scale)
-    return F.sum(F.round(c * F.lit(s)).cast("long")) / F.lit(s)
+    s = 10 ** scale
+    if isinstance(col, str):
+        return F.expr(
+            f"sum(cast(round(({col}) * {s}) as bigint)) / cast({s} as double)"
+        )
+    return F.sum(F.round(col * F.lit(float(s))).cast("long")) / F.lit(float(s))
 
 
 def davg(col: str | Column) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    s = float(10 ** 6)
-    return F.sum(F.round(c * F.lit(s)).cast("long")) / F.lit(s) / F.count(c)
+    s = 10 ** 6
+    if isinstance(col, str):
+        return F.expr(
+            f"sum(cast(round(({col}) * {s}) as bigint))"
+            f" / cast({s} as double) / count({col})"
+        )
+    return (
+        F.sum(F.round(col * F.lit(float(s))).cast("long"))
+        / F.lit(float(s))
+        / F.count(col)
+    )
 
 
-def ssum(expr: Column, scale: int = 10_000) -> Column:
+def ssum(expr: Column | str, scale: int = 10_000) -> Column:
     """Exact sum of a computed-double expression via scaled integers."""
+    if isinstance(expr, str):
+        return F.expr(
+            f"sum(cast(round(({expr}) * {scale}) as bigint))"
+            f" / cast({scale} as double)"
+        )
     longs = F.round(expr * F.lit(float(scale))).cast("long")
     return F.sum(longs) / F.lit(float(scale))

@@ -521,9 +521,7 @@ def join_star_q5(spark, sf_dir):
     enriched_orders = o.join(
         F.broadcast(dims), o.o_custkey == dims.c_custkey
     ).select("o_orderkey", "n_name")
-    revenue_expr = ssum(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    )
+    revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
     return (
         li.join(enriched_orders, li.l_orderkey == enriched_orders.o_orderkey)
         .groupBy("n_name")
@@ -560,9 +558,7 @@ def join_q3_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1996-01-01"
     )
-    revenue_expr = ssum(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    )
+    revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -614,8 +610,8 @@ def agg_q1(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "2001-09-01"
     )
-    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bucketed_topk",
+    "cosine_near_dup_pairs",
     "cosine_topk",
     "dot",
     "l2_norm",
@@ -131,6 +132,43 @@ def sign_buckets(
         F.col(id_col).alias(id_col),
         F.col(vec_col).alias(vec_col),
         bucket.cast("int").alias("bucket"),
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine ≥ threshold.
+
+    The all-pairs comparison is restricted to a sign-LSH bucket equality
+    self-join — at 100 TB one shuffle on the bucket key with ~corpus/2^n_bits
+    candidates per bucket, never a cartesian product.  True near-duplicates
+    have near-parallel vectors, so their sign patterns agree and bucket
+    recall is high by construction; pairs whose leading-dimension signs
+    straddle a hyperplane are the documented miss case (trade n_bits for
+    recall).
+    """
+    b = sign_buckets(df, id_col=id_col, vec_col=vec_col, n_bits=n_bits)
+    a_side = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    b_side = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

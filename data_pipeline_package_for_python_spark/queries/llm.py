@@ -482,6 +482,37 @@ def sim_topk_bucketed(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_expr('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             a.v AS qv, b2.v AS cv
+      FROM b a JOIN b b2 USING (bucket)
+      WHERE a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b,
+           {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+               AS cosine
+    FROM pairs
+    WHERE {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — sign-LSH bucket self-join, exact
+    cosine inside the bucket (operators/similarity.py).  The fixture's
+    vectors are near-orthogonal (max pairwise cosine ~0.5), so the
+    threshold sits at 0.45 to exercise non-empty results; production
+    near-dup would use ~0.9+."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=0.45, n_bits=4)
+
+
 # ---------------------------------------------------------------------- #
 # multimodal binary columns                                              #
 # ---------------------------------------------------------------------- #

@@ -360,6 +360,58 @@ def join_left_outer(spark, sf_dir):
 
 
 @query(
+    "join_right_outer",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS n_orders_without_customer
+    FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join — the mirrored preserved side.  Catalyst plans it
+    as the left join with sides swapped; same shuffle shape."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey, "right")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+        ).alias("n_orders_without_customer"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS n_left_only,
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS n_right_only
+    FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join: both sides preserved.  Always a shuffle join —
+    broadcast cannot implement full-outer (the broadcast side's unmatched
+    rows would be lost per-partition)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("n_left_only"),
+        F.sum(
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+        ).alias("n_right_only"),
+    )
+
+
+@query(
     "join_semi",
     oracle="""
     SELECT count(*) AS n, SUM(c_custkey) AS key_sum
@@ -709,6 +761,28 @@ def agg_cube(spark, sf_dir):
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not derivable from rollup/cube): per-flag,
+    per-status, and grand total in one pass — Spark expands to a single
+    Expand + one aggregation, not three scans."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
 
 
 @query(

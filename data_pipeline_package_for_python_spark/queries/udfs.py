@@ -208,3 +208,35 @@ def udf_sql_registered(spark, sf_dir):
         FROM orders_v GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "udf_native_udtf",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def udf_native_udtf(spark, sf_dir):
+    """Native Python UDTF (Spark 3.5+/4.x ``@udtf``): one input row yields
+    N output rows from ``eval``.  Row-at-a-time Python — coverage surface
+    for genuinely imperative expansions; prefer mapInPandas (Arrow) or
+    ``explode`` (JVM) in hot paths."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="p_partkey bigint, word string")
+    class SplitWords:
+        def eval(self, key: int, text: str):
+            for word in text.split(" "):
+                yield key, word
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    spark.udtf.register("split_words_udtf", SplitWords)
+    p.createOrReplaceTempView("part_udtf_v")
+    return spark.sql(
+        """
+        SELECT t.p_partkey, t.word
+        FROM part_udtf_v,
+             LATERAL split_words_udtf(p_partkey, p_type) t
+        """
+    )

@@ -159,3 +159,24 @@ def test_multimodal_roundtrip(spark):
     py = M._fake_decode(b"hello world")
     assert summary[0].f_max == max(py)
     assert summary[0].f_argmax == py.index(max(py)) + 1
+
+
+def test_cosine_near_dup_pairs_planted(spark):
+    # v1 ~ v0 (cosine ~0.999), v2 orthogonal-ish, v3 in a different
+    # sign-bucket from v0/v1 (negative leading dims).
+    rows = [
+        (0, [1.0, 0.5, 0.25, 0.8, 0.1]),
+        (1, [1.01, 0.49, 0.26, 0.79, 0.11]),
+        (2, [0.9, -2.0, 3.0, 0.0, -1.0]),
+        (3, [-1.0, -0.5, -0.25, -0.8, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.cosine_near_dup_pairs(df, threshold=0.95, n_bits=4).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].cosine > 0.99
+    # v3 is anti-parallel to v0 (cosine -1): correctly NOT a near-dup,
+    # and its bucket differs so it is never even scored.
+    all_pairs = S.cosine_near_dup_pairs(df, threshold=-2.0, n_bits=4)
+    assert (3,) not in {
+        (r.id_a,) for r in all_pairs.collect()
+    } or all(r.id_a != 0 or r.id_b != 3 for r in all_pairs.collect())

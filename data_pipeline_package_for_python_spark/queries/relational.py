@@ -540,8 +540,8 @@ def join_asof(spark, sf_dir):
     "join_star_q5",
     oracle="""
     SELECT n.n_name,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-               AS BIGINT)) / 10000.0 AS revenue
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+               + 0.5) AS BIGINT)) / 10000.0 AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -585,8 +585,8 @@ def join_star_q5(spark, sf_dir):
     "join_q3_topk",
     oracle="""
     SELECT o.o_orderkey,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-               AS BIGINT)) / 10000.0 AS revenue,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+               + 0.5) AS BIGINT)) / 10000.0 AS revenue,
            CAST(o.o_orderdate AS DATE) AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -639,10 +639,10 @@ def join_q3_topk(spark, sf_dir):
                AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
                AS DOUBLE) AS sum_base_price,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-               AS BIGINT)) / 10000.0 AS sum_disc_price,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-               * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+               + 0.5) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                / COUNT(l_quantity) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)

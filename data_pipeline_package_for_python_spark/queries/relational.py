@@ -575,7 +575,11 @@ def join_star_q5(spark, sf_dir):
     ).select("o_orderkey", "n_name")
     revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
     return (
-        li.join(enriched_orders, li.l_orderkey == enriched_orders.o_orderkey)
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(enriched_orders),
+            F.col("l_orderkey") == enriched_orders.o_orderkey,
+        )
         .groupBy("n_name")
         .agg(revenue_expr.alias("revenue"))
     )
@@ -600,20 +604,30 @@ def join_star_q5(spark, sf_dir):
     """,
 )
 def join_q3_topk(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + group + deterministic top-k."""
+    """TPC-H Q3 shape: 3-way join + group + deterministic top-k.
+
+    Join direction is pinned so the FACT table (lineitem) always streams:
+    customer filters orders via one broadcast, and that small enriched
+    order list is itself broadcast into the lineitem scan.  Left
+    unhinted, Catalyst's size estimates at test scale put lineitem under
+    the broadcast threshold and collect the whole fact table to the
+    driver — correct but exactly backwards for a 100 TB fact table, so
+    the dims-broadcast shape is pinned explicitly."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
-    )
+    ).select("c_custkey")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1998-01-01"
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1996-01-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    enriched = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
     )
     revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(enriched), li.l_orderkey == enriched.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue_expr.alias("revenue"))
         .select(
@@ -1033,7 +1047,7 @@ def window_running_sum(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).over(w)
             / F.lit(100.0)
         ).alias("running_total"),
     )

@@ -96,6 +96,22 @@ def word_shingles(
     text is split ONCE per document (``ws`` projection), not once per
     shingle inside the lambda.
     """
+    return (
+        _shingle_arrays(df, id_col, text_col, n)
+        .select("id", F.explode("__sh_arr").alias("shingle"))
+    )
+
+
+def _shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, __sh_arr): per-document DISTINCT shingle array, map-side only.
+
+    ``array_distinct`` inside the projection replaces a global
+    ``.distinct()`` on the exploded (id, shingle) table — shingle
+    uniqueness is per-document, so deduping inside the array removes an
+    entire corpus-wide shuffle from every consumer.
+    """
     # greatest(..., 1): a doc shorter than n words yields itself as its one
     # shingle.  The floor must be 1, not 0 — Spark's sequence(1, 0) counts
     # DOWN to [1, 0] and slice(_, 0, n) then throws, whereas the DuckDB
@@ -104,13 +120,11 @@ def word_shingles(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__ws")
     )
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size(__ws) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(__ws, i, {n})))"
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(__ws) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__ws, i, {n}))))"
     )
-    return (
-        words.select("id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return words.select("id", shingles.alias("__sh_arr"))
 
 
 def _shingle_hash() -> F.Column:
@@ -118,6 +132,11 @@ def _shingle_hash() -> F.Column:
     return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
         "long"
     )
+
+
+# Same hash as ``_shingle_hash`` but as a SQL lambda body over an array
+# element, so signatures can be computed per-document inside codegen.
+_HASH_LAMBDA = "cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)"
 
 
 def jaccard_similar_pairs(
@@ -214,21 +233,33 @@ def minhash_signatures(
     parallel MIN aggregates over the shingle hashes — map-side partials
     shrink each document to k int64s before the shuffle.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    return _signatures_from_shingles(sh, num_hashes=num_hashes)
+    arrs = _shingle_arrays(df, id_col, text_col, n)
+    return _signatures_from_arrays(arrs, num_hashes=num_hashes).drop(
+        "__sh_arr"
+    )
 
 
-def _signatures_from_shingles(
-    sh: DataFrame, *, num_hashes: int
+def _signatures_from_arrays(
+    arrs: DataFrame, *, num_hashes: int
 ) -> DataFrame:
-    hashed = sh.withColumn("h", _shingle_hash())
-    aggs = [
-        F.min(
-            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+    """Append s0..s{k-1} to a (id, __sh_arr) frame — ZERO shuffles.
+
+    Each signature is ``array_min`` over a hashed-and-permuted copy of the
+    per-document shingle array, entirely inside whole-stage codegen.  The
+    md5 runs once per shingle (``__h_arr``), not once per permutation.
+    The equivalent explode → groupBy(id) → k×MIN formulation costs a
+    corpus-wide shuffle; this one costs nothing beyond the scan."""
+    hashed = arrs.withColumn(
+        "__h_arr", F.expr(f"transform(__sh_arr, x -> {_HASH_LAMBDA})")
+    )
+    sigs = [
+        F.expr(
+            f"array_min(transform(__h_arr,"
+            f" h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L))"
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return hashed.groupBy("id").agg(*aggs)
+    return hashed.select("id", "__sh_arr", *sigs)
 
 
 def lsh_candidate_pairs(
@@ -284,21 +315,39 @@ def near_dedup_minhash(
     verification of candidates only.  Returns verified (id_a, id_b,
     jaccard ≥ threshold) pairs.
 
-    The (id, shingle) table is computed once and persisted — it feeds the
-    signature aggregation, the per-doc sizes, and the candidate
-    intersection counts.  The exact-Jaccard stage is restricted to LSH
-    candidate pairs (never the all-pairs self-join), so total cost stays
-    linear in corpus size + candidate volume.
+    The (id, shingle-array) table is computed once and persisted — it
+    feeds the signatures, the band keys, and the verification joins.
+    Everything up to the band self-join is map-side (per-document arrays
+    + ``array_min`` signatures, no explode/groupBy); verification is
+    ``array_intersect`` on the two candidate docs' arrays — so the only
+    shuffles in the whole pipeline are the band-key self-join, the
+    candidate distinct, and the two id-keyed array lookups, each linear
+    in corpus + candidate volume.
     """
-    sh = word_shingles(df, id_col, text_col, n).persist()
-    sigs = _signatures_from_shingles(sh, num_hashes=num_hashes)
+    arrs = _shingle_arrays(df, id_col, text_col, n)
+    sigs = _signatures_from_arrays(arrs, num_hashes=num_hashes).persist()
     cands = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=num_hashes // bands
+        sigs.drop("__sh_arr"),
+        bands=bands,
+        rows_per_band=num_hashes // bands,
     )
-    verified = _jaccard_from_shingles(
-        sh, threshold=threshold, candidates=cands
+    docs = sigs.select("id", "__sh_arr")
+    a = docs.select(F.col("id").alias("id_a"), F.col("__sh_arr").alias("__a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("__sh_arr").alias("__b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("__a"), F.col("__b")))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("__a") + F.size("__b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return verified.select("id_a", "id_b", "jaccard")
 
 
 def simhash64(

@@ -1,0 +1,142 @@
+"""Physical-plan introspection (the engine's "is this the plan I'd want
+at 100 TB?" layer).
+
+The reference system has no plan of any kind — execution is an eager
+Python loop (/root/reference/dpp.py:283-296), so "inspect the plan" is
+not even expressible there.  In this engine every pipeline slot is a
+DataFrame with a Catalyst plan underneath, and this module turns that
+plan into a structured, assertable report:
+
+- Did the filters reach the parquet scan (``PushedFilters``)?
+- Did column pruning happen (``ReadSchema`` width)?
+- Which join strategies did Catalyst pick — and is anything a cartesian
+  product or a broadcast of a fact table?
+- How many real shuffles (``Exchange``) does the plan contain?
+- How much of the plan runs inside whole-stage codegen?
+
+Tests use these to PIN scale posture: e.g. the Q5 star join asserts
+"exactly one shuffle, all joins broadcast, fact scan pruned to 3
+columns".  A regression that silently flips a broadcast join to a
+sort-merge join or drops a pushed filter fails the suite even though
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "PlanReport",
+    "formatted_plan",
+    "plan_report",
+    "simple_plan",
+]
+
+# Physical operators that materialize a shuffle.  BroadcastExchange is
+# deliberately NOT here: broadcasting a small side is the *alternative*
+# to a shuffle and is counted separately.  In formatted-explain the tree
+# line is "+- Exchange (16)" / ":- Exchange (3)" and the partitioning
+# appears on a separate "Arguments: hashpartitioning(...)" line.
+_SHUFFLE_RE = re.compile(r"[+:]- Exchange \(\d+\)")
+_SHUFFLE_KEY_RE = re.compile(
+    r"Arguments: (?:hash|range)partitioning\(([^)]*)\)"
+)
+_JOIN_RE = re.compile(
+    r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)\b"
+)
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The ``explain('formatted')`` text, captured instead of printed."""
+    return _explain_string(df, "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    """The ``explain()`` one-tree text, captured instead of printed."""
+    return _explain_string(df, "simple")
+
+
+def _explain_string(df: DataFrame, mode: str) -> str:
+    jdf = df._jdf  # noqa: SLF001 — no public capture API in PySpark
+    sess = df.sparkSession
+    jmode = sess._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        mode
+    )
+    return jdf.queryExecution().explainString(jmode)
+
+
+@dataclass
+class PlanReport:
+    """Structured summary of one DataFrame's physical plan."""
+
+    pushed_filters: list[list[str]] = field(default_factory=list)
+    read_schemas: list[list[str]] = field(default_factory=list)
+    joins: list[str] = field(default_factory=list)
+    shuffle_keys: list[str] = field(default_factory=list)
+    n_shuffles: int = 0
+    n_broadcasts: int = 0
+    n_codegen_spans: int = 0
+    text: str = ""
+
+    @property
+    def has_cartesian(self) -> bool:
+        return any(
+            j in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            for j in self.joins
+        )
+
+    def scan_width(self, table_hint: str) -> int | None:
+        """Column count of the scan whose ReadSchema mentions
+        ``table_hint`` (a column-name prefix like ``l_`` or a column)."""
+        for cols in self.read_schemas:
+            if any(table_hint in c for c in cols):
+                return len(cols)
+        return None
+
+
+def plan_report(df: DataFrame, *, execute: bool = False) -> PlanReport:
+    """Parse ``explain('formatted')`` into a :class:`PlanReport`.
+
+    Parsing the explain text (rather than walking the JVM plan tree via
+    py4j) keeps this pure-Python-portable across Spark minor versions —
+    the formatted explain format is a compatibility surface, the
+    internal plan node API is not.
+
+    ``execute=True`` runs the query first — via ``collect()`` on THIS
+    DataFrame handle, because under AQE the final plan (with its
+    whole-stage-codegen annotations) only exists on a query that has
+    executed, and ``count()`` would build and execute a *different*
+    query.  Codegen-span counts are only meaningful with
+    ``execute=True``.
+    """
+    if execute:
+        df.collect()
+    full = formatted_plan(df)
+    # An executed AQE plan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — parse only the final section or every node
+    # is counted twice.
+    text = full.split("== Initial Plan ==")[0]
+    rep = PlanReport(text=full)
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        rep.pushed_filters.append(
+            [f.strip() for f in body.split("),")] if body else []
+        )
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        body = m.group(1).strip()
+        cols = [c.split(":")[0].strip() for c in body.split(",") if c.strip()]
+        rep.read_schemas.append(cols)
+    rep.joins = _JOIN_RE.findall(text)
+    rep.n_shuffles = len(_SHUFFLE_RE.findall(text))
+    rep.shuffle_keys = _SHUFFLE_KEY_RE.findall(text)
+    rep.n_broadcasts = text.count("BroadcastExchange")
+    # simple-mode explain marks codegen'd operators as "*(n) Op"; the
+    # distinct span ids count the fused pipelines.
+    rep.n_codegen_spans = len(
+        set(re.findall(r"\*\((\d+)\)", simple_plan(df)))
+    )
+    return rep

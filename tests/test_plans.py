@@ -1,0 +1,104 @@
+"""Physical-plan posture tests (SURVEY §4.2 / the 100 TB checklist).
+
+These don't check ANSWERS (the oracle harness does that) — they check
+that the PLAN is the one we'd want on a 1000-executor cluster: filters
+pushed into scans, scans pruned to the referenced columns, dimension
+sides broadcast, fact tables never broadcast, shuffle counts minimal,
+and no accidental cartesian products.  A change that keeps results
+correct but silently degrades the plan fails here.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_package_for_python_spark import plans
+from data_pipeline_package_for_python_spark.operators import dedup as D
+from data_pipeline_package_for_python_spark.operators import similarity as S
+from data_pipeline_package_for_python_spark.queries import QUERIES
+
+
+def rep(name, spark, sf_dir):
+    return plans.plan_report(QUERIES[name].spark_fn(spark, sf_dir))
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    r = rep("filter_q6", spark, sf_dir)
+    # The Q6 predicates must reach the parquet reader...
+    assert r.pushed_filters and any(r.pushed_filters)
+    flat = ";".join(f for fs in r.pushed_filters for f in fs)
+    assert "l_shipdate" in flat and "l_discount" in flat
+    # ...and the scan must read only the referenced columns, not all 16.
+    assert r.scan_width("l_") is not None and r.scan_width("l_") <= 5
+
+
+def test_q1_single_shuffle_full_codegen(spark, sf_dir):
+    r = plans.plan_report(
+        QUERIES["agg_q1"].spark_fn(spark, sf_dir), execute=True
+    )
+    # groupBy is the only exchange: partial agg map-side, final after one
+    # shuffle of ~#groups rows.
+    assert r.n_shuffles == 1
+    assert r.joins == []
+    # scan + partial agg must fuse into whole-stage codegen.
+    assert r.n_codegen_spans >= 1
+
+
+def test_q3_fact_table_streams(spark, sf_dir):
+    r = rep("join_q3_topk", spark, sf_dir)
+    # Both joins broadcast the dim side; lineitem is never collected.
+    assert set(r.joins) == {"BroadcastHashJoin"}
+    assert not r.has_cartesian
+    # lineitem scan pruned to join key + 2 measures (+ filter col).
+    assert r.scan_width("l_") <= 4
+    # One real shuffle: the groupBy.  (TakeOrdered adds none.)
+    assert r.n_shuffles == 1
+
+
+def test_q5_star_one_shuffle(spark, sf_dir):
+    r = rep("join_star_q5", spark, sf_dir)
+    assert set(r.joins) == {"BroadcastHashJoin"}
+    assert not r.has_cartesian
+    assert r.n_shuffles == 1  # the n_name rollup only
+    assert r.scan_width("l_") <= 3
+
+
+def test_near_dedup_no_cartesian_no_fact_broadcast(spark, sf_dir, tables):
+    df = D.near_dedup_minhash(
+        tables["documents"], "doc_id", "text", n=3, num_hashes=16, bands=4
+    )
+    r = plans.plan_report(df)
+    assert not r.has_cartesian
+    # Band-key self-join + candidate joins shuffle; signature computation
+    # must add NO shuffle of its own (map-side array_min path).  Budget:
+    # band join (2 sides share one exchange each) + distinct + 2 id joins.
+    assert r.n_shuffles <= 7
+
+
+def test_lsh_topk_no_cartesian(spark, sf_dir, tables):
+    emb = tables["embeddings"]
+    df = S.bucketed_topk(emb, emb.limit(4), k=3, n_bits=4)
+    r = plans.plan_report(df)
+    assert not r.has_cartesian
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    r = rep("window_running_sum", spark, sf_dir)
+    # partitionBy(o_custkey) sort-based window: exactly one exchange.
+    assert r.n_shuffles == 1
+    assert r.scan_width("o_") <= 4
+
+
+def test_exact_dedup_narrow_shuffle(spark, sf_dir, tables):
+    df = D.exact_dedup(tables["documents"], "text", "doc_id")
+    r = plans.plan_report(df)
+    assert r.n_shuffles == 1
+    # The shuffle key is the md5 digest, not the document body: the
+    # pre-shuffle partitioning must not carry `text` itself.
+    assert r.shuffle_keys and all("text" not in k for k in r.shuffle_keys)
+
+
+@pytest.mark.parametrize(
+    "name", ["join_inner", "join_star_q5", "join_broadcast_dims"]
+)
+def test_no_cartesian_anywhere(name, spark, sf_dir):
+    assert not rep(name, spark, sf_dir).has_cartesian

@@ -12,7 +12,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_groupby_agg", "explode_salt_join"]
+__all__ = ["salted_groupby_agg", "explode_salt_join", "salted_topk_per_group"]
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-k rows per group when the group cardinality is LOW.
+
+    A plain ``row_number().over(partitionBy(group))`` with, say, 5
+    distinct groups serializes the entire table through 5 reducers — at
+    100 TB that is 5 sort tasks of 20 TB each.  This runs two balanced
+    phases instead:
+
+    1. window over ``(group, salt)`` — every bucket sorts ~1/salt_buckets
+       of its group and keeps its local top-k;
+    2. window over ``group`` on the surviving ``groups × buckets × k``
+       rows (tiny by construction) for the exact global per-group top-k.
+
+    Exact, not approximate: any row in the global top-k is in its
+    bucket's top-k, so phase 1 never discards a winner.  ``order_cols``
+    must be a total order (include a tie-break key) for deterministic
+    output.  The salt is the input partition id (free, already balanced,
+    no ``rand()``), so the plan stays deterministic for a deterministic
+    scan.
+    """
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def salted_groupby_agg(

@@ -1118,16 +1118,25 @@ def window_ntile_percent(spark, sf_dir):
     """,
 )
 def window_topk_per_group(spark, sf_dir):
+    """Top-3 per market segment via the salted two-phase operator.
+
+    c_mktsegment has 5 distinct values: a plain window over it would
+    funnel the whole orders table through 5 reducers (5 × 20 TB sorts at
+    the 100 TB design point).  salted_topk_per_group's phase-1 window is
+    balanced over (segment, salt) and phase 2 ranks only the surviving
+    ~segments × buckets × k rows."""
+    from ..operators.skew import salted_topk_per_group
+
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
     )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    return salted_topk_per_group(
+        j,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
     )
 
 

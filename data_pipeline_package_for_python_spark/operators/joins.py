@@ -3,10 +3,14 @@
 Everything here composes public DataFrame APIs (SURVEY §2.2.3) — no custom
 Catalyst rules.  Scale posture:
 
-- as-of joins shuffle both sides on the equality key (one shuffle each) and
-  resolve the "latest ≤ t" semantics with a window over the *left* primary
-  key — the window repartitions on the left key, so at 100 TB the cost is
-  two key-partitioned shuffles + a per-key sort, never a cartesian product.
+- as-of joins NEVER materialize the (left × time-valid right) pair set.
+  Both sides are unioned into one stream, shuffled ONCE on the equality
+  key, sorted by time within the key, and each left row picks up the
+  running ``last(right_payload, ignorenulls=True)`` — the merge_asof /
+  kdb aj shape.  Cost is one shuffle + one per-key sort, linear in
+  |left| + |right|; the naive join-then-rank formulation is quadratic on
+  hot keys (a key with 10⁴ rows each side builds 10⁸ intermediate pairs
+  before rank-1 filtering discards all but 10⁴).
 - range/theta joins keep the equality conjunct in the join condition so
   Catalyst can still pick a hash/sort-merge strategy and apply the range
   predicate as a post-join filter; a pure non-equi join (no equality
@@ -41,54 +45,76 @@ def asof_join(
     ``right_time <= left_time`` (direction='backward'; 'forward' = least
     ``right_time >= left_time``), within equal ``on`` keys.
 
-    ``left_key`` must uniquely identify left rows (the window partitions on
-    it).  ``tie_break`` columns (right side) break right_time ties
+    ``tie_break`` columns (right side) break right_time ties
     deterministically — always pass one when right_time is not unique per
     key, otherwise results are nondeterministic under Spark AND under any
-    engine.
+    engine.  Backward picks the LARGEST tie-break among equal times,
+    forward the smallest (matching the rank-1 ordering of the classic
+    formulation).  ``left_key`` is retained for API compatibility and
+    ignored: the merge-scan needs no unique left identifier.
 
     Reference parity: SURVEY §2.2.3 "Interval/as-of join"; the reference
     itself has no joins of any kind (dpp.py — no join exists in the file).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"invalid direction {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
-    left_key = [left_key] if isinstance(left_key, str) else list(left_key)
     tie_break = (
         [] if tie_break is None
         else [tie_break] if isinstance(tie_break, str) else list(tie_break)
     )
+    backward = direction == "backward"
+    right_payload = [c for c in right.columns if c not in on]
 
-    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
-    time_pred = rt <= lt if direction == "backward" else rt >= lt
-    cond = time_pred
-    for k in on:
-        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-
-    joined = left.alias("l").join(right.alias("r"), cond, "inner")
-
-    order = [rt.desc() if direction == "backward" else rt.asc()]
-    order += [
-        F.col(f"r.{c}").desc() if direction == "backward" else F.col(f"r.{c}").asc()
-        for c in tie_break
-    ]
-    w = Window.partitionBy(*[F.col(f"l.{k}") for k in left_key]).orderBy(*order)
-    best = joined.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
-    # de-duplicate the equality-key columns (keep the left copy)
-    right_cols = [c for c in right.columns if c not in on]
-    best = best.select(
-        *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in right_cols],
+    # One merged stream: left rows carry their payload in __l, right rows
+    # theirs in __r; unionByName(allowMissingColumns) nulls the other side.
+    lu = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__l"),
     )
-    if how == "left":
-        matched_keys = best.select(*[F.col(k) for k in left_key])
-        unmatched = left.join(matched_keys, left_key, "left_anti")
-        best = best.unionByName(unmatched, allowMissingColumns=True)
-    elif how != "inner":
-        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
-    return best
+    # Join semantics: null equality keys and null times never match — drop
+    # such right rows up front (otherwise the null-key window partition
+    # would pair them with null-key left rows).
+    r_valid = right.filter(F.col(right_time).isNotNull())
+    for k in on:
+        r_valid = r_valid.filter(F.col(k).isNotNull())
+    ru = r_valid.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*right_payload).alias("__r"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tie_break)],
+    )
+    u = lu.unionByName(ru, allowMissingColumns=True)
+
+    # Scan order: by time toward the left row (asc for backward, desc for
+    # forward), rights BEFORE lefts at equal time (inclusive <= / >=), and
+    # tie-breaks ordered so the preferred right lands LAST before the left
+    # row — ``last(__r, ignorenulls=True)`` then reads the match off the
+    # running frame.  Null left times sort to the start of the scan (no
+    # rights seen yet) and correctly match nothing.
+    if backward:
+        order = [F.col("__t").asc_nulls_first(), F.col("__is_left").asc()]
+        order += [F.col(f"__tb{i}").asc() for i in range(len(tie_break))]
+    else:
+        order = [F.col("__t").desc_nulls_first(), F.col("__is_left").asc()]
+        order += [F.col(f"__tb{i}").desc() for i in range(len(tie_break))]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    return matched.select("__l.*", "__m.*")
 
 
 def range_join(

@@ -102,3 +102,12 @@ def test_exact_dedup_narrow_shuffle(spark, sf_dir, tables):
 )
 def test_no_cartesian_anywhere(name, spark, sf_dir):
     assert not rep(name, spark, sf_dir).has_cartesian
+
+
+def test_asof_is_merge_scan_not_join(spark, sf_dir):
+    # The as-of join must compile to union + ONE keyed window — no join
+    # operator and no quadratic pair materialization.
+    r = rep("join_asof", spark, sf_dir)
+    assert r.joins == []
+    assert r.n_shuffles == 1
+    assert not r.has_cartesian

@@ -59,6 +59,30 @@ def l2_norm(a: str) -> F.Column:
     )
 
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, rank, neighbor_id, cosine) top-k per query.
+
+    Routed through the salted two-phase operator: a plain window over
+    query_id funnels every scored candidate into |queries| reducers —
+    pathological for a handful of queries against a 100 TB corpus.  The
+    salted phase keeps all sorts balanced; the final rank runs on ≤
+    queries × buckets × k survivors.
+    """
+    from .skew import salted_topk_per_group
+
+    order = [F.col("cosine").desc(), F.col("neighbor_id")]
+    topk = salted_topk_per_group(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        ["query_id"],
+        order,
+        k,
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "rank", "neighbor_id", "cosine"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,14 +116,7 @@ def cosine_topk(
             "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _ranked_topk(scored, k)
 
 
 def sign_buckets(
@@ -210,11 +227,4 @@ def bucketed_topk(
             "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _ranked_topk(scored, k)

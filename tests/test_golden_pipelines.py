@@ -1,0 +1,164 @@
+"""Golden end-to-end pipelines (SURVEY §5.2 item 5).
+
+Each test drives the full stack THROUGH THE DSL — context variables,
+``>>`` expressions, ``common/all/branch/sequence/select`` — over the
+sf0.001 fixtures, and asserts a committed SHA-256 of the canonicalized
+result.  These pin the whole integration (DSL → DataFrame plans →
+operators → results), not any single layer.
+"""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from data_pipeline_package_for_python_spark import ALL, PREV, Pipeline, V
+from data_pipeline_package_for_python_spark.operators import dedup as D
+from data_pipeline_package_for_python_spark.queries._registry import load
+
+
+def digest(df, *, ndigits=4):
+    """Order-insensitive canonical SHA-256 of a DataFrame's contents."""
+    rows = []
+    for row in df.collect():
+        cells = []
+        for col in sorted(df.columns):
+            v = row[col]
+            if isinstance(v, float):
+                v = round(v, ndigits)
+            cells.append(f"{col}={v!r}")
+        rows.append("|".join(cells))
+    body = "\n".join(sorted(rows))
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def test_golden_q1_sequence(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    with Pipeline(lineitem=li) as p:
+        p.sequence(
+            p.lineitem
+            >> (lambda df: df.filter(F.col("l_shipdate") <= "2001-09-01"))
+            >> p.filtered,
+            PREV
+            >> (
+                lambda df: df.groupBy("l_returnflag", "l_linestatus").agg(
+                    F.sum(
+                        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+                    ).alias("qty_c"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            >> p.q1,
+        )
+    assert digest(p.q1) == "65ea4205db42109c"
+
+
+def test_golden_q3_branch_merge(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with Pipeline(customer=c, orders=o) as p:
+        p.branch(
+            (
+                p.customer
+                >> (
+                    lambda df: df.filter(
+                        F.col("c_mktsegment") == "BUILDING"
+                    ).select("c_custkey")
+                )
+                >> p.building
+            ),
+            (
+                p.orders
+                >> (
+                    lambda df: df.filter(F.col("o_orderdate") < "1998-01-01")
+                )
+                >> p.recent
+            ),
+        )
+        p.all(
+            V(p.recent, p.building)
+            >> (
+                lambda o_df, c_df: o_df.join(
+                    F.broadcast(c_df),
+                    o_df.o_custkey == c_df.c_custkey,
+                )
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            >> p.by_status
+        )
+    assert digest(p.by_status) == "2717bb955c6f1f8e"
+
+
+def test_golden_q6_select_routing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    with Pipeline(lineitem=li) as p:
+        # pipeline-level routing: pick the aggregation based on data
+        # (forces one driver-side action, as documented in SURVEY §4.2)
+        p.select(
+            (
+                (lambda ctx: ctx.lineitem.count() > 0),
+                p.lineitem
+                >> (
+                    lambda df: df.filter(
+                        (F.col("l_shipdate") >= "1994-01-01")
+                        & (F.col("l_shipdate") < "1995-01-01")
+                        & (F.col("l_discount").between(0.05, 0.07))
+                        & (F.col("l_quantity") < 24)
+                    ).agg(
+                        F.sum(
+                            F.floor(
+                                F.col("l_extendedprice")
+                                * F.col("l_discount")
+                                * 10000
+                                + F.lit(0.5)
+                            )
+                        ).alias("revenue_scaled"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                )
+                >> p.q6,
+            ),
+            default=(
+                p.lineitem >> (lambda df: df.limit(0)) >> p.q6
+            ),
+        )
+    assert digest(p.q6) == "852da26c7d637887"
+
+
+def test_golden_llm_dedup_pipeline(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    with Pipeline(documents=docs) as p:
+        p.common(
+            p.documents
+            >> (lambda df: D.exact_dedup(df, "text", "doc_id"))
+            >> p.exact,
+        )
+        p.all(
+            V(p.documents)
+            >> (
+                lambda df: D.near_dedup_minhash(
+                    df, "doc_id", "text", n=3, num_hashes=16, bands=4,
+                    threshold=0.1,
+                )
+            )
+            >> p.near,
+        )
+        p.common(
+            p.exact
+            >> (
+                lambda df: df.agg(
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    F.sum("n_copies").alias("n_docs"),
+                )
+            )
+            >> p.exact_summary,
+        )
+        p.common(
+            p.near
+            >> (
+                lambda df: df.agg(F.count(F.lit(1)).alias("n_pairs"))
+            )
+            >> p.near_summary,
+        )
+    assert digest(p.exact_summary) == "3d587fc8449aadd4"
+    assert digest(p.near_summary) == "01231383349ec954"

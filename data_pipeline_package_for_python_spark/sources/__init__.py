@@ -26,9 +26,11 @@ __all__ = [
     "read_orc",
     "read_parquet",
     "from_rows",
+    "write_bucketed",
     "write_csv",
     "write_json",
     "write_parquet",
+    "write_sorted_layout",
 ]
 
 TPCH_TABLES = (
@@ -124,3 +126,62 @@ def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the standard fixture tables from a scale-factor directory."""
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TPCH_TABLES}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str | list[str],
+    n_buckets: int,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    THE co-location primitive at 100 TB: two tables bucketed on the same
+    key into the same bucket count join with ZERO exchanges — the shuffle
+    was paid once at write time and amortizes over every subsequent join
+    or aggregation on that key (``tests/test_bucketing.py`` pins the
+    shuffle-free plan).  ``sort_by`` additionally pre-sorts each bucket
+    file so sort-merge joins skip their sort.
+
+    Bucketing requires the catalog (``saveAsTable``) — bucket metadata
+    lives there, a bare ``.parquet(path)`` cannot carry it.  ``path``
+    makes it an external table at that location (the warehouse dir is
+    static config and cannot be chosen per-write).
+    """
+    bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    if sort_by is not None:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    layout_by: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition and sort the data by ``layout_by`` before writing.
+
+    Clustering rows that are scanned together (e.g. by date, then key)
+    gives parquet min/max row-group statistics real pruning power: a
+    point/range predicate on the layout columns skips whole files and row
+    groups instead of reading 100 TB to filter it.  This is the poor
+    man's Z-order — exact for prefix predicates on ``layout_by``.
+    """
+    out = (
+        df.repartitionByRange(n_files, *layout_by)
+        if n_files
+        else df.repartitionByRange(*layout_by)
+    )
+    out.sortWithinPartitions(*layout_by).write.mode(mode).parquet(path)

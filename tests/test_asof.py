@@ -107,3 +107,47 @@ def test_null_keys_never_match(spark):
     assert sorted(((r.lv, r.rv) for r in outer), key=str) == [
         ("x", None), ("y", 2),
     ]
+
+
+# ---------------------------------------------------------------------- #
+# property check vs the Python oracle over generated inputs              #
+# ---------------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+side_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key (few keys → dense ties)
+        st.integers(min_value=0, max_value=8),   # time (collisions likely)
+        st.integers(min_value=0, max_value=99),  # payload / tie-break
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=side_st,
+    rrows=side_st,
+    direction=st.sampled_from(["backward", "forward"]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_asof_matches_python_oracle(spark, lrows, rrows, direction, how):
+    left = [(k, t, str(v)) for k, t, v in lrows]
+    right = rrows
+    got = asof_join(
+        _mk(spark, left, LEFT_SCHEMA) if left
+        else spark.createDataFrame([], LEFT_SCHEMA),
+        _mk(spark, right, RIGHT_SCHEMA) if right
+        else spark.createDataFrame([], RIGHT_SCHEMA),
+        "k", "lt", "rt",
+        left_key="lv", direction=direction, tie_break="rv", how=how,
+    )
+    rows = sorted((r.k, r.lt, r.lv, r.rt, r.rv) for r in got.collect())
+    assert rows == _oracle(left, right, direction, how)

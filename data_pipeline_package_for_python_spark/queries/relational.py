@@ -657,11 +657,11 @@ def join_q3_topk(spark, sf_dir):
                + 0.5) AS BIGINT)) / 10000.0 AS sum_disc_price,
            SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
                / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
                / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) / 100.0
                / COUNT(l_discount) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -672,20 +672,36 @@ def join_q3_topk(spark, sf_dir):
 def agg_q1(spark, sf_dir):
     """TPC-H Q1: the flagship grouped aggregation.  2×3 groups at any SF —
     partial aggregation collapses nearly everything map-side, so the
-    shuffle moves ~#groups×#partitions rows regardless of input size."""
+    shuffle moves ~#groups×#partitions rows regardless of input size.
+
+    The averages divide the 10²-scaled exact sums instead of running
+    their own 10⁶-scale floor-sums (the source columns carry ≤2 decimal
+    places, so the cent-scale sum is already exact): 5 per-row scaled
+    aggregates instead of 7, and the oracle computes the byte-identical
+    division so both engines hold the same doubles."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "2001-09-01"
     )
     disc_price = "l_extendedprice * (1 - l_discount)"
     charge = f"{disc_price} * (1 + l_tax)"
+    div = "cast(100 as double)"
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
         ssum(disc_price).alias("sum_disc_price"),
         ssum(charge, 1_000_000).alias("sum_charge"),
-        davg("l_quantity").alias("avg_qty"),
-        davg("l_extendedprice").alias("avg_price"),
-        davg("l_discount").alias("avg_disc"),
+        F.expr(
+            f"sum(floor(l_quantity * 100 + 0.5d)) / {div}"
+            " / count(l_quantity)"
+        ).alias("avg_qty"),
+        F.expr(
+            f"sum(floor(l_extendedprice * 100 + 0.5d)) / {div}"
+            " / count(l_extendedprice)"
+        ).alias("avg_price"),
+        F.expr(
+            f"sum(floor(l_discount * 100 + 0.5d)) / {div}"
+            " / count(l_discount)"
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 

@@ -819,8 +819,8 @@ def agg_grouping_sets(spark, sf_dir):
     "agg_stats",
     oracle="""
     WITH i AS (
-        SELECT CAST(ROUND(l_quantity * 10) AS BIGINT) AS qi,
-               CAST(ROUND(l_discount * 1000) AS BIGINT) AS di
+        SELECT CAST(FLOOR(l_quantity * 10 + 0.5) AS BIGINT) AS qi,
+               CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS di
         FROM lineitem
     ), s AS (
         SELECT count(*) AS n,
@@ -847,8 +847,8 @@ def agg_stats(spark, sf_dir):
     order, and wide decimal→double casts double-round in DuckDB — neither
     is cross-engine hashable)."""
     li = load(spark, sf_dir, "lineitem")
-    qi = F.round(F.col("l_quantity") * 10).cast("long")
-    di = F.round(F.col("l_discount") * 1000).cast("long")
+    qi = F.floor(F.col("l_quantity") * 10 + F.lit(0.5))
+    di = F.floor(F.col("l_discount") * 1000 + F.lit(0.5))
     ints = li.select(qi.alias("qi"), di.alias("di"))
     s = ints.agg(
         F.count(F.lit(1)).alias("n"),

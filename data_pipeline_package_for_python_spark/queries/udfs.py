@@ -69,7 +69,7 @@ def udf_pandas_scalar(spark, sf_dir):
     oracle="""
     WITH i AS (
         SELECT c.c_mktsegment AS seg, o.o_orderkey,
-               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ), s AS (
         SELECT seg, count(*) AS n,
@@ -104,7 +104,7 @@ def udf_grouped_map_zscore(spark, sf_dir):
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"),
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
     )
     return base.groupBy("seg").applyInPandas(
         zscore, "seg string, o_orderkey long, zscore double"
@@ -154,8 +154,8 @@ def udf_map_in_pandas_expand(spark, sf_dir):
     oracle="""
     WITH i AS (
         SELECT l_returnflag,
-               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
-               CAST(ROUND(l_quantity * 10) AS BIGINT) AS qty_t
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(FLOOR(l_quantity * 10 + 0.5) AS BIGINT) AS qty_t
         FROM lineitem
     )
     SELECT l_returnflag,
@@ -176,8 +176,8 @@ def udf_grouped_agg_weighted_mean(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
-        F.round(F.col("l_quantity") * 10).cast("long").alias("qty_t"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("price_c"),
+        F.floor(F.col("l_quantity") * 10 + F.lit(0.5)).alias("qty_t"),
     )
     return li.groupBy("l_returnflag").agg(
         wmean("price_c", "qty_t").alias("wmean")

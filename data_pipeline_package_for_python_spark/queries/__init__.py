@@ -8,6 +8,12 @@ contract.
 
 from ._registry import QUERIES, Query, query  # noqa: F401
 
-from . import functionslib, llm, relational, streaming, udfs  # noqa: E402,F401
+# Import order IS driver registration/check order.  The correctness driver
+# sweeps queries first-to-last under a wall-clock budget (round 1 stopped
+# after the first 50), so families go never-checked-first: relational
+# (joins/aggs/windows/setops), then udfs and streaming (also unchecked in
+# r1), then the function families and LLM ops that already earned green
+# rows.
+from . import relational, udfs, streaming, functionslib, llm  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

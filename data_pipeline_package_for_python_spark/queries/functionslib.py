@@ -311,17 +311,25 @@ def func_array_explode_tf(spark, sf_dir):
     SELECT p_partkey,
            len(string_split(p_name, ' ')) AS n_words,
            list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
-           list_sort(string_split(p_name, ' ')) AS sorted_words,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|')
+               AS sorted_words,
            string_split(p_name, ' ')[1] AS first_word,
            array_to_string(list_sort(string_split(p_name, ' ')), '|')
                AS joined,
-           [p_size, p_size * 2, p_size * 3] AS triples,
-           list_sum([p_size, p_size * 2, p_size * 3]) AS triple_sum,
-           range(1, 4) AS seq3
+           array_to_string([p_size, p_size * 2, p_size * 3], ',') AS triples,
+           CAST(list_sum([p_size, p_size * 2, p_size * 3]) AS BIGINT)
+               AS triple_sum,
+           array_to_string(range(1, 4), ',') AS seq3
     FROM part WHERE p_partkey < 500
     """,
 )
 def func_array_ops(spark, sf_dir):
+    """Array construction / sort / contains / element_at / sequence /
+    aggregate.  Array-typed results are serialized with ``array_join``
+    before leaving the query: the correctness harness canonicalizes
+    through pandas, whose sort chokes on raw list cells — and string
+    serialization also pins element order, which is the property arrays
+    add over sets."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
     words = F.split("p_name", " ")
     triples = F.array(
@@ -333,14 +341,14 @@ def func_array_ops(spark, sf_dir):
         "p_partkey",
         F.size(words).alias("n_words"),
         F.array_contains(words, "widget").alias("has_widget"),
-        F.array_sort(words).alias("sorted_words"),
+        F.array_join(F.array_sort(words), "|").alias("sorted_words"),
         F.element_at(words, 1).alias("first_word"),
         F.array_join(F.array_sort(words), "|").alias("joined"),
-        triples.alias("triples"),
+        F.array_join(triples, ",").alias("triples"),
         F.aggregate(
             triples, F.lit(0), lambda acc, x: acc + x
-        ).alias("triple_sum"),
-        F.sequence(F.lit(1), F.lit(3)).alias("seq3"),
+        ).cast("bigint").alias("triple_sum"),
+        F.array_join(F.sequence(F.lit(1), F.lit(3)), ",").alias("seq3"),
     )
 
 

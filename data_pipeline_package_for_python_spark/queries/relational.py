@@ -342,8 +342,8 @@ def join_inner(spark, sf_dir):
     "join_left_outer",
     oracle="""
     SELECT count(*) AS n_rows,
-           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-               AS n_customers_without_orders
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers_without_orders
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     """,
 )
@@ -363,22 +363,24 @@ def join_left_outer(spark, sf_dir):
     "join_right_outer",
     oracle="""
     SELECT count(*) AS n_rows,
-           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
-               AS n_orders_without_customer
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers_without_orders
     FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
     """,
 )
 def join_right_outer(spark, sf_dir):
-    """Right outer join — the mirrored preserved side.  Catalyst plans it
-    as the left join with sides swapped; same shuffle shape."""
+    """Right outer join — the mirrored preserved side (customer is
+    preserved, so the discriminating metric is customers WITHOUT a
+    matching order, i.e. o_orderkey IS NULL).  Catalyst plans it as the
+    left join with sides swapped; same shuffle shape."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     j = o.join(c, o.o_custkey == c.c_custkey, "right")
     return j.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
-            F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
-        ).alias("n_orders_without_customer"),
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("n_customers_without_orders"),
     )
 
 
@@ -386,10 +388,10 @@ def join_right_outer(spark, sf_dir):
     "join_full_outer",
     oracle="""
     SELECT count(*) AS n_rows,
-           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-               AS n_left_only,
-           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
-               AS n_right_only
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_left_only,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_right_only
     FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
     """,
 )
@@ -414,7 +416,7 @@ def join_full_outer(spark, sf_dir):
 @query(
     "join_semi",
     oracle="""
-    SELECT count(*) AS n, SUM(c_custkey) AS key_sum
+    SELECT count(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
@@ -430,7 +432,7 @@ def join_semi(spark, sf_dir):
 @query(
     "join_anti",
     oracle="""
-    SELECT count(*) AS n, SUM(c_custkey) AS key_sum
+    SELECT count(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
@@ -554,8 +556,16 @@ def join_asof(spark, sf_dir):
     """,
 )
 def join_star_q5(spark, sf_dir):
-    """TPC-H Q5 shape: multi-way star join.  Dimensions broadcast (region/
-    nation/customer); the lineitem↔orders edge is the only shuffle."""
+    """TPC-H Q5 shape: multi-way star join.
+
+    Scale posture: only TRUE dimensions are broadcast-pinned (region,
+    nation, and the customer-derived dim frame).  The lineitem↔orders
+    edge carries NO hint: its both sides grow with the fact tables, so a
+    pinned broadcast would OOM the driver at the 100 TB design point.
+    Left unhinted, Catalyst broadcasts it only when size *estimates* are
+    under the threshold, and AQE re-demotes to broadcast at runtime when
+    the enriched-orders side is genuinely small — the stats-driven
+    behavior we want at every scale."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -577,7 +587,7 @@ def join_star_q5(spark, sf_dir):
     return (
         li.select("l_orderkey", "l_extendedprice", "l_discount")
         .join(
-            F.broadcast(enriched_orders),
+            enriched_orders,
             F.col("l_orderkey") == enriched_orders.o_orderkey,
         )
         .groupBy("n_name")
@@ -606,13 +616,14 @@ def join_star_q5(spark, sf_dir):
 def join_q3_topk(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + group + deterministic top-k.
 
-    Join direction is pinned so the FACT table (lineitem) always streams:
-    customer filters orders via one broadcast, and that small enriched
-    order list is itself broadcast into the lineitem scan.  Left
-    unhinted, Catalyst's size estimates at test scale put lineitem under
-    the broadcast threshold and collect the whole fact table to the
-    driver — correct but exactly backwards for a 100 TB fact table, so
-    the dims-broadcast shape is pinned explicitly."""
+    Only the customer dim is broadcast-pinned.  The lineitem↔orders edge
+    is deliberately UNhinted: both sides are fact-derived, and a pinned
+    ``F.broadcast(enriched)`` would grow linearly with orders — a driver
+    OOM at the 100 TB design point.  Unhinted, the edge is a shuffle
+    join whenever size estimates are large, and AQE demotes it to
+    broadcast at runtime when the filtered order list is actually small
+    (which it is at test scale) — same local performance, no scale
+    hazard."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -627,7 +638,7 @@ def join_q3_topk(spark, sf_dir):
     )
     revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
     return (
-        li.join(F.broadcast(enriched), li.l_orderkey == enriched.o_orderkey)
+        li.join(enriched, li.l_orderkey == enriched.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue_expr.alias("revenue"))
         .select(
@@ -957,9 +968,12 @@ def agg_first_per_group(spark, sf_dir):
     "agg_pivot",
     oracle="""
     SELECT o_orderpriority,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS cnt_f,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS cnt_o,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS cnt_p
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+                AS BIGINT) AS cnt_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+                AS BIGINT) AS cnt_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+                AS BIGINT) AS cnt_p
     FROM orders GROUP BY o_orderpriority
     """,
 )

@@ -189,7 +189,8 @@ def udf_grouped_agg_weighted_mean(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n,
-           SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big
+           CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
     FROM orders GROUP BY o_orderstatus
     """,
 )

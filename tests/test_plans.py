@@ -45,7 +45,9 @@ def test_q1_single_shuffle_full_codegen(spark, sf_dir):
 
 def test_q3_fact_table_streams(spark, sf_dir):
     r = rep("join_q3_topk", spark, sf_dir)
-    # Both joins broadcast the dim side; lineitem is never collected.
+    # At test scale Catalyst's size estimates put every build side under
+    # the broadcast threshold, so all joins plan as broadcast — that is
+    # the stats-driven outcome, not a pin (see test_no_fact_broadcast_pins).
     assert set(r.joins) == {"BroadcastHashJoin"}
     assert not r.has_cartesian
     # lineitem scan pruned to join key + 2 measures (+ filter col).
@@ -60,6 +62,29 @@ def test_q5_star_one_shuffle(spark, sf_dir):
     assert not r.has_cartesian
     assert r.n_shuffles == 1  # the n_name rollup only
     assert r.scan_width("l_") <= 3
+
+
+@pytest.mark.parametrize("name", ["join_q3_topk", "join_star_q5"])
+def test_no_fact_broadcast_pins(name, spark, sf_dir):
+    """No BroadcastExchange may be PINNED on a fact-derived side.
+
+    With ``autoBroadcastJoinThreshold=-1`` the only broadcasts left are
+    explicit ``F.broadcast`` hints.  Q3/Q5 hint only true dimension
+    frames (customer / nation / region), so the lineitem↔orders edge —
+    both sides fact-derived, both growing linearly with scale — must
+    plan as a shuffle join.  A pinned broadcast there OOMs the driver at
+    the 100 TB design point; AQE is the one allowed to demote the edge
+    to broadcast when RUNTIME stats are small."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r = rep(name, spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # Dim hints broadcast; the fact edge is a SortMergeJoin.
+    assert set(r.joins) == {"BroadcastHashJoin", "SortMergeJoin"}
+    # Exactly one shuffle join: the lineitem↔orders edge (formatted
+    # explain names each node twice — tree line + detail section).
+    assert r.joins.count("SortMergeJoin") <= 2
 
 
 def test_near_dedup_no_cartesian_no_fact_broadcast(spark, sf_dir, tables):

@@ -263,7 +263,11 @@ def _signatures_from_arrays(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become
     candidate pairs (id_a < id_b, distinct).
@@ -271,6 +275,15 @@ def lsh_candidate_pairs(
     The all-pairs problem becomes ``bands`` equality self-joins on a
     narrow band-key column — at scale each is a shuffle on a well-
     distributed key, and the union dedups candidates.
+
+    ``max_band_freq`` guards the degenerate-bucket blowup: a band value
+    shared by B documents emits B² candidate pairs, so one pathological
+    bucket (e.g. every empty document has the identical signature)
+    silently re-creates the all-pairs join this operator exists to
+    avoid.  Buckets above the cap are dropped entirely — the same
+    prefix-filtering tradeoff as ``max_shingle_freq``: a bucket that
+    hot is a degenerate value, not a plausible near-dup cluster, and
+    candidate volume stays ≤ bands · max_band_freq² per bucket.
     """
     sig_cols = [c for c in signatures.columns if c != "id"]
     if len(sig_cols) != bands * rows_per_band:
@@ -291,6 +304,17 @@ def lsh_candidate_pairs(
     all_bands = signatures.select(
         "id", F.explode(F.array(*keys)).alias("band_key")
     )
+    if max_band_freq is not None:
+        # Window count over band_key: one shuffle on the same key the
+        # self-join below shuffles on.  The count itself is memory-light
+        # even on the hot bucket — rows stream through, only the tally
+        # lives per partition.
+        freq_w = Window.partitionBy("band_key")
+        all_bands = (
+            all_bands.withColumn("__bf", F.count(F.lit(1)).over(freq_w))
+            .filter(F.col("__bf") <= max_band_freq)
+            .drop("__bf")
+        )
     a = all_bands.select(F.col("id").alias("id_a"), "band_key")
     b = all_bands.select(F.col("id").alias("id_b"), "band_key")
     return (
@@ -310,6 +334,7 @@ def near_dedup_minhash(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """The scale path end-to-end: MinHash → LSH candidates → exact-Jaccard
     verification of candidates only.  Returns verified (id_a, id_b,
@@ -322,7 +347,15 @@ def near_dedup_minhash(
     ``array_intersect`` on the two candidate docs' arrays — so the only
     shuffles in the whole pipeline are the band-key self-join, the
     candidate distinct, and the two id-keyed array lookups, each linear
-    in corpus + candidate volume.
+    in corpus + candidate volume.  ``max_band_freq`` caps degenerate LSH
+    buckets (see :func:`lsh_candidate_pairs`).
+
+    Cache lifetime: the persisted signature frame backs the RETURNED
+    (lazy) DataFrame, so it cannot be released here.  It is attached as
+    ``result.sig_cache`` — long-lived sessions that call this repeatedly
+    should ``result.sig_cache.unpersist()`` once the result is
+    materialized; one-shot jobs can ignore it (executor exit frees the
+    blocks).
     """
     arrs = _shingle_arrays(df, id_col, text_col, n)
     sigs = _signatures_from_arrays(arrs, num_hashes=num_hashes).persist()
@@ -330,11 +363,12 @@ def near_dedup_minhash(
         sigs.drop("__sh_arr"),
         bands=bands,
         rows_per_band=num_hashes // bands,
+        max_band_freq=max_band_freq,
     )
     docs = sigs.select("id", "__sh_arr")
     a = docs.select(F.col("id").alias("id_a"), F.col("__sh_arr").alias("__a"))
     b = docs.select(F.col("id").alias("id_b"), F.col("__sh_arr").alias("__b"))
-    return (
+    result = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -348,6 +382,8 @@ def near_dedup_minhash(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    result.sig_cache = sigs  # caller releases in long-lived sessions
+    return result
 
 
 def simhash64(

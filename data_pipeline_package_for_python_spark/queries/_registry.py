@@ -64,12 +64,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # events.ts is nanosecond-precision parquet, which Spark rejects by
         # default (PARQUET_TYPE_ILLEGAL).  Read nanos as long, floor-divide
         # to µs — exactly DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) behavior.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        # The legacy flag is consumed at schema resolution (inside
+        # spark.read.parquet), so scope it tightly and restore whatever
+        # was set before — session config must not leak out of a loader.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     else:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     _SCAN_CACHE[key] = df

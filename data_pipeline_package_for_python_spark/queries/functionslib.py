@@ -254,6 +254,84 @@ def func_null_handling(spark, sf_dir):
 
 
 @query(
+    "func_na_ops",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT c.c_custkey,
+           COALESCE(NULLIF(c.c_mktsegment, 'BUILDING'), 'OTHER')
+               AS seg_filled,
+           CASE fo.o_orderstatus WHEN 'F' THEN 'FINISHED'
+                WHEN 'O' THEN 'OPEN' WHEN 'P' THEN 'PENDING'
+                ELSE fo.o_orderstatus END AS status_full,
+           fo.o_totalprice AS price
+    FROM customer c JOIN fo ON c.c_custkey = fo.o_custkey AND fo.rn = 1
+    """,
+)
+def func_na_ops(spark, sf_dir):
+    """The ``df.na.*`` facade itself (SURVEY §2.2.7 null row): fill,
+    replace and drop each observably change the result.
+
+    Two independent null sources so no op masks another: the left join
+    nulls every ``o_*`` column for order-less customers (``na.drop`` on
+    ``o_orderkey`` removes exactly those rows — the inner-join oracle),
+    while ``nullif`` nulls the segment for BUILDING customers, who
+    survive the drop and expose ``na.fill``.  ``na.replace`` rewrites
+    the status code dictionary-style."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    fo = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    base = c.join(fo, c.c_custkey == fo.o_custkey, "left").withColumn(
+        "seg_null", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    return (
+        base.na.fill({"seg_null": "OTHER"})
+        .na.replace(
+            {"F": "FINISHED", "O": "OPEN", "P": "PENDING"},
+            subset=["o_orderstatus"],
+        )
+        .na.drop(subset=["o_orderkey"])
+        .select(
+            "c_custkey",
+            F.col("seg_null").alias("seg_filled"),
+            F.col("o_orderstatus").alias("status_full"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+
+
+@query(
+    "func_misc_id",
+    oracle="""
+    SELECT count(*) AS n, count(*) AS n_distinct_ids FROM part
+    """,
+)
+def func_misc_id(spark, sf_dir):
+    """``monotonically_increasing_id`` smoke (§2.2.7 misc row).  The ids
+    themselves are partition-layout-dependent so they can never be
+    hash-compared; the CONTRACT — globally unique across partitions —
+    is checkable: distinct count must equal row count."""
+    p = load(spark, sf_dir, "part").withColumn(
+        "mid", F.monotonically_increasing_id()
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("mid").alias("n_distinct_ids"),
+    )
+
+
+@query(
     "func_casts",
     oracle="""
     SELECT o_orderkey,

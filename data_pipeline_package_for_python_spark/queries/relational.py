@@ -148,6 +148,53 @@ def sink_partitioned_parquet(spark, sf_dir):
 
 
 @query(
+    "scan_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def scan_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (SURVEY §2.2.1 layout writer).
+
+    Both sides are written ``bucketBy`` the join key into the same
+    bucket count, so the subsequent join plans with ZERO exchanges on
+    the join edge — the shuffle was paid once at write time and
+    amortizes over every later join/agg on that key (the 100 TB
+    co-location primitive; ``tests/test_bucketing.py`` pins the
+    exchange-free plan shape)."""
+    import tempfile
+
+    from ..sources import write_bucketed
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    base = tempfile.mkdtemp(prefix="dpp_bucketed_")
+    write_bucketed(
+        o, "dpp_orders_bq", bucket_by="o_custkey", n_buckets=8,
+        sort_by="o_custkey", path=f"{base}/orders_b",
+    )
+    write_bucketed(
+        c, "dpp_customer_bq", bucket_by="c_custkey", n_buckets=8,
+        sort_by="c_custkey", path=f"{base}/customer_b",
+    )
+    ob, cb = spark.table("dpp_orders_bq"), spark.table("dpp_customer_bq")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
     "source_in_memory",
     oracle="""
     SELECT 3 AS n_rows, 60 AS total
@@ -1234,29 +1281,48 @@ def setop_union(spark, sf_dir):
     oracle="""
     WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
          rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
-    SELECT
-        (SELECT count(*) FROM (SELECT k FROM with_orders INTERSECT
-                               SELECT k FROM rich)) AS n_intersect,
-        (SELECT count(*) FROM (SELECT k FROM rich EXCEPT
-                               SELECT k FROM with_orders)) AS n_except,
-        (SELECT count(*) FROM (SELECT k FROM with_orders
-                               EXCEPT ALL SELECT k FROM rich)) AS n_except_all
+    SELECT 'n_intersect' AS op, count(*) AS cnt
+      FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM rich)
+    UNION ALL
+    SELECT 'n_intersect_all' AS op, count(*) AS cnt
+      FROM (SELECT k FROM with_orders INTERSECT ALL SELECT k FROM rich)
+    UNION ALL
+    SELECT 'n_except' AS op, count(*) AS cnt
+      FROM (SELECT DISTINCT k FROM
+            (SELECT k FROM rich EXCEPT ALL SELECT k FROM with_orders))
+    UNION ALL
+    SELECT 'n_except_all' AS op, count(*) AS cnt
+      FROM (SELECT k FROM with_orders EXCEPT ALL SELECT k FROM rich)
     """,
 )
 def setop_intersect_except(spark, sf_dir):
+    """intersect / intersectAll / exceptAll as ONE composed plan.
+
+    Each set-op branch is aggregated to a single tagged count and the
+    four counts are unioned — one action, no driver-side ``.count()``
+    round-trips, no driver-assembled result frame.  (The branches share
+    the two base scans; Catalyst reuses the exchange under AQE.)"""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
     rich = c.filter(F.col("c_acctbal") > 5000).select(
         F.col("c_custkey").alias("k")
     )
-    n_i = with_orders.intersect(rich).count()
-    n_e = rich.exceptAll(with_orders).distinct().count()
-    n_ea = with_orders.exceptAll(rich).count()
-    from ..sources import from_rows
 
-    return from_rows(
-        spark,
-        [(n_i, n_e, n_ea)],
-        "n_intersect long, n_except long, n_except_all long",
+    def tagged(df, op):
+        return df.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(op).alias("op"), "cnt"
+        )
+
+    return (
+        tagged(with_orders.intersect(rich), "n_intersect")
+        .unionByName(
+            tagged(with_orders.intersectAll(rich), "n_intersect_all")
+        )
+        .unionByName(
+            tagged(rich.exceptAll(with_orders).distinct(), "n_except")
+        )
+        .unionByName(
+            tagged(with_orders.exceptAll(rich), "n_except_all")
+        )
     )

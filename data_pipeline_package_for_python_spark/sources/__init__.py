@@ -22,12 +22,14 @@ __all__ = [
     "TPCH_TABLES",
     "load_tables",
     "read_csv",
+    "read_jdbc",
     "read_json",
     "read_orc",
     "read_parquet",
     "from_rows",
     "write_bucketed",
     "write_csv",
+    "write_jdbc",
     "write_json",
     "write_parquet",
     "write_sorted_layout",
@@ -82,6 +84,83 @@ def read_json(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    properties: dict | None = None,
+) -> DataFrame:
+    """JDBC source facade (SURVEY §2.2.1, optional row).
+
+    Scale contract: WITHOUT ``partition_column`` + bounds +
+    ``num_partitions`` Spark reads the whole table through ONE
+    connection on one executor — fine for a dim lookup, catastrophic
+    for a fact table.  With them, Spark issues ``num_partitions`` range
+    predicates in parallel; pick a clustered/indexed numeric or date
+    column so each range is a server-side index scan.  Catalyst pushes
+    projected columns and filters into the generated SQL.
+
+    This environment ships no JDBC driver jar, so the facade is
+    exercised by ``tests/test_sources_jdbc.py`` only up to the
+    option-wiring boundary (the load itself is skipped there).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", fetchsize)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or not num_partitions:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound "
+                "and num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", num_partitions)
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict | None = None,
+) -> None:
+    """JDBC sink facade: batched inserts, one connection per partition.
+
+    ``num_partitions`` coalesces before writing — most databases fall
+    over long before 1000 concurrent inserting connections, so cap it
+    to what the server actually sustains."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def from_rows(spark: SparkSession, rows, schema: StructType | str) -> DataFrame:

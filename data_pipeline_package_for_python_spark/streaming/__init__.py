@@ -248,10 +248,22 @@ def stateful_dedup(
     keys: tuple[str, ...] = ("event_id",),
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming exact dedup: keeps the first arrival per key, with per-key
-    state expired by the event-time watermark (unbounded keyspace would
-    otherwise grow state forever)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(list(keys))
+    """Streaming exact dedup: keeps the first arrival per key.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which expires
+    per-key state once the watermark passes the key's first-seen event
+    time.  Plain ``dropDuplicates(keys)`` would NOT do that here: Spark
+    only watermark-evicts its dedup state when the event-time column is
+    itself one of the dedup keys, so with ``keys=('event_id',)`` state
+    would grow without bound on an unbounded stream.  The *WithinWatermark
+    variant makes the bounded-state contract hold for arbitrary keys —
+    duplicates are only guaranteed to collapse when they arrive within
+    the watermark delay of the first occurrence, which is the standard
+    at-scale dedup contract (late replays beyond the watermark are
+    treated as new by design)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def stream_static_join(

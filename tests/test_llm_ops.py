@@ -65,6 +65,37 @@ def test_minhash_lsh_recovers_planted_pair(docs):
     assert (0, 2) in found  # 1-word edit survives 4x4 banding
 
 
+def test_lsh_band_freq_cap_bounds_degenerate_bucket(spark):
+    """Adversarial fixture: a corpus of IDENTICAL short docs.  Every doc
+    lands in the same bucket for every band, so uncapped LSH re-creates
+    the all-pairs join (N²/2 candidates).  With ``max_band_freq`` below
+    the corpus size the degenerate buckets are dropped and the candidate
+    set is empty; a small legitimate cluster under the cap survives."""
+    n_dup = 40
+    rows = [(i, "same short doc text repeated everywhere") for i in range(n_dup)]
+    rows += [(100, "a unique document about spark adaptive execution"),
+             (101, "a unique document about spark adaptive executions")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = D.minhash_signatures(df, "doc_id", "text", n=3, num_hashes=16)
+    uncapped = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    capped = D.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=4, max_band_freq=10
+    )
+    assert uncapped.count() >= n_dup * (n_dup - 1) // 2
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # degenerate bucket gone, small legit cluster (2 docs) survives
+    assert all(a >= 100 for a, _ in capped_pairs)
+    assert len(capped_pairs) <= 1
+    # end-to-end pass-through
+    verified = D.near_dedup_minhash(
+        df, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.5, max_band_freq=10,
+    )
+    assert all(r.id_a >= 100 for r in verified.collect())
+    verified.sig_cache.unpersist()
+
+
 def test_simhash_identical_docs_identical_bits(docs):
     fp = {r.id: (r.simhash_hi, r.simhash_lo)
           for r in D.simhash64(docs, "doc_id", "text").collect()}

@@ -36,7 +36,10 @@ __all__ = [
     "cosine_near_dup_pairs",
     "cosine_topk",
     "dot",
+    "hyperplane_buckets",
+    "hyperplane_topk",
     "l2_norm",
+    "random_hyperplanes",
     "sign_buckets",
 ]
 
@@ -150,6 +153,108 @@ def sign_buckets(
         F.col(vec_col).alias(vec_col),
         bucket.cast("int").alias("bucket"),
     )
+
+
+def random_hyperplanes(
+    dim: int, n_bits: int, seed: int = 42
+) -> list[list[int]]:
+    """``n_bits`` random hyperplane normals of dimension ``dim``.
+
+    INTEGER-valued coefficients (uniform in [-1000, 1000]), deliberately:
+    integer literals convert to double exactly in every engine, so a
+    differential oracle that embeds the same literals reproduces the
+    Spark-side sign fold bit-for-bit — a fractional-literal plane could
+    disagree in the last ulp through a DECIMAL parse.  A discretized
+    uniform direction is as good an LSH direction as a Gaussian one at
+    this granularity.  Deterministic per (dim, n_bits, seed): the planes
+    are regenerable anywhere, nothing needs to be stored or broadcast.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.integers(-1000, 1001, size=(n_bits, dim))
+    # A degenerate all-zero normal would put every vector on the plane;
+    # regenerate such rows (probability ~2001^-64, but cheap to guard).
+    for j in range(n_bits):
+        while not planes[j].any():  # pragma: no cover
+            planes[j] = rng.integers(-1000, 1001, size=dim)
+    return planes.tolist()
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane sign-LSH bucket id (the strictly-better upgrade
+    over :func:`sign_buckets`' axis-aligned planes: every bit now mixes
+    ALL dimensions, so bucket occupancy is balanced even when leading
+    dimensions are correlated or near-constant).
+
+    bit j = [vec · plane_j >= 0]; bucket = Σ bit_j << j.  The planes are
+    integer literals folded left-to-right in double precision (same
+    construction as :func:`dot`), entirely inside whole-stage codegen —
+    n_bits × dim multiply-adds per row, no shuffle, no stored model.
+    """
+    planes = random_hyperplanes(dim, n_bits, seed)
+    bucket = None
+    for j, plane in enumerate(planes):
+        arr = "array(" + ",".join(str(c) for c in plane) + ")"
+        dot_j = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def hyperplane_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`bucketed_topk` with random-hyperplane buckets: candidates
+    restricted to the query's bucket, re-ranked by exact cosine.  Same
+    scale shape (bucket equality join, broadcast query side); better
+    recall/occupancy tradeoff than the axis-aligned quantizer."""
+    qb = hyperplane_buckets(
+        queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_bits=n_bits, seed=seed,
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    cb = hyperplane_buckets(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_bits=n_bits, seed=seed,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "bucket",
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+    )
+    return _ranked_topk(scored, k)
 
 
 def cosine_near_dup_pairs(

@@ -482,6 +482,66 @@ def sim_topk_bucketed(spark, sf_dir):
     )
 
 
+def _hyperplane_bucket_expr(v: str, planes: list[list[int]]) -> str:
+    """DuckDB twin of operators.similarity.hyperplane_buckets: identical
+    integer plane literals, identical left-to-right double fold, so the
+    bucket ids are bit-for-bit the Spark ones."""
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ",".join(str(c) for c in plane) + "]"
+        dot_j = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({v}, {arr}), p -> p[1] * p[2])), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot_j} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_HP_PLANES = S.random_hyperplanes(dim=64, n_bits=6, seed=42)
+
+
+@query(
+    "sim_topk_hyperplane",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_hyperplane_bucket_expr("(embedding::DOUBLE[])", _HP_PLANES)}
+                 AS bucket
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_hyperplane_bucket_expr("(embedding::DOUBLE[])", _HP_PLANES)}
+                 AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+                 AS cosine
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_hyperplane(spark, sf_dir):
+    """Approximate top-5 via RANDOM-HYPERPLANE sign-LSH (the upgrade over
+    sim_topk_bucketed's axis-aligned planes: every bit mixes all 64
+    dimensions, so bucket occupancy stays balanced under correlated
+    leading dims).  Candidates bucket-joined, re-ranked by exact
+    cosine."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hyperplane_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=5, dim=64, n_bits=6, seed=42,
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""

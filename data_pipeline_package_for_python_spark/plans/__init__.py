@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "PlanReport",
+    "broadcast_threshold_bytes",
+    "estimated_size_bytes",
     "formatted_plan",
     "plan_report",
     "simple_plan",
@@ -67,6 +69,43 @@ def _explain_string(df: DataFrame, mode: str) -> str:
         mode
     )
     return jdf.queryExecution().explainString(jmode)
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized plan, in bytes.
+
+    A pure planner-side py4j call — no job runs.  Without CBO the
+    estimate degrades conservatively (scan = file size; joins inflate
+    multiplicatively), which is the right failure direction for gating
+    optimizations that must never fire on big data: an inflated
+    estimate declines the optimization, it never green-lights a 100 TB
+    broadcast."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+    )
+
+
+def broadcast_threshold_bytes(spark) -> int:
+    """The session's ``autoBroadcastJoinThreshold`` in bytes (-1 = off).
+
+    Driver-side size-gated hints key off THIS value so they follow the
+    same session policy Catalyst's own planner follows — setting the
+    threshold to -1 disables gated hints exactly like it disables
+    automatic broadcasts."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suffix):
+            raw, mult = raw[:-1], m
+            break
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    try:
+        return int(raw) * mult
+    except ValueError:  # pragma: no cover — malformed conf
+        return -1
 
 
 @dataclass

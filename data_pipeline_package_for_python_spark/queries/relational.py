@@ -585,6 +585,26 @@ def join_asof(spark, sf_dir):
     return j.select("event_id", "o_orderkey", "o_totalprice")
 
 
+def _orders_side_fits_broadcast(spark, orders_side) -> bool:
+    """Stats-gated broadcast decision for the Q3/Q5 fact edge.
+
+    Probes Catalyst's size estimate of the PRE-JOIN orders scan (a pure
+    planner call, no job): the enriched frame is an inner join of that
+    scan with a dim, so ``|enriched| ≤ |orders scan| × bounded width``
+    and the scan estimate is a sound upper bound — unlike the join
+    node's own estimate, which inflates multiplicatively without CBO.
+    The bound is compared against the session's
+    ``autoBroadcastJoinThreshold`` so the gate follows the same policy
+    knob as Catalyst's planner (-1 disables it).  At the 100 TB design
+    point the scan estimate is in the terabytes and the gate always
+    declines — the unconditional ``F.broadcast`` pin this replaces
+    would have OOM'd the driver there."""
+    from .. import plans
+
+    thr = plans.broadcast_threshold_bytes(spark)
+    return thr > 0 and plans.estimated_size_bytes(orders_side) <= thr
+
+
 @query(
     "join_star_q5",
     oracle="""
@@ -605,14 +625,12 @@ def join_asof(spark, sf_dir):
 def join_star_q5(spark, sf_dir):
     """TPC-H Q5 shape: multi-way star join.
 
-    Scale posture: only TRUE dimensions are broadcast-pinned (region,
-    nation, and the customer-derived dim frame).  The lineitem↔orders
-    edge carries NO hint: its both sides grow with the fact tables, so a
-    pinned broadcast would OOM the driver at the 100 TB design point.
-    Left unhinted, Catalyst broadcasts it only when size *estimates* are
-    under the threshold, and AQE re-demotes to broadcast at runtime when
-    the enriched-orders side is genuinely small — the stats-driven
-    behavior we want at every scale."""
+    Scale posture: true dimensions (region/nation/customer-dim) are
+    always broadcast; the lineitem↔orders edge is chosen by the
+    stats-gated ``_orders_side_fits_broadcast`` probe — broadcast +
+    stream when the orders scan estimate bounds the enriched side under
+    the session threshold, otherwise aggregation-below-join with a
+    shuffle join (the 100 TB shape; the gate always declines there)."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -630,15 +648,43 @@ def join_star_q5(spark, sf_dir):
     enriched_orders = o.join(
         F.broadcast(dims), o.o_custkey == dims.c_custkey
     ).select("o_orderkey", "n_name")
-    revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
+
+    li_sel = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    if _orders_side_fits_broadcast(spark, o):
+        # Small-side path: enriched ⊆ orders scan (inner join with a dim
+        # adds bounded width), so the probed scan estimate bounds the
+        # broadcast.  lineitem streams map-side; ONE shuffle (rollup) of
+        # pre-filtered joined rows.
+        revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
+        return (
+            li_sel.join(
+                F.broadcast(enriched_orders),
+                F.col("l_orderkey") == enriched_orders.o_orderkey,
+            )
+            .groupBy("n_name")
+            .agg(revenue_expr.alias("revenue"))
+        )
+    # Scale path: aggregation pushed below the join — lineitem
+    # pre-aggregates per l_orderkey into exact integer revenue units
+    # (associative, lossless), the single fact-sized shuffle carries
+    # per-key longs, and the shuffle join never broadcasts fact data.
+    li_agg = li_sel.groupBy("l_orderkey").agg(
+        F.expr(
+            "sum(floor((l_extendedprice * (1 - l_discount))"
+            " * 10000 + 0.5d))"
+        ).alias("__rev_units")
+    )
     return (
-        li.select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(
+        li_agg.join(
             enriched_orders,
-            F.col("l_orderkey") == enriched_orders.o_orderkey,
+            li_agg.l_orderkey == enriched_orders.o_orderkey,
         )
         .groupBy("n_name")
-        .agg(revenue_expr.alias("revenue"))
+        .agg(
+            (F.sum("__rev_units") / F.lit(10000.0).cast("double")).alias(
+                "revenue"
+            )
+        )
     )
 
 
@@ -663,14 +709,14 @@ def join_star_q5(spark, sf_dir):
 def join_q3_topk(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + group + deterministic top-k.
 
-    Only the customer dim is broadcast-pinned.  The lineitem↔orders edge
-    is deliberately UNhinted: both sides are fact-derived, and a pinned
-    ``F.broadcast(enriched)`` would grow linearly with orders — a driver
-    OOM at the 100 TB design point.  Unhinted, the edge is a shuffle
-    join whenever size estimates are large, and AQE demotes it to
-    broadcast at runtime when the filtered order list is actually small
-    (which it is at test scale) — same local performance, no scale
-    hazard."""
+    Only the customer dim is unconditionally broadcast.  The
+    fact-derived ``enriched`` side goes through the stats-gated
+    ``_orders_side_fits_broadcast`` probe: under the threshold it is
+    broadcast and lineitem streams (one shuffle); over it — always, at
+    the 100 TB design point — the revenue aggregation pushes below the
+    join (grouping key == join key) and the edge is a shuffle join of
+    per-orderkey integer revenue units, never a driver-side broadcast
+    of fact data."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -683,14 +729,41 @@ def join_q3_topk(spark, sf_dir):
     enriched = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_orderdate"
     )
-    revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
+    if _orders_side_fits_broadcast(spark, o):
+        # Small-side path: broadcast bounded by the probed orders scan;
+        # lineitem streams, one shuffle (per-orderkey agg of the joined,
+        # already filter-reduced rows).
+        revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
+        return (
+            li.join(
+                F.broadcast(enriched), li.l_orderkey == enriched.o_orderkey
+            )
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(revenue_expr.alias("revenue"))
+            .select(
+                "o_orderkey",
+                "revenue",
+                F.col("o_orderdate").cast("date").alias("orderdate"),
+            )
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+    # Scale path: grouping key == join key, so the aggregation pushes
+    # below the join entirely — per-orderkey integer revenue units,
+    # shuffle join, no post-join re-aggregation.
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "sum(floor((l_extendedprice * (1 - l_discount))"
+            " * 10000 + 0.5d))"
+        ).alias("__rev_units")
+    )
     return (
-        li.join(enriched, li.l_orderkey == enriched.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(revenue_expr.alias("revenue"))
+        li_agg.join(enriched, li_agg.l_orderkey == enriched.o_orderkey)
         .select(
             "o_orderkey",
-            "revenue",
+            (F.col("__rev_units") / F.lit(10000.0).cast("double")).alias(
+                "revenue"
+            ),
             F.col("o_orderdate").cast("date").alias("orderdate"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))

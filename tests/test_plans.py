@@ -57,10 +57,12 @@ def test_q3_fact_table_streams(spark, sf_dir):
 
 
 def test_q5_star_one_shuffle(spark, sf_dir):
+    # Default threshold: the stats gate fires (orders scan is tiny), so
+    # the fast path runs — all joins broadcast, ONE shuffle (the rollup).
     r = rep("join_star_q5", spark, sf_dir)
     assert set(r.joins) == {"BroadcastHashJoin"}
     assert not r.has_cartesian
-    assert r.n_shuffles == 1  # the n_name rollup only
+    assert r.n_shuffles == 1
     assert r.scan_width("l_") <= 3
 
 
@@ -68,13 +70,16 @@ def test_q5_star_one_shuffle(spark, sf_dir):
 def test_no_fact_broadcast_pins(name, spark, sf_dir):
     """No BroadcastExchange may be PINNED on a fact-derived side.
 
-    With ``autoBroadcastJoinThreshold=-1`` the only broadcasts left are
-    explicit ``F.broadcast`` hints.  Q3/Q5 hint only true dimension
-    frames (customer / nation / region), so the lineitem↔orders edge —
-    both sides fact-derived, both growing linearly with scale — must
-    plan as a shuffle join.  A pinned broadcast there OOMs the driver at
-    the 100 TB design point; AQE is the one allowed to demote the edge
-    to broadcast when RUNTIME stats are small."""
+    With ``autoBroadcastJoinThreshold=-1`` both Catalyst's automatic
+    broadcasts AND the queries' stats-gated hint are off (the gate keys
+    off the same conf), leaving only the true-dimension hints.  The
+    lineitem↔orders edge — both sides fact-derived, both growing
+    linearly with scale — must then plan as a shuffle join over the
+    aggregation-below-join shape: per-orderkey revenue units shuffle on
+    l_orderkey, and no driver-side broadcast of fact data exists
+    anywhere in the plan.  This is exactly the plan the same code
+    produces at the 100 TB design point, where the scan estimate always
+    exceeds the threshold."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         r = rep(name, spark, sf_dir)
@@ -85,6 +90,26 @@ def test_no_fact_broadcast_pins(name, spark, sf_dir):
     # Exactly one shuffle join: the lineitem↔orders edge (formatted
     # explain names each node twice — tree line + detail section).
     assert r.joins.count("SortMergeJoin") <= 2
+    # The fact-side shuffle carries the PRE-AGGREGATED per-orderkey
+    # units, not raw line items.
+    assert any("l_orderkey" in k for k in r.shuffle_keys)
+
+
+@pytest.mark.parametrize("name", ["join_q3_topk", "join_star_q5"])
+def test_q3_q5_both_paths_agree(name, spark, sf_dir):
+    """The gated fast path and the 100 TB shuffle path must produce the
+    same rows — the gate is a physical decision, never a semantic one."""
+    fast = {
+        tuple(r) for r in QUERIES[name].spark_fn(spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        slow = {
+            tuple(r) for r in QUERIES[name].spark_fn(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert fast == slow
 
 
 def test_near_dedup_no_cartesian_no_fact_broadcast(spark, sf_dir, tables):

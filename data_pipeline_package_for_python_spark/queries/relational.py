@@ -1268,13 +1268,36 @@ def window_ntile_percent(spark, sf_dir):
     """,
 )
 def window_topk_per_group(spark, sf_dir):
-    """Top-3 per market segment via the salted two-phase operator.
+    """Top-3 per market segment via the zero-exchange local combiner.
 
     c_mktsegment has 5 distinct values: a plain window over it would
-    funnel the whole orders table through 5 reducers (5 × 20 TB sorts at
-    the 100 TB design point).  salted_topk_per_group's phase-1 window is
-    balanced over (segment, salt) and phase 2 ranks only the surviving
-    ~segments × buckets × k rows."""
+    funnel the whole orders table through 5 reducers (5 × 20 TB sorts
+    at the 100 TB design point).  local_topk_per_group combines each
+    scan partition down to its own top-3 per segment IN PLACE — the
+    fact table crosses no network — and ranks only the surviving
+    ~partitions × segments × k rows in the final window.  (The salted
+    two-phase operator, operators/skew.py:18, solves the same funnel
+    with a balanced phase-1 shuffle; it remains the choice when order
+    keys are computed expressions or combiner state would be large —
+    ``tests/test_skew.py`` pins both against each other.)"""
+    from ..operators.skew import local_topk_per_group
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return local_topk_per_group(
+        j,
+        ["c_mktsegment"],
+        [("o_totalprice", False), ("o_orderkey", True)],
+        3,
+    )
+
+
+def _window_topk_salted_reference(spark, sf_dir):
+    """The salted-operator form of window_topk_per_group, kept callable
+    for the equivalence test in tests/test_skew.py."""
     from ..operators.skew import salted_topk_per_group
 
     o = load(spark, sf_dir, "orders")

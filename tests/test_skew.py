@@ -9,6 +9,7 @@ from pyspark.sql import Window
 
 from data_pipeline_package_for_python_spark.operators.skew import (
     explode_salt_join,
+    local_topk_per_group,
     salted_groupby_agg,
     salted_topk_per_group,
 )
@@ -39,6 +40,42 @@ def test_salted_topk_equals_plain_window(spark, tables):
     )
     # schema passes through untouched (no leaked __salt/__rn columns)
     assert salted.columns == j.columns
+
+
+def test_local_topk_equals_salted_and_plain(spark, tables):
+    """The zero-exchange Arrow combiner, the salted two-phase operator
+    and the naive window must return identical rows; the combiner's
+    phase 1 must add no Exchange."""
+    from data_pipeline_package_for_python_spark import plans
+
+    j = (
+        tables["orders"]
+        .join(
+            F.broadcast(tables["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    local = local_topk_per_group(
+        j, ["c_mktsegment"], [("o_totalprice", False), ("o_orderkey", True)], 3
+    )
+    salted = salted_topk_per_group(j, ["c_mktsegment"], order, 3)
+    key = ["c_mktsegment", "o_orderkey"]
+    assert sorted(map(tuple, local.select(*key).collect())) == sorted(
+        map(tuple, salted.select(*key).collect())
+    )
+    assert local.columns == j.columns
+    # one shuffle total: the survivors' final window — phase 1 is local.
+    assert plans.plan_report(local).n_shuffles == 1
+
+
+def test_local_topk_k_larger_than_group(spark, tables):
+    small = tables["nation"].select("n_regionkey", "n_name", "n_nationkey")
+    out = local_topk_per_group(
+        small, ["n_regionkey"], [("n_nationkey", True)], 100
+    )
+    assert out.count() == small.count()
 
 
 def test_salted_topk_k_larger_than_group(spark, tables):

@@ -170,3 +170,46 @@ def test_stream_static_join_matches_batch(spark, stream_dir, tables):
         .count()
     )
     assert streamed.count() == batch_n
+
+
+@pytest.mark.skip(
+    reason="transformWithState's Python driver worker requires "
+    "google.protobuf, which this container lacks (no installs). "
+    "Verified: the StatefulProcessor below fails with ImportError "
+    "'cannot import name descriptor from google.protobuf' inside "
+    "TransformWithStateInPySparkExec.validateAndMaybeEvolveStateSchema. "
+    "applyInPandasWithState covers arbitrary state meanwhile."
+)
+def test_transform_with_state_env_blocked(spark, stream_dir):  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Counters(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "totals", "n bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(pdf["value"].sum() * 100))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "value_sum": [cents / 100.0]}
+            )
+
+        def close(self):
+            pass
+
+    s = read_events_stream(spark, stream_dir)
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        Counters(),
+        outputStructType="user_id bigint, n bigint, value_sum double",
+        outputMode="Append",
+        timeMode="None",
+    )
+    run_available_now(out, output_mode="append")

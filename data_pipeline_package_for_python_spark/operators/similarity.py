@@ -38,6 +38,8 @@ __all__ = [
     "dot",
     "hyperplane_buckets",
     "hyperplane_topk",
+    "ivf_assign",
+    "ivf_topk",
     "l2_norm",
     "random_hyperplanes",
     "sign_buckets",
@@ -253,6 +255,115 @@ def hyperplane_topk(
         .withColumn(
             "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
         )
+    )
+    return _ranked_topk(scored, k)
+
+
+def _stride_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, stride: int
+) -> DataFrame:
+    """Deterministic coarse centroids: every ``stride``-th corpus vector.
+
+    Stride sampling instead of k-means: reproducible on any engine with
+    one filter (the differential oracle needs that), no iterative
+    training job, and for ANN recall what matters is that cells
+    partition the corpus into balanced neighborhoods — data points ARE
+    draws from the data distribution, so sampled points track density
+    the same way k-means++ seeding does (sans the Lloyd refinement).
+    Swap in a trained codebook by passing your own centroid frame to
+    :func:`ivf_assign`."""
+    return corpus.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid cells.
+
+    Centroids broadcast (they are the small codebook by construction);
+    the |df| × |centroids| scoring is map-side, and the per-vector
+    arg-top-n_probe is one window over the vector id — at 100 TB a
+    shuffle on a perfectly-distributed key.  Ties break on cell_id so
+    assignment is a pure function of the data.  Returns (id, vec, cell,
+    cell_rank ≤ n_probe)."""
+    scored = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(centroids))
+    scored = scored.withColumn(
+        "__sim", dot("__v", "centroid") / (l2_norm("__v") * l2_norm("centroid"))
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__sim").desc(), F.col("cell_id")
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__v").alias(vec_col),
+            F.col("cell_id").alias("cell"),
+            "cell_rank",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 40,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: inverted-file coarse quantization.
+
+    The classic two-level ANN structure re-expressed relationally:
+
+    1. codebook = stride-sampled centroids (broadcastable by design);
+    2. every corpus vector is indexed into its SINGLE nearest cell (the
+       inverted file — one equality-joinable cell key per vector);
+    3. each query probes its ``n_probe`` nearest cells (recall knob);
+    4. candidates = cell-equality join of query probes × inverted file,
+       re-ranked by exact cosine → precision 1 within recalled cells.
+
+    Versus sign/hyperplane LSH: cells adapt to the data distribution
+    (centroids sit where vectors are dense) instead of cutting space
+    with data-blind planes, and recall tunes smoothly via ``n_probe``
+    without re-indexing.  Scale shape is identical — one shuffle to
+    build the inverted file, bucket-equality join for candidates, never
+    a corpus×corpus product."""
+    cents = _stride_centroids(corpus, id_col, vec_col, centroid_stride)
+    inv_file = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, n_probe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cell",
+    )
+    probes = ivf_assign(
+        queries, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    scored = (
+        inv_file.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+        # no dedup needed: each corpus vector lives in exactly ONE cell
+        # of the inverted file, so a (query, neighbor) pair matches
+        # through at most one probed cell
+        .select("query_id", "neighbor_id", "cosine")
     )
     return _ranked_topk(scored, k)
 

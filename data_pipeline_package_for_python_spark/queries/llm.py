@@ -543,6 +543,60 @@ def sim_topk_hyperplane(spark, sf_dir):
 
 
 @query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+      FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    corpus_scored AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell_id,
+             {_DOT.replace('qv', '(e.embedding::DOUBLE[])').replace('cv', 'c.centroid')}
+               / ({_NORM.format(v='(e.embedding::DOUBLE[])')}
+                  * {_NORM.format(v='c.centroid')}) AS sim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    inv_file AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cell_id AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+        FROM corpus_scored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell_id AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+        FROM corpus_scored WHERE vec_id % 50 = 0
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+                 AS cosine
+      FROM inv_file JOIN probes USING (cell)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_ivf(spark, sf_dir):
+    """IVF-style ANN: stride-sampled centroid codebook, single-cell
+    inverted file over the corpus, queries probe their 2 nearest cells,
+    exact-cosine re-rank (operators/similarity.py:ivf_topk).  The
+    data-adaptive third tier next to brute force and sign-LSH."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=5, centroid_stride=40, n_probe=2,
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH b AS (

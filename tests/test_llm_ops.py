@@ -144,6 +144,32 @@ def test_hyperplane_topk_recall_vs_exact(spark, tables):
     assert len(approx & exact) > 0
 
 
+def test_ivf_topk_structure_and_recall(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    # inverted file: every corpus vector in exactly one cell
+    cents = S._stride_centroids(emb, "vec_id", "embedding", 40)
+    inv = S.ivf_assign(emb, cents, n_probe=1)
+    assert inv.count() == emb.count()
+    assert inv.select("vec_id").distinct().count() == emb.count()
+    # more probes can only widen the candidate set → recall monotone
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                emb, queries, k=3, centroid_stride=40, n_probe=n_probe
+            ).collect()
+        }
+        return len(got & exact)
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 > 0
+
+
 def test_fingerprints_order_sensitivity(spark):
     rows = [(0, "alpha beta gamma"), (1, "gamma beta alpha")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -89,6 +89,14 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
             )
             .config("spark.sql.files.openCostInBytes", "1m")
+            # AQE's coalescer stops splitting below minPartitionSize
+            # (default 1 MB) — at test scale that collapses a 150 K-row
+            # window stage to 3 partitions on a 32-core box (measured:
+            # the whole post-shuffle sort + Arrow encode serializes onto
+            # 3 cores).  Local fixtures are small, so let coalesce keep
+            # stages parallel; cluster deploys keep Spark's defaults —
+            # at 100 TB intermediate stages dwarf any sane minimum.
+            .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -43,6 +43,8 @@ __all__ = [
     "media_features",
     "media_fingerprint",
     "pack_media",
+    "resize_media",
+    "sample_frames",
 ]
 
 FEATURE_DIM = 16
@@ -131,6 +133,104 @@ def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema="media_id long, features array<double>"
+    )
+
+
+def resize_media(
+    media: DataFrame, *, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize payloads to a ``width×height`` thumbnail:
+    (media_id, thumb BINARY, meta STRUCT<width, height, n_bytes,
+    content_sha>).
+
+    The resample itself is the codec-dependent stage and is STUBBED
+    like :func:`decode_media` (no Pillow/libav here): ``fake=True``
+    substitutes a deterministic crop-to-``width*height``-bytes
+    "thumbnail" so the distributed shape is fully exercised — Arrow
+    batches through ``mapInPandas``, bounded per-item output size
+    (a thumbnail is ≤ width×height regardless of source size, which is
+    what makes the output safely re-shuffleable at 100 TB), and the
+    thumbnail metadata (length, content sha) computed JVM-side AFTER
+    the Python stage so no hashing happens in Python."""
+    if not fake:
+        raise NotImplementedError(
+            "real media codecs (Pillow/libav) are not available in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    target = width * height
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb": pdf["payload"].map(
+                        lambda p: bytes(p)[:target]
+                    ),
+                }
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, thumb binary"
+    )
+    return out.select(
+        "media_id",
+        "thumb",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.length("thumb").alias("n_bytes"),
+            F.sha2(F.col("thumb"), 256).alias("content_sha"),
+        ).alias("meta"),
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    frame_bytes: int = 64,
+    max_frames: int | None = None,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample frames from each payload — the 1→N expansion stage of a
+    video pipeline: (media_id, frame_idx, frame BINARY).
+
+    Real frame extraction is codec-bound and stubbed; ``fake=True``
+    chunks the payload into consecutive ``frame_bytes`` windows (one
+    "frame" per chunk, at least one even for empty payloads) — the
+    batch shape is the real one: a single ``mapInPandas`` pass where
+    each input row yields a variable number of output rows inside the
+    same Arrow batch, no explode/join, no shuffle.  ``max_frames``
+    bounds the expansion factor (the knob that keeps a pathological
+    10-hour video from emitting 10⁶ rows into one task's output)."""
+    if not fake:
+        raise NotImplementedError(
+            "real media codecs (Pillow/libav) are not available in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                n = max(1, -(-len(b) // frame_bytes))  # ceil, ≥1
+                if max_frames is not None:
+                    n = min(n, max_frames)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, frame_idx int, frame binary"
     )
 
 

@@ -681,3 +681,64 @@ def multimodal_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = M.pack_media(docs, "doc_id", "text")
     return M.media_features(media, fake=True)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8 AS width, 8 AS height,
+           least(strlen(text), 64) AS n_bytes,
+           sha256(substring(text, 1, 64)) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Thumbnail stage (deterministic fake resample): bounded-size
+    output payloads via mapInPandas, thumbnail metadata (length +
+    content sha) computed JVM-side after the Python stage."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.pack_media(docs, "doc_id", "text")
+    resized = M.resize_media(media, width=8, height=8, fake=True)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_sha").alias("content_sha"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(1,
+               CAST(ceil(strlen(text) / 64.0) AS BIGINT)))) AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           strlen(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+               AS frame_bytes,
+           sha256(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+               AS frame_sha
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling (deterministic fake chunker): the 1-to-N video
+    expansion through ONE mapInPandas pass — variable rows-out per
+    row-in inside the same Arrow batch, no explode/join/shuffle; frame
+    hashes JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.pack_media(docs, "doc_id", "text")
+    frames = M.sample_frames(media, frame_bytes=64, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").alias("frame_bytes"),
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )

@@ -170,6 +170,37 @@ def test_ivf_topk_structure_and_recall(spark, tables):
     assert r4 > 0
 
 
+def test_resize_and_frame_sample_roundtrip(spark):
+    rows = [(1, b"x" * 200), (2, b"short"), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = M.pack_media(df, "doc_id", "payload")
+    # resize: output bounded by width*height regardless of input size
+    thumbs = {r.media_id: r for r in
+              M.resize_media(media, width=4, height=4, fake=True).collect()}
+    assert len(bytes(thumbs[1].thumb)) == 16
+    assert len(bytes(thumbs[2].thumb)) == 5
+    assert thumbs[3].meta.n_bytes == 0
+    # frame sampling: chunks reassemble to the original payload; empty
+    # payloads still yield one (empty) frame; max_frames caps expansion
+    frames = M.sample_frames(media, frame_bytes=64, fake=True).collect()
+    by_id = {}
+    for r in sorted(frames, key=lambda r: (r.media_id, r.frame_idx)):
+        by_id.setdefault(r.media_id, b"")
+        by_id[r.media_id] += bytes(r.frame)
+    assert by_id[1] == b"x" * 200
+    assert by_id[2] == b"short"
+    assert by_id[3] == b""
+    capped = M.sample_frames(
+        media, frame_bytes=16, max_frames=2, fake=True
+    ).collect()
+    assert max(r.frame_idx for r in capped) == 1
+    # real codec path stays an explicit stub
+    with pytest.raises(NotImplementedError):
+        M.resize_media(media, width=4, height=4)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(media)
+
+
 def test_fingerprints_order_sensitivity(spark):
     rows = [(0, "alpha beta gamma"), (1, "gamma beta alpha")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -277,28 +277,65 @@ def stream_static_join(
     return stream.join(static, on=on, how=how)
 
 
+class _scoped_state_parallelism:
+    """Harness-only: start a streaming query with a small state-store
+    parallelism, then restore the session default.
+
+    A stateful streaming op creates one state-store instance per shuffle
+    partition *per micro-batch* (checkpoint delta files, store init/commit);
+    at harness scale (sf≤0.01, thousands of rows) the session's default 32
+    partitions are pure fixed cost — measured ~2× of the drain wall time.
+    The partition count is pinned into the query's checkpoint at START, so
+    scoping the conf around ``start()`` is sufficient and thread-safe here
+    (the harness runs queries sequentially).  Production flows never pass
+    through this helper and keep the session/cluster setting.
+    """
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int = 4):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, None)
+        self.spark.conf.set(self.KEY, str(self.n))
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self.prev)
+
+
 def run_available_now(
     result: DataFrame,
     output_mode: str = "append",
     timeout_s: int = 300,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Drain the streaming ``result`` with Trigger.AvailableNow into an
     in-memory sink and return the sink as a batch DataFrame.
 
     Test/oracle harness only — production flows use real sinks
-    (:func:`foreach_batch_parquet`, kafka, delta...).
+    (:func:`foreach_batch_parquet`, kafka, delta...).  ``state_partitions``
+    right-sizes the state store for harness-scale inputs (None keeps the
+    session default).
     """
     spark = result.sparkSession
     name = _unique_name("dpp_mem")
     ckpt = tempfile.mkdtemp(prefix="dpp_ckpt_")
-    q = (
+    writer = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
-        .start()
     )
+    if state_partitions is None:
+        q = writer.start()
+    else:
+        with _scoped_state_parallelism(spark, state_partitions):
+            q = writer.start()
     try:
         q.awaitTermination(timeout_s)
     finally:
@@ -312,24 +349,29 @@ def foreach_batch_parquet(
     path: str,
     timeout_s: int = 300,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    state_partitions: int | None = 4,
 ) -> None:
     """``foreachBatch`` parquet sink: each micro-batch is appended as a
     normal batch write (full DataFrame API available inside, unlike the
     row-level ``foreach``).  Exactly-once here relies on the checkpoint +
     idempotent overwrite-by-batch-id discipline; for the fixture-scale test
-    we append."""
+    we append.  ``state_partitions`` as in :func:`run_available_now`."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
         out.write.mode("append").parquet(path)
 
     ckpt = tempfile.mkdtemp(prefix="dpp_ckpt_fb_")
-    q = (
+    writer = (
         stream.writeStream.foreachBatch(_write)
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
-        .start()
     )
+    if state_partitions is None:
+        q = writer.start()
+    else:
+        with _scoped_state_parallelism(stream.sparkSession, state_partitions):
+            q = writer.start()
     try:
         q.awaitTermination(timeout_s)
     finally:

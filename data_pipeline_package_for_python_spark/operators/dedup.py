@@ -33,7 +33,11 @@ from ._util import ensure_parallel
 
 __all__ = [
     "MINHASH_PRIME",
+    "BloomSketch",
+    "build_bloom",
+    "bloom_member",
     "exact_dedup",
+    "incremental_dedup",
     "jaccard_similar_pairs",
     "lsh_candidate_pairs",
     "minhash_coefficients",
@@ -438,3 +442,189 @@ def simhash64(
         sum(lo_bits[1:], lo_bits[0]).cast("long").alias("simhash_lo"),
     )
     return out
+
+
+# --------------------------------------------------------------------- #
+# incremental (cross-run) dedup                                         #
+# --------------------------------------------------------------------- #
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    *,
+    seen_text_col: str | None = None,
+    prefilter: "BloomSketch | None" = None,
+) -> DataFrame:
+    """Rows of ``new_df`` whose content digest does NOT appear in ``seen_df``.
+
+    The incremental-ingest primitive: each crawl/batch is deduplicated
+    against the corpus already ingested.  Expressed as a LEFT ANTI join on
+    ``md5(text)`` so the shuffle carries 32-byte digests, never document
+    bodies; Catalyst's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) can additionally
+    inject a map-side probe prefilter when the build side is large.
+
+    With ``prefilter`` (a :class:`BloomSketch` of the seen digests, built
+    once per ingest epoch and persisted), rows whose digest misses the
+    sketch skip the anti-join entirely — bloom filters have no false
+    negatives, so a miss is PROVABLY unseen.  Only the candidate hits
+    (true dups + the sketch's fpp share of new rows) enter the join, which
+    keeps the exact result while shrinking the shuffle by ~the novelty
+    rate.  Result is exact in both modes.
+    """
+    seen_text_col = seen_text_col or text_col
+    digests = seen_df.select(
+        F.md5(F.col(seen_text_col)).alias("__seen_digest")
+    ).distinct()
+    keyed = new_df.withColumn("__digest", F.md5(F.col(text_col)))
+    if prefilter is None:
+        return keyed.join(
+            digests,
+            keyed["__digest"] == digests["__seen_digest"],
+            "left_anti",
+        ).drop("__digest")
+    hits = bloom_member(prefilter, F.col("__digest"))
+    definite_new = keyed.filter(~hits)
+    candidates = keyed.filter(hits).join(
+        digests,
+        F.col("__digest") == digests["__seen_digest"],
+        "left_anti",
+    )
+    return definite_new.unionByName(candidates).drop("__digest")
+
+
+class BloomSketch:
+    """An m-bit / k-hash bloom filter over string keys, held as numpy bytes.
+
+    Built distributively by :func:`build_bloom`; probed executor-side by
+    :func:`bloom_member`.  Sketch size is chosen from (expected_items,
+    fpp) via the standard formulae ``m = -n ln p / (ln 2)^2``,
+    ``k = (m/n) ln 2`` — e.g. 100 M digests at 1% fpp is a 120 MB bitmap,
+    which broadcasts to every executor once per ingest run (vs shuffling
+    the full seen-key set on every batch).
+    """
+
+    def __init__(self, m_bits: int, k: int, bitmap: "bytes"):
+        self.m_bits = m_bits
+        self.k = k
+        self.bitmap = bitmap
+
+    @staticmethod
+    def params(expected_items: int, fpp: float) -> tuple[int, int]:
+        import math
+
+        n = max(1, expected_items)
+        m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+        m = ((m + 63) // 64) * 64  # whole 64-bit words
+        k = max(1, round(m / n * math.log(2)))
+        return m, k
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """array<long> of the k bit positions for ``key`` — JVM-side xxhash64
+    with per-hash seeds, identical on build and probe paths."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str | Column,
+    *,
+    expected_items: int,
+    fpp: float = 0.01,
+    fanin: int = 16,
+) -> BloomSketch:
+    """Build a :class:`BloomSketch` of ``key_col`` with a two-level OR.
+
+    Each input partition sets its keys' bits in a local numpy bitmap and
+    emits ONE (group, bitmap) row; a ``fanin``-way repartition ORs those
+    per-partition bitmaps down to ≤ ``fanin`` rows; the driver ORs the
+    remainder.  Driver traffic is bounded by ``fanin × m/8`` bytes —
+    sketch-sized, independent of corpus row count (the tree-aggregate
+    shape; a 10 000-partition scan never sends 10 000 bitmaps to the
+    driver).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    m_bits, k = BloomSketch.params(expected_items, fpp)
+    n_bytes = m_bits // 8
+
+    pos = df.select(
+        _bloom_positions(key, m_bits, k).alias("__pos"),
+        (F.spark_partition_id() % fanin).alias("__grp"),
+    )
+
+    def _partition_bitmap(batches):
+        grp = 0
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        seen_any = False
+        for pdf in batches:
+            if len(pdf):
+                seen_any = True
+                grp = int(pdf["__grp"].iloc[0])
+                flat = np.concatenate(pdf["__pos"].to_numpy())
+                np.bitwise_or.at(
+                    bm, flat // 8, (1 << (flat % 8)).astype(np.uint8)
+                )
+        if seen_any:
+            yield pd.DataFrame({"__grp": [grp], "__bm": [bm.tobytes()]})
+
+    def _or_bitmaps(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        seen_any = False
+        for pdf in batches:
+            for raw in pdf["__bm"]:
+                seen_any = True
+                bm |= np.frombuffer(raw, dtype=np.uint8)
+        if seen_any:
+            yield pd.DataFrame({"__bm": [bm.tobytes()]})
+
+    partial = pos.mapInPandas(
+        _partition_bitmap, schema="__grp int, __bm binary"
+    )
+    reduced = partial.repartition(fanin, "__grp").mapInPandas(
+        _or_bitmaps, schema="__bm binary"
+    )
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for row in reduced.collect():
+        out |= np.frombuffer(row["__bm"], dtype=np.uint8)
+    return BloomSketch(m_bits, k, out.tobytes())
+
+
+def bloom_member(sketch: BloomSketch, key: Column) -> Column:
+    """Boolean column: may ``key`` be in the sketch?  (false ⇒ provably
+    absent; true ⇒ present OR a false positive at the sketch's fpp).
+
+    The probe is an Arrow-batched pandas UDF over the JVM-computed position
+    array; the bitmap rides to executors in the closure once per stage (use
+    ``SparkContext.broadcast`` to share it across many probe stages)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bitmap = np.frombuffer(sketch.bitmap, dtype=np.uint8)
+
+    def _probe_fn(pos):
+        out = np.empty(len(pos), dtype=bool)
+        for i, arr in enumerate(pos.to_numpy()):
+            p = np.asarray(arr)
+            out[i] = bool(
+                np.all(bitmap[p // 8] & (1 << (p % 8)).astype(np.uint8))
+            )
+        return pd.Series(out)
+
+    # real annotations (not strings): this module has
+    # `from __future__ import annotations`, which would otherwise leave
+    # pandas_udf's type-hint inspection with unresolvable literals
+    _probe_fn.__annotations__ = {"pos": pd.Series, "return": pd.Series}
+    _probe = pandas_udf(_probe_fn, "boolean")
+
+    return _probe(_bloom_positions(key, sketch.m_bits, sketch.k))

@@ -258,6 +258,48 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash64(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_INCR_ORACLE = """
+    SELECT n.doc_id
+    FROM documents n
+    WHERE n.doc_id >= 250
+      AND NOT EXISTS (
+        SELECT 1 FROM documents s
+        WHERE s.doc_id < 250 AND md5(s.text) = md5(n.text)
+      )
+"""
+
+
+@query("dedup_incremental", oracle=_INCR_ORACLE)
+def dedup_incremental(spark, sf_dir):
+    """Incremental (cross-run) dedup: the new batch (doc_id ≥ 250)
+    anti-joined against the already-ingested corpus (doc_id < 250) on
+    content digest — 32-byte shuffle keys (operators/dedup.py
+    incremental_dedup)."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 250)
+    seen = docs.filter(F.col("doc_id") < 250)
+    return D.incremental_dedup(new, seen, "text").select("doc_id")
+
+
+@query("dedup_incremental_bloom", oracle=_INCR_ORACLE)
+def dedup_incremental_bloom(spark, sf_dir):
+    """Same exact result through the BloomSketch prefilter path: digests
+    missing the sketch are provably new and skip the anti-join; only
+    sketch hits (dups + fpp share) enter it.  The sketch is built
+    distributively (two-level bitmap OR, driver traffic bounded by
+    fanin × sketch size) and would persist across ingest runs at scale."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 250)
+    seen = docs.filter(F.col("doc_id") < 250)
+    sketch = D.build_bloom(
+        seen.select(F.md5("text").alias("d")), "d",
+        expected_items=10_000, fpp=0.01,
+    )
+    return D.incremental_dedup(
+        new, seen, "text", prefilter=sketch
+    ).select("doc_id")
+
+
 # ---------------------------------------------------------------------- #
 # text analysis                                                          #
 # ---------------------------------------------------------------------- #

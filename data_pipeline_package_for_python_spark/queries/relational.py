@@ -356,6 +356,25 @@ def sample_fraction(spark, sf_dir):
     )
 
 
+@query("sample_stratified", oracle=None,
+       doc="sampleBy per-stratum fractions (training-corpus rebalancing, "
+           "e.g. per-language/per-domain quotas); Bernoulli per row, no "
+           "shuffle.  Seed-stable within Spark only; rows-only check "
+           "(per-stratum bounds verified in tests).")
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling: keep all of the rare stratum, downsample the
+    common ones — the per-domain quota primitive a corpus pipeline uses to
+    rebalance before training.  ``sampleBy`` filters map-side with a
+    per-stratum Bernoulli draw: no shuffle, no stratum materialization."""
+    o = load(spark, sf_dir, "orders")
+    sampled = o.sampleBy(
+        "o_orderstatus", fractions={"O": 0.1, "F": 0.1, "P": 1.0}, seed=42
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # ---------------------------------------------------------------------- #
 # §2.2.3 joins                                                           #
 # ---------------------------------------------------------------------- #

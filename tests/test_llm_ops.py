@@ -306,3 +306,72 @@ def test_cosine_near_dup_pairs_planted(spark):
     assert (3,) not in {
         (r.id_a,) for r in all_pairs.collect()
     } or all(r.id_a != 0 or r.id_b != 3 for r in all_pairs.collect())
+
+
+# ------------------------------------------------------------------ #
+# incremental dedup / bloom sketch                                   #
+# ------------------------------------------------------------------ #
+
+
+def test_bloom_no_false_negatives_and_fpp_bound(spark):
+    keys = spark.range(0, 2000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    sketch = D.build_bloom(keys, "k", expected_items=2000, fpp=0.01)
+    # every inserted key must probe true (bloom contract: no false negatives)
+    hits = keys.filter(~D.bloom_member(sketch, F.col("k"))).count()
+    assert hits == 0
+    # disjoint keys: false-positive rate within ~3x of the configured fpp
+    other = spark.range(10_000, 14_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    fp = other.filter(D.bloom_member(sketch, F.col("k"))).count()
+    assert fp / 4000 < 0.03
+
+
+def test_incremental_dedup_exact_with_and_without_prefilter(spark):
+    seen = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "id long, text string"
+    )
+    # 50 repeats of seen content + 50 novel docs
+    new = spark.createDataFrame(
+        [(1000 + i, f"doc {i}") for i in range(50)]
+        + [(2000 + i, f"novel {i}") for i in range(50)],
+        "id long, text string",
+    )
+    plain = D.incremental_dedup(new, seen, "text")
+    assert sorted(r.id for r in plain.collect()) == [
+        2000 + i for i in range(50)
+    ]
+    sketch = D.build_bloom(
+        seen.select(F.md5("text").alias("d")), "d",
+        expected_items=1000, fpp=0.01,
+    )
+    pre = D.incremental_dedup(new, seen, "text", prefilter=sketch)
+    assert sorted(r.id for r in pre.collect()) == [
+        2000 + i for i in range(50)
+    ]
+
+
+def test_stratified_sample_bounds(spark, tables):
+    o = tables["orders"]
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    sampled = o.sampleBy(
+        "o_orderstatus", fractions={"O": 0.1, "F": 0.1, "P": 1.0}, seed=42
+    )
+    got = {
+        r["o_orderstatus"]: r["n"]
+        for r in sampled.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # full stratum kept exactly; downsampled strata within loose Bernoulli
+    # bounds around 10%
+    assert got["P"] == totals["P"]
+    for s in ("O", "F"):
+        assert 0.02 * totals[s] < got[s] < 0.25 * totals[s]

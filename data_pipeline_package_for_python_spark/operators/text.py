@@ -24,10 +24,14 @@ from ._util import ensure_parallel
 
 __all__ = [
     "LANG_MARKERS",
+    "PII_PATTERNS",
     "TOKEN_REGEX",
+    "decontaminate",
     "doc_fingerprint",
     "language_id",
+    "pack_sequences",
     "quality_score",
+    "redact_pii",
     "rolling_hash_fingerprint",
     "term_frequencies",
     "token_counts",
@@ -196,4 +200,118 @@ def rolling_hash_fingerprint(
             f"aggregate(split({text_col}, ' '), CAST(0 AS BIGINT), "
             f"(acc, w) -> (acc * 31 + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)) % {ROLLING_MOD})"
         ).alias("rolling_hash"),
+    )
+
+
+# PII patterns kept to constructs with identical Java-regex / RE2
+# semantics (no backrefs, no lookaround) so the DuckDB oracle can run
+# the same patterns verbatim.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Replace emails / phone numbers / IPv4 literals with typed tags.
+
+    A chain of JVM-side ``regexp_replace`` calls — order matters: the
+    phone pattern also matches dotted quads, so IPs are replaced from
+    the email-scrubbed text BEFORE the phone pattern runs.
+    Output: (id, clean_text, n_redactions) where the count is computed
+    from the tag occurrences — column algebra only, one pass, no UDF.
+    """
+    clean = F.col(text_col)
+    for pat, tag in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tag)
+    n_tags = sum(
+        (
+            F.coalesce(
+                F.size(F.split(F.col("clean_text"), tag, -1)) - 1, F.lit(0)
+            )
+            for _, tag in PII_PATTERNS
+        ),
+        F.lit(0),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), clean.alias("clean_text")
+        ).withColumn("n_redactions", n_tags.cast("long"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥ ``min_overlap``
+    distinct n-gram shingles with any benchmark doc.
+
+    The training-data hygiene step before an eval release: exact n-gram
+    collision against the benchmark set.  Shape is shingle-explode both
+    sides + equality join on the shingle + per-(doc, bench) distinct
+    count — linear in corpus shingles, never an all-pairs comparison.
+    The benchmark side is tiny by construction (eval sets are thousands
+    of rows) so Catalyst broadcasts it; the corpus side never shuffles
+    document bodies, only (id, shingle-hash) pairs.
+
+    Returns (id, bench_id, n_shared) for flagged docs.
+    """
+    from .dedup import word_shingles
+
+    c_sh = word_shingles(corpus, id_col, text_col, n)
+    b_sh = (
+        word_shingles(benchmark, id_col, text_col, n)
+        .withColumnRenamed("id", "bench_id")
+    )
+    return (
+        c_sh.join(b_sh, "shingle")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Split each document into fixed-size whitespace-token chunks —
+    the sequence-packing step that turns documents into training rows.
+
+    All inside codegen: one ``split`` per doc, ``sequence`` over chunk
+    starts, ``slice`` + ``concat_ws`` per chunk, ``posexplode`` to rows.
+    No Python, no shuffle; at 100 TB this is a map-only stage whose
+    output partitioning follows the scan.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens); chunk_idx is 0-based,
+    every chunk except possibly the last has exactly ``max_tokens``
+    tokens.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(ceil(size(__ws) / {max_tokens}),"
+        f" 1)), i -> concat_ws(' ', slice(__ws, (i - 1) * {max_tokens} + 1,"
+        f" {max_tokens})))"
+    )
+    return (
+        words.select("id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("chunk_text"), " ")).cast("long")
+        )
     )

@@ -434,6 +434,110 @@ def text_rolling_hash(spark, sf_dir):
     )
 
 
+# PII fixture: deterministically append synthetic email/phone/IP to each
+# doc (the synthetic corpus has no natural PII), identically in both
+# engines, then redact.
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact u', doc_id, '@mail.example.org tel +1 555 010 ',"
+    " doc_id, ' ip 10.0.0.', doc_id % 256)"
+)
+_PII_SUFFIX_SQL = (
+    "text || ' contact u' || doc_id || '@mail.example.org tel +1 555 010 '"
+    " || doc_id || ' ip 10.0.0.' || (doc_id % 256)"
+)
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents
+    ), red AS (
+      SELECT doc_id AS id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+                 '<IP>', 'g'),
+               '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g')
+               AS clean_text
+      FROM aug
+    )
+    SELECT id, clean_text,
+           CAST(len(string_split(clean_text, '<EMAIL>')) - 1
+              + len(string_split(clean_text, '<PHONE>')) - 1
+              + len(string_split(clean_text, '<IP>')) - 1 AS BIGINT)
+               AS n_redactions
+    FROM red
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction (emails/phones/IPv4 → typed tags) — a regexp_replace
+    chain in codegen (operators/text.py redact_pii); patterns restricted
+    to Java-regex/RE2-identical constructs so the oracle runs them
+    verbatim."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text")
+    )
+    return T.redact_pii(docs, "doc_id", "text")
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    c AS (SELECT id, shingle FROM sh WHERE id >= 100),
+    b AS (SELECT id AS bench_id, shingle FROM sh WHERE id < 100)
+    SELECT c.id, b.bench_id, count(*) AS n_shared
+    FROM c JOIN b USING (shingle)
+    GROUP BY c.id, b.bench_id
+    HAVING count(*) >= 2
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id ≥ 100) sharing ≥ 2
+    distinct 3-gram shingles with any 'benchmark' doc (doc_id < 100).
+    Shingle equality join — benchmark side broadcast-sized by
+    construction; corpus shuffles (id, shingle) pairs only."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    bench = docs.filter(F.col("doc_id") < 100)
+    return T.decontaminate(
+        corpus, bench, "doc_id", "text", n=3, min_overlap=2
+    )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), c AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(
+               1, greatest(CAST(ceil(len(ws) / 32.0) AS BIGINT), 1))) AS i
+      FROM words
+    )
+    SELECT doc_id AS id,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(ws[(i-1)*32+1 : (i-1)*32+32], ' ') AS chunk_text,
+           CAST(len(string_split(
+             array_to_string(ws[(i-1)*32+1 : (i-1)*32+32], ' '), ' '))
+             AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing: documents → fixed 32-token training chunks, all
+    inside codegen (split once, sequence/slice/concat_ws, posexplode) —
+    map-only at any scale (operators/text.py pack_sequences)."""
+    return T.pack_sequences(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_tokens=32
+    )
+
+
 # ---------------------------------------------------------------------- #
 # similarity search                                                      #
 # ---------------------------------------------------------------------- #

@@ -375,3 +375,69 @@ def test_stratified_sample_bounds(spark, tables):
     assert got["P"] == totals["P"]
     for s in ("O", "F"):
         assert 0.02 * totals[s] < got[s] < 0.25 * totals[s]
+
+
+# ------------------------------------------------------------------ #
+# pii redaction / decontamination / sequence packing                  #
+# ------------------------------------------------------------------ #
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at alice.smith+x@corp.example.com today"),
+            (1, "call +1 (555) 123-4567 or 555 010 9999 now"),
+            (2, "server at 192.168.10.255 is down"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in T.redact_pii(df, "doc_id", "text").collect()}
+    assert "<EMAIL>" in got[0].clean_text and got[0].n_redactions == 1
+    assert got[1].clean_text.count("<PHONE>") == 2
+    assert "<IP>" in got[2].clean_text
+    assert got[3].clean_text == "no pii here at all"
+    assert got[3].n_redactions == 0
+
+
+def test_decontaminate_planted(spark):
+    bench = spark.createDataFrame(
+        [(0, "the capital of france is paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "we know the capital of france is paris for sure"),
+            (11, "completely unrelated text about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = T.decontaminate(
+        corpus, bench, "doc_id", "text", n=3, min_overlap=2
+    ).collect()
+    assert [(r.id, r.bench_id) for r in flagged] == [(10, 0)]
+    assert flagged[0].n_shared >= 2
+
+
+def test_pack_sequences_chunk_law(spark, tables):
+    docs = tables["documents"]
+    packed = T.pack_sequences(docs, "doc_id", "text", max_tokens=32)
+    rows = packed.collect()
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.id].append(r)
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # all chunks full except possibly the last; tokens partition the doc
+        assert all(c.n_tokens == 32 for c in chunks[:-1])
+        assert sum(c.n_tokens for c in chunks) == n_words[doc]
+        # reassembling the chunks reproduces the document token stream
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))

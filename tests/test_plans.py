@@ -161,3 +161,47 @@ def test_asof_is_merge_scan_not_join(spark, sf_dir):
     assert r.joins == []
     assert r.n_shuffles == 1
     assert not r.has_cartesian
+
+
+def test_pack_sequences_is_map_only(spark, sf_dir, tables):
+    from data_pipeline_package_for_python_spark.operators import text as T
+
+    df = T.pack_sequences(tables["documents"], "doc_id", "text")
+    r = plans.plan_report(df)
+    # The packing claim: one map-only stage — no shuffle, no join; the
+    # output partitioning follows the scan at any scale.
+    assert r.n_shuffles == 0
+    assert r.joins == []
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir, tables):
+    from data_pipeline_package_for_python_spark.operators import text as T
+
+    docs = tables["documents"]
+    flagged = T.decontaminate(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+        "doc_id", "text",
+    )
+    r = plans.plan_report(flagged)
+    # Benchmark (eval-set) side is broadcast-sized by construction: the
+    # shingle join must be a broadcast hash join, never cartesian.
+    assert "BroadcastHashJoin" in r.joins
+    assert not r.has_cartesian
+
+
+def test_incremental_dedup_is_anti_join_on_digest(spark, sf_dir, tables):
+    docs = tables["documents"]
+    out = D.incremental_dedup(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        "text",
+    )
+    r = plans.plan_report(out)
+    assert not r.has_cartesian
+    # LeftAnti prints as part of the join node text; assert the plan
+    # joins on the 32-byte digest, not the document body.
+    assert "LeftAnti" in r.text
+    assert r.shuffle_keys == [] or all(
+        "text" not in k for k in r.shuffle_keys
+    )

@@ -113,3 +113,58 @@ def test_join_null_keys_never_match(spark, how):
         .count()
     )
     assert matched == 1  # only the non-null key pairs up
+
+
+text_st = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcdefghij0123456789@.+-() ") + [" "]
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(texts=text_st)
+def test_redact_pii_idempotent(spark, texts):
+    # redact(redact(x)) == redact(x): tags contain no digits or '@', so a
+    # second pass can never re-match — the law that makes redaction safe
+    # to re-run over partially-processed corpora.
+    from data_pipeline_package_for_python_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = T.redact_pii(df, "doc_id", "text")
+    twice = T.redact_pii(
+        once.select(F.col("id").alias("doc_id"),
+                    F.col("clean_text").alias("text")),
+        "doc_id", "text",
+    )
+    a = {r.id: r.clean_text for r in once.collect()}
+    b = {r.id: r.clean_text for r in twice.collect()}
+    assert a == b
+
+
+@SLOW
+@given(texts=text_st, max_tokens=st.integers(min_value=1, max_value=7))
+def test_pack_sequences_partitions_tokens(spark, texts, max_tokens):
+    # Chunks tile the token stream: concatenating chunks in chunk_idx
+    # order reproduces split(text) exactly, for any text and chunk size.
+    from data_pipeline_package_for_python_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = T.pack_sequences(df, "doc_id", "text", max_tokens=max_tokens)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.id, []).append((r.chunk_idx, r.chunk_text))
+    for i, text in enumerate(texts):
+        chunks = [c for _, c in sorted(got[i])]
+        rebuilt = [w for c in chunks for w in c.split(" ")]
+        assert rebuilt == text.split(" ")

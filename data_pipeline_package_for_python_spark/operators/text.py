@@ -263,17 +263,22 @@ def decontaminate(
     of rows) so Catalyst broadcasts it; the corpus side never shuffles
     document bodies, only (id, shingle-hash) pairs.
 
+    Both sides join on the md5-derived int64 shingle hash, not the
+    shingle text — the broadcast ships 8-byte keys and the probe stays
+    narrow (collision odds at 2^64 are negligible next to min_overlap).
+
     Returns (id, bench_id, n_shared) for flagged docs.
     """
-    from .dedup import word_shingles
+    from .dedup import _shingle_hash, word_shingles
 
-    c_sh = word_shingles(corpus, id_col, text_col, n)
-    b_sh = (
-        word_shingles(benchmark, id_col, text_col, n)
-        .withColumnRenamed("id", "bench_id")
+    c_sh = word_shingles(corpus, id_col, text_col, n).select(
+        "id", _shingle_hash().alias("sh")
+    )
+    b_sh = word_shingles(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("bench_id"), _shingle_hash().alias("sh")
     )
     return (
-        c_sh.join(b_sh, "shingle")
+        c_sh.join(b_sh, "sh")
         .groupBy("id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)

@@ -488,10 +488,10 @@ def text_redact_pii(spark, sf_dir):
     "text_decontaminate",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    c AS (SELECT id, shingle FROM sh WHERE id >= 100),
-    b AS (SELECT id AS bench_id, shingle FROM sh WHERE id < 100)
+    c AS (SELECT id, {_H} AS hsh FROM sh WHERE id >= 100),
+    b AS (SELECT id AS bench_id, {_H} AS hsh FROM sh WHERE id < 100)
     SELECT c.id, b.bench_id, count(*) AS n_shared
-    FROM c JOIN b USING (shingle)
+    FROM c JOIN b USING (hsh)
     GROUP BY c.id, b.bench_id
     HAVING count(*) >= 2
     """,
@@ -499,8 +499,9 @@ def text_redact_pii(spark, sf_dir):
 def text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id ≥ 100) sharing ≥ 2
     distinct 3-gram shingles with any 'benchmark' doc (doc_id < 100).
-    Shingle equality join — benchmark side broadcast-sized by
-    construction; corpus shuffles (id, shingle) pairs only."""
+    Equality join on int64 shingle hashes — the benchmark side is
+    broadcast (8-byte keys), so the corpus probe is map-side; the only
+    shuffle is the groupBy of the flagged (id, bench_id) pairs."""
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") >= 100)
     bench = docs.filter(F.col("doc_id") < 100)

@@ -162,3 +162,66 @@ def test_golden_llm_dedup_pipeline(spark, sf_dir):
         )
     assert digest(p.exact_summary) == "3d587fc8449aadd4"
     assert digest(p.near_summary) == "01231383349ec954"
+
+
+def test_golden_corpus_curation(spark, sf_dir):
+    """The flagship LLM-data flow, end-to-end through the DSL: quality
+    gate → exact dedup survivors → benchmark decontamination → PII
+    redaction → sequence packing, each stage a DSL step over the
+    previous one.  Pins the integration of §2.1 (pipeline algebra)
+    with §2.2.10 (training-data operators)."""
+    from data_pipeline_package_for_python_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+
+    def quality_gate(df):
+        scored = T.quality_score(df, "doc_id", "text")
+        ok = scored.filter(
+            F.col("quality_bucket").isin("natural", "keep")
+        ).select("id")
+        return df.join(
+            ok, df["doc_id"] == ok["id"], "left_semi"
+        )
+
+    def dedup_survivors(df):
+        keep = D.exact_dedup(df, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        return df.join(keep, "doc_id", "left_semi")
+
+    def decontaminated(df):
+        flagged = T.decontaminate(
+            df, bench, "doc_id", "text", n=3, min_overlap=2
+        ).select(F.col("id").alias("doc_id")).distinct()
+        return df.join(flagged, "doc_id", "left_anti")
+
+    with Pipeline(documents=docs.filter(F.col("doc_id") >= 50)) as p:
+        p.sequence(
+            p.documents >> quality_gate >> p.clean,
+            PREV >> dedup_survivors >> p.unique,
+            PREV >> decontaminated >> p.safe,
+            PREV
+            >> (lambda df: T.redact_pii(df, "doc_id", "text"))
+            >> p.redacted,
+            PREV
+            >> (
+                lambda df: T.pack_sequences(
+                    df.select(
+                        F.col("id").alias("doc_id"),
+                        F.col("clean_text").alias("text"),
+                    ),
+                    "doc_id",
+                    "text",
+                    max_tokens=32,
+                )
+            )
+            >> p.packed,
+        )
+    out = p.packed
+    # structural invariants (stable across fixture regeneration)
+    n_docs = out.select("id").distinct().count()
+    assert 0 < n_docs <= 450
+    assert out.filter(F.col("n_tokens") > 32).count() == 0
+    # committed digest pins exact end-to-end results on sf0.001
+    assert digest(out) == "99b7a21c43f59a9e"

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ._registry import load, query
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
@@ -212,6 +213,66 @@ def dedup_near_minhash(spark, sf_dir):
     return D.near_dedup_minhash(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.1
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    bidir AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
+    ),
+    comp AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           (doc_id = component) AS is_survivor
+    FROM labeled
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Pairs → clusters → survivors: exact-Jaccard duplicate pairs
+    resolved into transitive components by alternating large-star /
+    small-star (operators/graph.py), survivor = min doc_id per cluster.
+
+    The oracle computes the same fixpoint as a DuckDB recursive-CTE
+    transitive closure — quadratic per cluster and fine at oracle scale,
+    which is exactly why the Spark side uses the O(log²)-round star
+    algorithm instead."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_similar_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    ).select("id_a", "id_b")
+    return G.resolve_duplicates(
+        docs.select("doc_id"), pairs, "doc_id"
+    ).select("doc_id", "component", "n_members", "is_survivor")
 
 
 def _simhash_oracle() -> str:

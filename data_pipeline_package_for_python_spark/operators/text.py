@@ -32,6 +32,7 @@ __all__ = [
     "pack_sequences",
     "quality_score",
     "redact_pii",
+    "repetition_stats",
     "rolling_hash_fingerprint",
     "term_frequencies",
     "token_counts",
@@ -123,6 +124,76 @@ def quality_score(
         stopword_ratio.alias("stopword_ratio"),
         punct_count.alias("punct_count"),
         bucket.alias("quality_bucket"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher/C4-style repetition filters: (id, n_lines,
+    dup_line_fraction, dup_2gram_fraction, top_word_fraction,
+    repetition_bucket).
+
+    Repetitious documents (boilerplate, scraped nav bars, degenerate
+    generations) are the classic LLM-corpus poison; the Gopher rules
+    (Rae et al. 2021, §A1.1) filter on duplicate-line and repeated
+    n-gram fractions.  All three signals here are per-document array
+    folds — ``array_distinct``/``aggregate`` over the doc's own tokens
+    inside whole-stage codegen, NO explode and NO corpus-wide shuffle
+    (the per-doc word-multiplicity fold replaces the explode → groupBy
+    (doc, word) → max pipeline, which at 100 TB would shuffle every
+    token in the corpus twice).
+
+    - ``dup_line_fraction``: 1 − distinct/total over ``\\n``-split lines.
+    - ``dup_2gram_fraction``: 1 − distinct/total over word 2-grams.
+    - ``top_word_fraction``: multiplicity of the most-repeated word /
+      word count (sort the doc's words, longest equal run via an
+      ``aggregate`` fold).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    ws = F.split(F.col(text_col), " ")
+    n_lines = F.size(lines)
+    n_words = F.size(ws)
+    dup_line_fraction = (
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines
+    )
+    grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array()"
+        f" ELSE transform(sequence(0, size(split({text_col}, ' ')) - 2),"
+        f" i -> concat_ws(' ', split({text_col}, ' ')[i],"
+        f" split({text_col}, ' ')[i + 1])) END"
+    )
+    n_grams = F.size(grams)
+    dup_2gram_fraction = F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams
+    )
+    # longest run of equal adjacent words in the sorted array == max
+    # multiplicity of any word; a pure per-row fold, no shuffle
+    best_word_count = F.expr(
+        f"""aggregate(
+            array_sort(split({text_col}, ' ')),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            (acc, w) -> named_struct(
+                'prev', w,
+                'run', CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1L END,
+                'best', greatest(acc.best,
+                    CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1L END)),
+            acc -> acc.best)"""
+    )
+    top_word_fraction = best_word_count.cast("double") / n_words
+    bucket = (
+        F.when(dup_line_fraction > 0.30, F.lit("dup_lines"))
+        .when(dup_2gram_fraction > 0.50, F.lit("dup_ngrams"))
+        .when(top_word_fraction > 0.20, F.lit("word_dominance"))
+        .otherwise(F.lit("keep"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        dup_line_fraction.alias("dup_line_fraction"),
+        dup_2gram_fraction.alias("dup_2gram_fraction"),
+        top_word_fraction.alias("top_word_fraction"),
+        bucket.alias("repetition_bucket"),
     )
 
 

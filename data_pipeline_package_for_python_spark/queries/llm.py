@@ -413,6 +413,64 @@ def text_quality(spark, sf_dir):
     return T.quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@query(
+    "text_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             string_split(text, chr(10)) AS lines,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    word_mult AS (
+      SELECT id, MAX(c) AS best FROM (
+        SELECT id, w, COUNT(*) AS c
+        FROM (SELECT id, unnest(ws) AS w FROM base)
+        GROUP BY id, w
+      ) GROUP BY id
+    ),
+    g_idx AS (
+      SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      FROM base WHERE len(ws) >= 2
+    ),
+    g AS (
+      SELECT id, array_to_string(ws[i:i+1], ' ') AS gram FROM g_idx
+    ),
+    gstats AS (
+      SELECT id, COUNT(*) AS n2, COUNT(DISTINCT gram) AS d2
+      FROM g GROUP BY id
+    ),
+    stats AS (
+      SELECT b.id,
+             len(b.lines) AS n_lines,
+             CAST(len(b.lines) - len(list_distinct(b.lines)) AS DOUBLE)
+                 / len(b.lines) AS dup_line_fraction,
+             CASE WHEN gs.n2 IS NULL OR gs.n2 = 0 THEN 0.0
+                  ELSE CAST(gs.n2 - gs.d2 AS DOUBLE) / gs.n2
+                  END AS dup_2gram_fraction,
+             CAST(w.best AS DOUBLE) / len(b.ws) AS top_word_fraction
+      FROM base b
+      LEFT JOIN gstats gs USING (id)
+      JOIN word_mult w USING (id)
+    )
+    SELECT id, n_lines, dup_line_fraction, dup_2gram_fraction,
+           top_word_fraction,
+           CASE WHEN dup_line_fraction > 0.30 THEN 'dup_lines'
+                WHEN dup_2gram_fraction > 0.50 THEN 'dup_ngrams'
+                WHEN top_word_fraction > 0.20 THEN 'word_dominance'
+                ELSE 'keep' END AS repetition_bucket
+    FROM stats
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters — per-doc array folds, no explode
+    (operators/text.py::repetition_stats); the oracle recomputes the
+    word-multiplicity fold as unnest → group → max."""
+    return T.repetition_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def _language_oracle() -> str:
     score_cols = []
     for lang, markers in T.LANG_MARKERS.items():

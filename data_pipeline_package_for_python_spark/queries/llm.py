@@ -414,6 +414,83 @@ def text_quality(spark, sf_dir):
 
 
 @query(
+    "text_tfidf",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents)
+    SELECT id, term, tf, df, n_docs,
+           (tf * n_docs) / df AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    WHERE tf >= 2
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF with the exact-rational odds idf (tf * N / df) — hash-
+    identical across engines; ln-idf is a documented operator option
+    outside the hash surface (operators/text.py:tf_idf)."""
+    return T.tf_idf(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_tf=2
+    )
+
+
+@query(
+    "text_vocab_encode",
+    oracle="""
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term
+    ),
+    vocab AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY tf DESC, term) - 1 AS INT)
+                 AS token_id
+      FROM (SELECT * FROM tf ORDER BY tf DESC, term LIMIT 64)
+    ),
+    idx AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS ws,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      FROM documents
+    ),
+    tok AS (
+      SELECT idx.id, idx.i, COALESCE(v.token_id, -1) AS tid
+      FROM idx LEFT JOIN vocab v ON v.term = idx.ws[idx.i]
+    )
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           string_agg(tid::VARCHAR, ' ' ORDER BY i) AS token_ids
+    FROM tok GROUP BY id
+    """,
+)
+def text_vocab_encode(spark, sf_dir):
+    """Corpus vocabulary (top-64 terms, deterministic order) + map-only
+    document encoding to token-id sequences
+    (operators/text.py:build_vocab/encode_as_vocab_ids)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = T.build_vocab(docs, "text", size=64)
+    enc = T.encode_as_vocab_ids(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        "token_ids",
+    )
+
+
+@query(
     "text_repetition",
     oracle="""
     WITH base AS (

@@ -382,6 +382,37 @@ def test_stratified_sample_bounds(spark, tables):
 # ------------------------------------------------------------------ #
 
 
+def test_tfidf_and_vocab_encode(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "cat sat on the mat"),
+            (1, "cat cat dog"),
+            (2, "the dog ran"),
+        ],
+        "doc_id long, text string",
+    )
+    tfidf = {
+        (r.id, r.term): (r.tf, r.df, r.n_docs, r.tfidf)
+        for r in T.tf_idf(df, "doc_id", "text").collect()
+    }
+    assert tfidf[(1, "cat")] == (2, 2, 3, 3.0)   # 2 * 3 / 2
+    assert tfidf[(0, "mat")] == (1, 1, 3, 3.0)
+    assert tfidf[(2, "the")] == (1, 2, 3, 1.5)
+
+    vocab = T.build_vocab(df, "text", size=3)
+    # cat tf=3; dog/the tf=2 tie -> lexicographic
+    assert [(r.term, r.token_id) for r in vocab.orderBy("token_id").collect()] \
+        == [("cat", 0), ("dog", 1), ("the", 2)]
+
+    enc = T.encode_as_vocab_ids(df, "doc_id", "text", vocab)
+    got = {r.id: r for r in enc.collect()}
+    assert got[1].token_ids == "0 0 1" and got[1].n_oov == 0
+    assert got[0].token_ids == "0 -1 -1 2 -1" and got[0].n_oov == 3
+    # encode is map-only: no exchange anywhere in the plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_kmeans_recovers_planted_blobs(spark):
     import itertools
 

@@ -165,11 +165,13 @@ def test_golden_llm_dedup_pipeline(spark, sf_dir):
 
 
 def test_golden_corpus_curation(spark, sf_dir):
-    """The flagship LLM-data flow, end-to-end through the DSL: quality
-    gate → exact dedup survivors → benchmark decontamination → PII
-    redaction → sequence packing, each stage a DSL step over the
-    previous one.  Pins the integration of §2.1 (pipeline algebra)
-    with §2.2.10 (training-data operators)."""
+    """The flagship LLM-data flow, end-to-end through the DSL: quality +
+    repetition gates → exact dedup survivors → near-dup CLUSTER
+    survivors (MinHash-LSH pairs resolved by connected components) →
+    benchmark decontamination → PII redaction → sequence packing, each
+    stage a DSL step over the previous one.  Pins the integration of
+    §2.1 (pipeline algebra) with §2.2.10 (training-data operators)."""
+    from data_pipeline_package_for_python_spark.operators import graph as G
     from data_pipeline_package_for_python_spark.operators import text as T
 
     docs = load(spark, sf_dir, "documents")
@@ -180,14 +182,29 @@ def test_golden_corpus_curation(spark, sf_dir):
         ok = scored.filter(
             F.col("quality_bucket").isin("natural", "keep")
         ).select("id")
-        return df.join(
-            ok, df["doc_id"] == ok["id"], "left_semi"
+        rep_ok = T.repetition_stats(df, "doc_id", "text").filter(
+            F.col("repetition_bucket") == "keep"
+        ).select("id")
+        gated = df.join(ok, df["doc_id"] == ok["id"], "left_semi")
+        return gated.join(
+            rep_ok, gated["doc_id"] == rep_ok["id"], "left_semi"
         )
 
     def dedup_survivors(df):
         keep = D.exact_dedup(df, "text", "doc_id").select(
             F.col("keep_id").alias("doc_id")
         )
+        return df.join(keep, "doc_id", "left_semi")
+
+    def near_cluster_survivors(df):
+        pairs = D.near_dedup_minhash(
+            df, "doc_id", "text", n=3, num_hashes=16, bands=4,
+            threshold=0.5,
+        ).select("id_a", "id_b")
+        resolved = G.resolve_duplicates(
+            df.select("doc_id"), pairs, "doc_id"
+        )
+        keep = resolved.filter(F.col("is_survivor")).select("doc_id")
         return df.join(keep, "doc_id", "left_semi")
 
     def decontaminated(df):
@@ -200,6 +217,7 @@ def test_golden_corpus_curation(spark, sf_dir):
         p.sequence(
             p.documents >> quality_gate >> p.clean,
             PREV >> dedup_survivors >> p.unique,
+            PREV >> near_cluster_survivors >> p.canonical,
             PREV >> decontaminated >> p.safe,
             PREV
             >> (lambda df: T.redact_pii(df, "doc_id", "text"))
@@ -224,4 +242,4 @@ def test_golden_corpus_curation(spark, sf_dir):
     assert 0 < n_docs <= 450
     assert out.filter(F.col("n_tokens") > 32).count() == 0
     # committed digest pins exact end-to-end results on sf0.001
-    assert digest(out) == "99b7a21c43f59a9e"
+    assert digest(out) == "8f6401a5d3041f23"

@@ -32,6 +32,7 @@ from ..streaming import (
     sliding_agg,
     stateful_dedup,
     stream_static_join,
+    stream_stream_interval_join,
     tumbling_agg,
 )
 from ._registry import dsum, load, query
@@ -168,6 +169,48 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         F.col("c_mktsegment").alias("mktsegment")
     ).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 24 h of a view by
+    the same user, both sides live streams replayed in 4 event-time-
+    ordered micro-batches (maxFilesPerTrigger=1) so matches genuinely
+    span join-state across batches.  Watermark (2 days) > interval
+    (24 h) + in-order file replay ⇒ no state eviction can lose a
+    match, and the incremental answer equals the batch join — which is
+    exactly what the oracle asserts.  Output keeps only int columns
+    (raw ts is ns in the fixture, µs in the stream; boundary safety at
+    both ends was verified to >2 µs margins)."""
+    views = _stream(spark, sf_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = _stream(spark, sf_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_interval_join(
+        views, purchases,
+        on="user_id", time_col="ts", right_time="r_ts",
+        within="24 hours", watermark="2 days",
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.select("view_id", "purchase_id", "user_id")
 
 
 @query(

@@ -277,6 +277,47 @@ def stream_static_join(
     return stream.join(static, on=on, how=how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    time_col: str = "ts",
+    right_time: str | None = None,
+    within: str = "24 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner join: right events matching a left event on
+    ``on`` within ``[left.ts, left.ts + within]``.
+
+    Both sides carry a watermark and the join condition carries the
+    event-time range — together these let Spark BOUND the join state:
+    a buffered left row is dropped once the watermark passes
+    ``left.ts + within``, a right row once it passes ``right.ts``
+    (+ delay), so state is O(rate × (watermark + within)) instead of
+    the whole stream.  Omit either and Spark must buffer forever.
+
+    Matches are emitted eagerly (inner join, append mode); with an
+    in-order replay whose watermark delay covers ``within``, the
+    incremental answer equals the batch join exactly — which is what
+    the oracle checks.
+
+    Column scoping: pre-rename the right side's columns so only ``on``
+    collides (``right_time`` defaults to ``time_col`` but may differ);
+    the right copy of ``on`` is dropped from the result.
+    """
+    right_time = right_time or time_col
+    l = left.withWatermark(time_col, watermark)
+    r = right.withWatermark(right_time, watermark)
+    lt, rt = l[time_col], r[right_time]
+    cond = (
+        (l[on] == r[on])
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[on])
+
+
 class _scoped_state_parallelism:
     """Harness-only: start a streaming query with a small state-store
     parallelism, then restore the session default.
@@ -312,6 +353,7 @@ def run_available_now(
     output_mode: str = "append",
     timeout_s: int = 300,
     state_partitions: int | None = 4,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drain the streaming ``result`` with Trigger.AvailableNow into an
     in-memory sink and return the sink as a batch DataFrame.
@@ -319,7 +361,9 @@ def run_available_now(
     Test/oracle harness only — production flows use real sinks
     (:func:`foreach_batch_parquet`, kafka, delta...).  ``state_partitions``
     right-sizes the state store for harness-scale inputs (None keeps the
-    session default).
+    session default).  If ``progress_out`` is a list, the query's
+    per-micro-batch progress dicts are appended to it (watermark and
+    state-store metrics — lets tests assert bounded-state contracts).
     """
     spark = result.sparkSession
     name = _unique_name("dpp_mem")
@@ -341,6 +385,8 @@ def run_available_now(
     finally:
         if q.isActive:
             q.stop()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     return spark.table(name)
 
 

@@ -20,6 +20,7 @@ from data_pipeline_package_for_python_spark.streaming import (
     run_available_now,
     session_agg,
     stateful_dedup,
+    stream_stream_interval_join,
     tumbling_agg,
 )
 
@@ -152,6 +153,100 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # late eid=5 (10:00 arriving once the late-event watermark is 11:50) is
     # dropped; the 12:00 window never finalizes (final watermark 12:20)
     assert got == {10: 1, 11: 1}
+
+
+def test_stream_stream_join_bounded_state_drops_beyond_watermark(
+    spark, tmp_path
+):
+    """The bounded-state contract of the stream-stream interval join:
+    the watermark + interval condition let Spark EVICT buffered rows
+    whose join window the watermark has passed, so state is
+    O(rate × (watermark + within)), not the whole stream.  Verified
+    via state-store metrics: the final batch runs with watermark 12:00,
+    which evicts file0's view(10:00)/purchase(10:05) pair.
+
+    Output-wise Spark guarantees no ON-TIME match is lost; a late
+    input may or may not still join (the docs are explicit that late
+    drops are best-effort for joins — observed 4.x behavior joins a
+    late row against not-yet-evicted state first, eviction runs at
+    batch end).  So the late in-window purchase (eid=5) legitimately
+    appears: the result equals the batch join, which is the stronger
+    property anyway.
+    """
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+
+    def write_file(idx, rows):
+        df = spark.createDataFrame(rows, EVENTS_DDL)
+        f = str(tmp_path / f"ssj_stage{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(f)
+        part = next(p for p in os.listdir(f) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"file{idx}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (time.time() + idx * 10, time.time() + idx * 10))
+
+    import datetime as dt
+
+    def ev(eid, hh, mm, etype, uid=1):
+        return (eid, dt.datetime(2024, 1, 1, hh, mm), uid, etype, 1.0, "{}")
+
+    # fillers must advance BOTH sides' watermarks: each side's watermark
+    # node sits after the event_type filter, so only same-type rows move
+    # it (global watermark = min across the two).  13:00 view vs 14:00
+    # purchase are 60 min apart — outside the 30 min window, no match.
+    write_file(0, [ev(1, 10, 0, "view"), ev(2, 10, 5, "purchase")])
+    write_file(1, [ev(3, 13, 0, "view", uid=9)])
+    write_file(2, [ev(4, 14, 0, "purchase", uid=9)])
+    write_file(3, [ev(5, 10, 10, "purchase")])  # in-window but too late
+
+    def side(etype, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    joined = stream_stream_interval_join(
+        side("view", "view_id", "ts"),
+        side("purchase", "purchase_id", "r_ts"),
+        on="user_id", time_col="ts", right_time="r_ts",
+        within="30 minutes", watermark="1 hour",
+    )
+    progress: list = []
+    out = run_available_now(
+        joined, output_mode="append", progress_out=progress
+    )
+    got = sorted(
+        (r["view_id"], r["purchase_id"]) for r in out.collect()
+    )
+    # equals the batch join over the same data: (1,2) on-time, (1,5)
+    # late-but-in-window (13:00 view / 14:00 purchase pair is outside
+    # the 30 min interval — watermark fillers only)
+    assert got == [(1, 2), (1, 5)]
+
+    # bounded state: 5 rows were buffered across the run, but the
+    # final watermark (12:00) evicted file0's pair — state ends < 5
+    # and rows were actually removed, proving eviction is wired up.
+    removed = sum(
+        so["numRowsRemoved"]
+        for p in progress
+        for so in p["stateOperators"]
+    )
+    final_state = max(
+        (
+            so["numRowsTotal"]
+            for so in progress[-1]["stateOperators"]
+        ),
+        default=0,
+    )
+    assert removed >= 2
+    assert final_state < 5
 
 
 def test_stream_static_join_matches_batch(spark, stream_dir, tables):

@@ -1,0 +1,205 @@
+"""Time-series operators: hypertable-style rollups, gap-filling and
+interpolation over event streams.
+
+The reference engine's surface is pointwise (dpp.py's scalar DSL has no
+native time-series layer), but a large-scale analytics engine needs the
+timescale-style family: bucket → rollup → cascade to coarser grains →
+densify (gap-fill) → fill (forward-fill / linear interpolation).  All of
+it is expressed as plain DataFrame algebra so Catalyst keeps pushdown /
+pruning / whole-stage codegen:
+
+- **Bucketing** is epoch-floor arithmetic on ``unix_micros`` — a
+  map-side expression, never a UDF, never a shuffle.
+- **Rollup** is one hash aggregate on (bucket, keys) — the single
+  fact-sized shuffle of the family.  Exact integer-unit sums
+  (``sum_units``) make rollups *cascadable*: BIGINT unit sums re-
+  aggregate associatively to any coarser grain with zero drift, which
+  is the continuous-aggregate contract (hourly → daily → monthly reads
+  the hourly rollup, not the fact table).
+- **Gap-fill** builds the dense per-key spine distributively:
+  a per-key (min, max) extent aggregate (tiny shuffle), then
+  ``sequence()`` + ``explode`` map-side — the spine never routes
+  through the driver.  Filling is one window per key ordered by
+  bucket: ``last(ignorenulls)`` for forward-fill, last/first
+  neighbor pairs for linear interpolation.
+
+Scale posture at 100 TB: the rollup shuffle carries (bucket, key,
+integer units) — fixed-width rows, orders of magnitude smaller than the
+input; gap-fill's window puts one key's full series in one task, so the
+bucket width chooses the per-key row bound (a year of hourly buckets is
+8.8 K rows/key — trivial); a single degenerate hot key would need the
+salted two-phase shape from operators/skew.py instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "width_seconds",
+    "time_bucket",
+    "rollup_time",
+    "sum_units",
+    "gap_fill",
+]
+
+_UNIT_S = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 7 * 86400,
+}
+
+
+def width_seconds(width: str) -> int:
+    """Parse ``'N unit'`` (``'6 hours'``, ``'1 day'``) to whole seconds.
+
+    Calendar-irregular units (month/year) are deliberately rejected:
+    epoch-floor bucketing is only meaningful for fixed-width intervals,
+    and fixed widths are what make rollups cascadable.
+    """
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*",
+                     width.lower())
+    if not m:
+        raise ValueError(
+            f"width must be 'N second|minute|hour|day|week[s]', got {width!r}"
+        )
+    return int(m.group(1)) * _UNIT_S[m.group(2)]
+
+
+def time_bucket(ts: Column | str, width: str = "1 hour") -> Column:
+    """Epoch-aligned floor of ``ts`` to ``width`` buckets, as TIMESTAMP.
+
+    Pure column arithmetic (``unix_micros`` → integer floor-div →
+    ``timestamp_micros``), so it stays inside whole-stage codegen and
+    partition-prunes when the layout is bucket-sorted.  Equals DuckDB's
+    ``time_bucket(INTERVAL width, ts)`` for positive epochs (integer
+    ``div`` truncates toward zero, which is floor there — the 1970+
+    domain of every table we ship).
+    """
+    col = F.col(ts) if isinstance(ts, str) else ts
+    w_us = width_seconds(width) * 1_000_000
+    return F.timestamp_micros(
+        (F.unix_micros(col) / F.lit(w_us)).cast("long") * F.lit(w_us)
+    )
+
+
+def sum_units(col: Column | str, scale: int = 100) -> Column:
+    """Exact integer-unit sum: ``sum(floor(x*scale + 0.5))`` as BIGINT.
+
+    The cascadable building block: BIGINT unit sums re-aggregate to any
+    coarser grain associatively (``sum`` of hourly units == units of the
+    daily sum, exactly), unlike double sums whose value depends on
+    addition order.  Divide once by ``scale`` at presentation time.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(
+        F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    )
+
+
+def rollup_time(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    keys: tuple[str, ...] = (),
+    aggs: dict[str, Column] | None = None,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Bucket ``ts_col`` to ``width`` and aggregate per (bucket, keys).
+
+    One hash aggregate → one shuffle keyed on (bucket, keys); map-side
+    partial aggregation compresses before the exchange.  To build a
+    rollup *cascade*, aggregate with :func:`sum_units` / ``count`` /
+    ``min`` / ``max`` and call ``rollup_time`` again on the output with
+    a coarser ``width`` — re-aggregation is exact by construction.
+    """
+    bucket = time_bucket(ts_col, width).alias(bucket_name)
+    out = df.groupBy(bucket, *[F.col(k) for k in keys])
+    return out.agg(*[c.alias(n) for n, c in (aggs or {}).items()])
+
+
+def gap_fill(
+    df: DataFrame,
+    bucket_col: str,
+    width: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    how: str = "ffill",
+    filled_name: str | None = None,
+) -> DataFrame:
+    """Densify a bucketed series to every ``width`` step between each
+    key's first and last observation, filling ``value_col`` in gaps.
+
+    ``how='ffill'``: last observed value carries forward.
+    ``how='linear'``: interior gaps interpolate between the previous
+    and next observed buckets, weighted by bucket distance; observed
+    buckets pass through untouched.  Extent-bounded spines mean every
+    gap has both neighbors, so no edge-null policy is needed.
+
+    Distribution: extents are a per-key (min, max) aggregate; the spine
+    is ``sequence(min, max, interval)`` exploded map-side (never a
+    driver loop); the fill is one window per key ordered by bucket.
+    Adds ``is_gap`` (1 for synthesized buckets).
+    """
+    if how not in ("ffill", "linear"):
+        raise ValueError(f"how must be 'ffill' or 'linear', got {how!r}")
+    out_name = filled_name or value_col
+    step = F.expr(f"INTERVAL {width_seconds(width)} SECONDS")
+    kcols = [F.col(k) for k in keys]
+
+    extents = df.groupBy(*kcols).agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+    )
+    spine = extents.select(
+        *kcols,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), step)
+        ).alias(bucket_col),
+    )
+    dense = spine.join(
+        df.select(*kcols, bucket_col, value_col),
+        on=[*keys, bucket_col],
+        how="left",
+    )
+
+    w_past = (
+        Window.partitionBy(*kcols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col)
+    if how == "ffill":
+        filled = F.last(v, ignorenulls=True).over(w_past)
+    else:
+        w_next = (
+            Window.partitionBy(*kcols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        known_s = F.when(v.isNotNull(), F.unix_timestamp(bucket_col))
+        prev_v = F.last(v, ignorenulls=True).over(w_past)
+        next_v = F.first(v, ignorenulls=True).over(w_next)
+        prev_s = F.last(known_s, ignorenulls=True).over(w_past)
+        next_s = F.first(known_s, ignorenulls=True).over(w_next)
+        # identical IEEE op order to the SQL twin: frac first, then
+        # prev + (next - prev) * frac — bit-identical across engines
+        frac = (
+            (F.unix_timestamp(bucket_col) - prev_s).cast("double")
+            / (next_s - prev_s).cast("double")
+        )
+        filled = F.when(v.isNotNull(), v).otherwise(
+            prev_v + (next_v - prev_v) * frac
+        )
+
+    return dense.select(
+        *kcols,
+        F.col(bucket_col),
+        filled.alias(out_name),
+        F.when(v.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )

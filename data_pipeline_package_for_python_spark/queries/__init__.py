@@ -14,6 +14,13 @@ from ._registry import QUERIES, Query, query  # noqa: F401
 # (joins/aggs/windows/setops), then udfs and streaming (also unchecked in
 # r1), then the function families and LLM ops that already earned green
 # rows.
-from . import relational, udfs, streaming, functionslib, llm  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    relational,
+    udfs,
+    streaming,
+    timeseries,
+    functionslib,
+    llm,
+)
 
 __all__ = ["QUERIES", "Query", "query"]

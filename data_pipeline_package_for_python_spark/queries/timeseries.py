@@ -1,0 +1,189 @@
+"""SURVEY §2.2 extension: time-series rollup / gap-fill / interpolation.
+
+Hypertable-style operators over the ``events`` table (the reference DSL
+is pointwise and has no time-series layer; this family is part of the
+"operations a large-scale pipeline needs" mandate).  Buckets surface as
+whole-second TIMESTAMPs (never raw ns/µs event times — FIXTURES §C), all
+value sums go through exact integer units, and the linear interpolation
+runs the byte-identical IEEE formula on both engines so even the DOUBLE
+outputs hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import gap_fill, rollup_time, sum_units
+from ._registry import dsum, load, query
+
+# DuckDB twin of operators.timeseries.time_bucket (epoch-floor, µs-exact
+# for positive epochs; make_timestamp keeps it a naive TIMESTAMP).
+_BUCKET_SQL = (
+    "make_timestamp(CAST(floor(epoch(ts) / {w}) AS BIGINT)"
+    " * {w} * 1000000)"
+)
+
+
+@query(
+    "ts_rollup_hourly",
+    oracle=f"""
+    SELECT {_BUCKET_SQL.format(w=3600)} AS bucket,
+           event_type,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup per event_type: ONE hash aggregate on
+    (bucket, event_type) — the bucket is map-side epoch arithmetic, the
+    shuffle carries fixed-width partials, and the exact-units sum keeps
+    the DOUBLE output engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    return rollup_time(
+        ev, "ts", "1 hour", keys=("event_type",),
+        aggs={"cnt": F.count("*"), "value_sum": dsum("value")},
+    )
+
+
+@query(
+    "ts_rollup_cascade",
+    oracle=f"""
+    SELECT {_BUCKET_SQL.format(w=86400)} AS bucket,
+           event_type,
+           count(*) AS cnt,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: daily rollup computed FROM the
+    hourly rollup, never re-reading the fact table.  Exactness is by
+    construction — BIGINT unit sums re-aggregate associatively, so the
+    cascade equals the direct daily aggregation (which is what the
+    oracle computes).  At 100 TB this is the difference between scanning
+    24× less rollup data and re-scanning the raw events."""
+    ev = load(spark, sf_dir, "events")
+    hourly = rollup_time(
+        ev, "ts", "1 hour", keys=("event_type",),
+        aggs={"cnt": F.count("*"), "units": sum_units("value")},
+    )
+    daily = rollup_time(
+        hourly, "bucket", "1 day", keys=("event_type",),
+        aggs={"cnt": F.sum("cnt"), "units": F.sum("units")},
+    )
+    return daily.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        (F.col("units") / F.lit(100.0)).alias("value_sum"),
+    )
+
+
+# Gap-fill family: 6-hour buckets per user keep the spine size bounded
+# (|users| × ≤121 buckets over the 30-day fixture) at every SF the
+# driver sweeps.
+_GF_BASE = f"""
+    WITH b AS (
+      SELECT user_id,
+             {_BUCKET_SQL.format(w=21600)} AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), ext AS (
+      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+      FROM b GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 21600 SECOND))
+                 AS bucket
+      FROM ext
+    ), dense AS (
+      SELECT s.user_id, s.bucket, b.v
+      FROM spine s LEFT JOIN b USING (user_id, bucket)
+    )
+"""
+
+
+@query(
+    "ts_gap_fill_ffill",
+    oracle=_GF_BASE + """
+    SELECT user_id, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM dense
+    """,
+)
+def ts_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each user's 6-hour series between its first and last
+    observation and forward-fill gaps.  Spine = per-key extents (tiny
+    shuffle) + map-side sequence/explode; fill = one window per key.
+    No driver-side loops anywhere — the spine is generated inside the
+    plan, which is what survives a 1000-executor scale-up."""
+    ev = load(spark, sf_dir, "events")
+    b = rollup_time(
+        ev, "ts", "6 hours", keys=("user_id",), aggs={"v": dsum("value")}
+    )
+    return gap_fill(
+        b, "bucket", "6 hours", ("user_id",), "v", how="ffill"
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=_GF_BASE + """
+    , filled AS (
+      SELECT user_id, bucket, v,
+             CAST(epoch(bucket) AS BIGINT) AS bs,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_v,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_v,
+             last_value(CASE WHEN v IS NOT NULL
+                             THEN CAST(epoch(bucket) AS BIGINT) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_s,
+             first_value(CASE WHEN v IS NOT NULL
+                              THEN CAST(epoch(bucket) AS BIGINT) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_s
+      FROM dense
+    )
+    SELECT user_id, bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(bs - prev_s AS DOUBLE)
+                        / CAST(next_s - prev_s AS DOUBLE))
+           END AS v,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM filled
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across interior gaps of each user's 6-hour
+    series.  Observed buckets pass through; gaps take
+    ``prev + (next - prev) * frac`` with ``frac`` built from exact
+    BIGINT bucket seconds — the formula is written in the identical
+    IEEE order on both engines, so the interpolated DOUBLEs are
+    bit-identical and hash-checkable (not merely close)."""
+    ev = load(spark, sf_dir, "events")
+    b = rollup_time(
+        ev, "ts", "6 hours", keys=("user_id",), aggs={"v": dsum("value")}
+    )
+    return gap_fill(
+        b, "bucket", "6 hours", ("user_id",), "v", how="linear"
+    )

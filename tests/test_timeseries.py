@@ -1,0 +1,124 @@
+"""Time-series operator laws: bucketing, rollup cascade exactness,
+gap-fill / interpolation semantics, and plan posture."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_package_for_python_spark import plans
+from data_pipeline_package_for_python_spark.operators.timeseries import (
+    gap_fill,
+    rollup_time,
+    sum_units,
+    time_bucket,
+    width_seconds,
+)
+
+
+def test_width_seconds_parses_and_rejects():
+    assert width_seconds("1 hour") == 3600
+    assert width_seconds("6 hours") == 21600
+    assert width_seconds("90 minutes") == 5400
+    assert width_seconds("2 days") == 172800
+    for bad in ("1 month", "hourly", "3", "-1 hour"):
+        with pytest.raises(ValueError):
+            width_seconds(bad)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), v)
+         for k, h, v in rows],
+        "k STRING, ts TIMESTAMP, v DOUBLE",
+    )
+
+
+def test_time_bucket_floors_to_epoch_grid(spark):
+    df = _series(spark, [("a", 0, 1.0)]).select(
+        time_bucket(
+            F.col("ts") + F.expr("INTERVAL 59 MINUTES 59 SECONDS"),
+            "1 hour",
+        ).alias("b")
+    )
+    assert df.collect()[0]["b"] == dt.datetime(2024, 1, 1, 0, 0)
+
+
+def test_rollup_cascade_equals_direct(spark, tables):
+    """Hourly→daily cascade over exact units == direct daily rollup.
+    This is the continuous-aggregate contract: BIGINT unit sums
+    re-aggregate associatively with zero drift."""
+    ev = tables["events"]
+    hourly = rollup_time(
+        ev, "ts", "1 hour", keys=("event_type",),
+        aggs={"units": sum_units("value"), "cnt": F.count("*")},
+    )
+    cascade = rollup_time(
+        hourly, "bucket", "1 day", keys=("event_type",),
+        aggs={"units": F.sum("units"), "cnt": F.sum("cnt")},
+    )
+    direct = rollup_time(
+        ev, "ts", "1 day", keys=("event_type",),
+        aggs={"units": sum_units("value"), "cnt": F.count("*")},
+    )
+    assert cascade.exceptAll(direct).count() == 0
+    assert direct.exceptAll(cascade).count() == 0
+
+
+def test_gap_fill_ffill_semantics(spark):
+    # k=a observed at h0 (v=1) and h3 (v=4): gaps h1,h2 carry 1.0 forward
+    obs = rollup_time(
+        _series(spark, [("a", 0, 1.0), ("a", 3, 4.0)]),
+        "ts", "1 hour", keys=("k",), aggs={"v": F.sum("v")},
+    )
+    out = gap_fill(obs, "bucket", "1 hour", ("k",), "v", how="ffill")
+    got = {r["bucket"].hour: (r["v"], r["is_gap"]) for r in out.collect()}
+    assert got == {0: (1.0, 0), 1: (1.0, 1), 2: (1.0, 1), 3: (4.0, 0)}
+
+
+def test_gap_fill_linear_interpolates_interior(spark):
+    # observed 1.0 @ h0 and 4.0 @ h3 → h1=2.0, h2=3.0
+    obs = rollup_time(
+        _series(spark, [("a", 0, 1.0), ("a", 3, 4.0)]),
+        "ts", "1 hour", keys=("k",), aggs={"v": F.sum("v")},
+    )
+    out = gap_fill(obs, "bucket", "1 hour", ("k",), "v", how="linear")
+    got = {r["bucket"].hour: r["v"] for r in out.collect()}
+    assert got == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0}
+
+
+def test_gap_fill_single_observation_key(spark):
+    # a key with one bucket has a 1-row spine and no gaps
+    obs = rollup_time(
+        _series(spark, [("solo", 5, 7.0)]),
+        "ts", "1 hour", keys=("k",), aggs={"v": F.sum("v")},
+    )
+    out = gap_fill(obs, "bucket", "1 hour", ("k",), "v", how="linear")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 7.0 and rows[0]["is_gap"] == 0
+
+
+def test_rollup_is_single_shuffle_no_udf(spark, tables):
+    r = plans.plan_report(
+        rollup_time(
+            tables["events"], "ts", "1 hour", keys=("event_type",),
+            aggs={"cnt": F.count("*")},
+        )
+    )
+    assert r.n_shuffles == 1
+    assert "BatchEvalPython" not in r.text and "ArrowEval" not in r.text
+
+
+def test_gap_fill_plan_distributed_spine(spark, tables):
+    """The spine must be generated inside the plan (sequence+explode),
+    not collected: no BatchEvalPython, no cartesian, and the explode
+    (Generate) node present."""
+    b = rollup_time(
+        tables["events"], "ts", "6 hours", keys=("user_id",),
+        aggs={"v": F.sum("value")},
+    )
+    r = plans.plan_report(
+        gap_fill(b, "bucket", "6 hours", ("user_id",), "v", how="linear")
+    )
+    assert not r.has_cartesian
+    assert "Generate" in r.text and "BatchEvalPython" not in r.text

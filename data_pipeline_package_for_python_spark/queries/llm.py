@@ -1105,3 +1105,35 @@ def multimodal_frame_sample(spark, sf_dir):
         F.length("frame").alias("frame_bytes"),
         F.sha2(F.col("frame"), 256).alias("frame_sha"),
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 64)
+    """,
+)
+def scan_binary_files(spark, sf_dir):
+    """Raw-file multimodal ingestion round-trip: the first 64 documents
+    are staged as loose ``{doc_id}.bin`` files (harness fixture), read
+    back through Spark's REAL ``binaryFile`` source, and content-
+    verified against the table — doc_id recovered from the file path,
+    payload re-hashed JVM-side (sha2 over the binary column).  The
+    oracle hashes the same bytes straight from ``documents``, so a
+    staging bug, a listing bug, or payload corruption all surface as a
+    hash mismatch.  Glob pushdown (``pathGlobFilter``) keeps
+    non-matching files out of the file index entirely."""
+    from ..sources import prepare_media_dir, read_binary_files
+
+    path = prepare_media_dir(spark, sf_dir, n_docs=64)
+    files = read_binary_files(spark, path, glob="*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length("content").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )

@@ -21,6 +21,8 @@ from pyspark.sql.types import StructType
 __all__ = [
     "TPCH_TABLES",
     "load_tables",
+    "prepare_media_dir",
+    "read_binary_files",
     "read_csv",
     "read_jdbc",
     "read_json",
@@ -84,6 +86,75 @@ def read_json(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file ingestion via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content BINARY).
+
+    This is the front door for multimodal corpora — images/audio/video
+    land as opaque payload bytes plus provenance, then flow into
+    ``operators.multimodal.media_table`` for content addressing and the
+    Arrow decode path.  Scale notes: listing parallelizes across the
+    driver's listing threads and the files split one-per-row (a payload
+    is never split), so partition sizing is governed by
+    ``spark.sql.files.maxPartitionBytes`` against whole files; tiny-file
+    corpora should be compacted (the sink side of this facade is a
+    parquet table with a BINARY column, not millions of loose files).
+    ``glob`` maps to ``pathGlobFilter`` (pushed into the file index —
+    non-matching files are never listed into tasks)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def prepare_media_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = 64,
+    base: str | None = None,
+) -> str:
+    """Stage the first ``n_docs`` documents (by doc_id) as individual
+    ``{doc_id}.bin`` files so the ``binaryFile`` source has a real
+    directory of loose files to ingest.  Harness-only fixture staging
+    (mirrors ``streaming.prepare_events_stream_dir``): the tiny
+    driver-side write loop is the STAGING, not the operator under test
+    — the read-back and content verification are fully distributed.
+    Cached per (sf_dir, n_docs) via a marker file."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = base or os.path.join(tempfile.gettempdir(), "dpp_media_src")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(base, f"{tag}_media_{n_docs}")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(n_docs)
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    with open(marker, "w") as f:
+        f.write(str(len(rows)))
+    return out
 
 
 def read_jdbc(

@@ -569,3 +569,62 @@ def func_hash_spark_native(spark, sf_dir):
         F.crc32("c_name").alias("name_crc32"),
         F.hash("c_name").alias("name_murmur"),
     )
+
+
+@query(
+    "func_unpivot",
+    oracle="""
+    SELECT c_custkey, 'c_acctbal' AS metric,
+           CAST(c_acctbal AS DOUBLE) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'c_nationkey' AS metric,
+           CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def func_unpivot(spark, sf_dir):
+    """Wide→long reshape via the native ``unpivot``/``melt`` API — a
+    map-side Expand (each input row fans to one row per value column
+    inside the same task), NOT a union of N re-scans: one pass over the
+    input regardless of how many columns melt.  The oracle is the
+    equivalent stacked UNION ALL."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.col("c_nationkey").cast("double").alias("c_nationkey"),
+    ).unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "c_nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "func_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2
+               AS k_doubled,
+           CAST(NULL AS INTEGER) AS missing
+    FROM events
+    """,
+)
+def func_variant_json(spark, sf_dir):
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary-encoded variant, then typed
+    ``variant_get`` path extraction — the open-format answer to
+    repeated ``get_json_object`` string re-parsing (the variant parses
+    the JSON text once; every extraction is a binary traversal).
+    ``try_variant_get`` on an absent path yields NULL, not an error."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        (F.variant_get("v", "$.k", "int") * F.lit(2)).alias("k_doubled"),
+        F.try_variant_get("v", "$.nope", "int").alias("missing"),
+    )

@@ -122,6 +122,62 @@ def scan_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_xml_roundtrip(spark, sf_dir):
+    """nation → native XML sink (Spark 4 built-in source, rowTag
+    layout) → read back with an explicit schema (no inference pass) →
+    full-row compare against the table."""
+    import tempfile
+
+    nation = load(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="dpp_xml_") + "/nation"
+    (
+        nation.write.format("xml")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(path)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT i AS id,
+           i % 8 AS bucket,
+           (i * 2654435761) % 1000000007 AS val
+    FROM range(0, 4096) t(i)
+    """,
+)
+def scan_python_datasource(spark, sf_dir):
+    """Custom source via the Python DataSource API (Spark 4): the
+    registered ``synthrange`` format plans 8 independent input
+    partitions, each generating its own index range worker-side — the
+    extension path for feeds Spark doesn't ship, wired so partitions
+    become tasks like any native source.  Values are pure 64-bit
+    integer arithmetic, reproduced exactly by the oracle."""
+    from ..sources.pyds import register_synth_range
+
+    register_synth_range(spark)
+    return (
+        spark.read.format("synthrange")
+        .option("n", 4096)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+@query(
     "sink_partitioned_parquet",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

@@ -1,0 +1,75 @@
+"""Python DataSource API (Spark 4): a custom batch source.
+
+The DataSource API is how this engine grows sources Spark doesn't ship
+— internal feeds, bespoke formats, synthetic generators — without JVM
+code: implement ``DataSource``/``DataSourceReader`` in Python, register
+on the session, and ``spark.read.format(name)`` plans it like any other
+source, with partitions becoming tasks.
+
+``SynthRangeDataSource`` is the proof-of-wiring: a deterministic,
+seedless synthetic table (id, bucket, val) whose rows are a pure
+function of the row index, split into ``partitions`` independent input
+partitions.  Each partition generates its own index range, so the
+source scales horizontally exactly like a real one (no partition ever
+materializes another's rows, nothing routes through the driver).  The
+Knuth-multiplier formula is plain 64-bit integer arithmetic, so any
+engine can reproduce it exactly — which is what the DuckDB oracle does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+__all__ = ["SynthRangeDataSource", "register_synth_range"]
+
+_KNUTH = 2654435761
+_MOD = 1000000007
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SynthRangeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.n_buckets = int(options.get("buckets", 8))
+
+    def partitions(self):
+        step = -(-self.n // self.n_parts)  # ceil
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        nb = self.n_buckets
+        for i in range(partition.start, partition.end):
+            yield (i, i % nb, (i * _KNUTH) % _MOD)
+
+
+class SynthRangeDataSource(DataSource):
+    """``spark.read.format("synthrange").option("n", N)`` → N rows of
+    (id, bucket, val), generated partition-parallel."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthrange"
+
+    def schema(self) -> str:
+        return "id BIGINT, bucket BIGINT, val BIGINT"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SynthRangeReader(self.options)
+
+
+def register_synth_range(spark) -> None:
+    """Idempotent session registration (latest registration wins)."""
+    spark.dataSource.register(SynthRangeDataSource)

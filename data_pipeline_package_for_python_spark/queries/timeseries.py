@@ -187,3 +187,33 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill(
         b, "bucket", "6 hours", ("user_id",), "v", how="linear"
     )
+
+
+@query(
+    "ts_distinct_rollup_hll",
+    oracle=None,
+    doc="Mergeable-sketch distinct rollup: DataSketches HLL has no "
+        "DuckDB twin, so the driver records rows-only; the accuracy "
+        "and merge-equivalence laws are pinned in tests/"
+        "test_timeseries.py.",
+)
+def ts_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per week via mergeable HLL sketches: daily
+    sketches first (`hll_sketch_agg`), then `hll_union_agg` up to
+    weeks.  This is the 100 TB COUNT DISTINCT posture — exact distinct
+    re-scans the fact table for every grain, while sketch registers
+    re-aggregate associatively like the unit sums in
+    :func:`ts_rollup_cascade`: build daily sketches once, answer any
+    coarser grain (and any bucket union) from kilobyte-sized state.
+    Register-maximum union is order-insensitive, so the result is
+    deterministic under Spark's parallel aggregation."""
+    ev = load(spark, sf_dir, "events")
+    daily = rollup_time(
+        ev, "ts", "1 day", keys=(),
+        aggs={"sk": F.hll_sketch_agg("user_id")},
+    ).withColumnRenamed("bucket", "day")
+    weekly = rollup_time(
+        daily, "day", "1 week", keys=(),
+        aggs={"approx_users": F.hll_sketch_estimate(F.hll_union_agg("sk"))},
+    )
+    return weekly.select(F.col("bucket").alias("week"), "approx_users")

@@ -122,3 +122,32 @@ def test_gap_fill_plan_distributed_spine(spark, tables):
     )
     assert not r.has_cartesian
     assert "Generate" in r.text and "BatchEvalPython" not in r.text
+
+
+def test_hll_distinct_rollup_accuracy_and_merge_law(spark, tables):
+    """The sketch cascade must (a) merge losslessly — weekly estimate
+    from daily sketches == weekly estimate computed directly — and
+    (b) sit within HLL's error envelope of the exact distinct count."""
+    ev = tables["events"]
+    daily = rollup_time(
+        ev, "ts", "1 day", keys=(),
+        aggs={"sk": F.hll_sketch_agg("user_id")},
+    ).withColumnRenamed("bucket", "day")
+    via_daily = rollup_time(
+        daily, "day", "1 week", keys=(),
+        aggs={"est": F.hll_sketch_estimate(F.hll_union_agg("sk"))},
+    )
+    direct = rollup_time(
+        ev, "ts", "1 week", keys=(),
+        aggs={"est": F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))},
+    )
+    exact = rollup_time(
+        ev, "ts", "1 week", keys=(),
+        aggs={"n": F.count_distinct("user_id")},
+    )
+    got = {r["bucket"]: r["est"] for r in via_daily.collect()}
+    want = {r["bucket"]: r["est"] for r in direct.collect()}
+    truth = {r["bucket"]: r["n"] for r in exact.collect()}
+    assert got == want  # register-max union is lossless vs direct build
+    for wk, n in truth.items():
+        assert abs(got[wk] - n) <= max(2, 0.05 * n)

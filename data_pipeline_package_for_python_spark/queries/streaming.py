@@ -214,6 +214,69 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view'
+            AND ts < TIMESTAMP '2024-01-24') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits, with
+    NULL purchase columns when no purchase followed within 24 h.
+
+    The outer semantics are the hard part: Spark may only emit a null-
+    extended row once the watermark PROVES no future purchase can still
+    match (watermark > view.ts + 24 h), so the left side is restricted
+    to views whose join window closes before the stream's final
+    watermark (max event time − 2 d delay, minus margin).  Views past
+    that horizon are still buffered when the replay ends — they belong
+    to no batch-equivalent answer yet — and the oracle applies the
+    identical horizon, making the incremental result equal the batch
+    LEFT JOIN exactly.
+
+    The horizon must be applied to the DRAINED OUTPUT, not the input
+    stream: filtering the input would also cap the left watermark
+    clock at the horizon (watermark = max seen − delay), pushing the
+    'provably closed' frontier 2 days earlier and silently holding
+    back the last days' nulls — the first implementation did exactly
+    that and lost 15 of 154 rows."""
+    views = _stream(spark, sf_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = _stream(spark, sf_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    # The generic helper drops the right copy of the shared key, which
+    # is wrong for leftOuter (the null-extended right key must stay
+    # distinguishable), so the condition is built on pre-renamed names.
+    l = views.withWatermark("ts", "2 days")
+    r = purchases.withWatermark("r_ts", "2 days")
+    cond = (
+        (l["user_id"] == r["r_user_id"])
+        & (r["r_ts"] >= l["ts"])
+        & (r["r_ts"] <= l["ts"] + F.expr("INTERVAL 24 HOURS"))
+    )
+    out = run_available_now(
+        l.join(r, cond, "leftOuter"), output_mode="append"
+    )
+    return out.filter(
+        F.col("ts") < F.lit("2024-01-24").cast("timestamp")
+    ).select("view_id", "purchase_id", "user_id")
+
+
+@query(
     "stream_foreach_batch_sink",
     oracle="""
     SELECT event_type, count(*) AS cnt,

@@ -286,6 +286,7 @@ def stream_stream_interval_join(
     right_time: str | None = None,
     within: str = "24 hours",
     watermark: str = "2 days",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: right events matching a left event on
     ``on`` within ``[left.ts, left.ts + within]``.
@@ -305,7 +306,18 @@ def stream_stream_interval_join(
     Column scoping: pre-rename the right side's columns so only ``on``
     collides (``right_time`` defaults to ``time_col`` but may differ);
     the right copy of ``on`` is dropped from the result.
+
+    ``how='leftOuter'``: unmatched left rows emit with right columns
+    NULL — but only once the watermark passes ``left.ts + within``
+    (Spark must prove no future right row can still match before it
+    may emit the null), so outer results trail the inner ones by the
+    watermark delay.  A batch-equivalence oracle therefore has to
+    restrict the left side to rows whose join window provably closes
+    before the stream's final watermark; rows after that horizon are
+    still buffered, unemitted, when the replay ends.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     right_time = right_time or time_col
     l = left.withWatermark(time_col, watermark)
     r = right.withWatermark(right_time, watermark)
@@ -315,7 +327,7 @@ def stream_stream_interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop(r[on])
+    return l.join(r, cond, how).drop(r[on])
 
 
 class _scoped_state_parallelism:

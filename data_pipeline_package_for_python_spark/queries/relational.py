@@ -204,6 +204,42 @@ def sink_partitioned_parquet(spark, sf_dir):
 
 
 @query(
+    "sink_zorder_layout",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+      AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+)
+def sink_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustered sink → read back → two-dimensional
+    selective filter.  The layout gives BOTH filter columns row-group
+    pruning power (no single sort order can; pinned by
+    tests/test_bucketing.py's row-group stats comparison); this query
+    hash-checks that the curve reorder is lossless."""
+    import tempfile
+
+    from ..sources import write_zorder_layout
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dpp_zorder_") + "/orders"
+    write_zorder_layout(
+        orders, path, zorder_by=["o_custkey", "o_totalprice"], n_files=16
+    )
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("o_custkey").between(100, 500)
+        & F.col("o_totalprice").between(50000, 150000)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
     "scan_bucketed_join",
     oracle="""
     SELECT o.o_orderstatus, count(*) AS n,

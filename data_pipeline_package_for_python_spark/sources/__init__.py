@@ -35,6 +35,8 @@ __all__ = [
     "write_json",
     "write_parquet",
     "write_sorted_layout",
+    "write_zorder_layout",
+    "zorder_value",
 ]
 
 TPCH_TABLES = (
@@ -335,3 +337,88 @@ def write_sorted_layout(
         else df.repartitionByRange(*layout_by)
     )
     out.sortWithinPartitions(*layout_by).write.mode(mode).parquet(path)
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    rel_err: float = 0.01,
+):
+    """Build the interleaved Z-value Column for ``cols`` (numeric).
+
+    Per column: quantile boundaries (``approxQuantile`` — a distributed
+    sample whose driver footprint is ≤2^bits doubles at ANY input
+    size, the same class of stats pass AQE runs) bucketize values into
+    2^bits rank-based buckets, robust to skew where min/max-uniform
+    buckets collapse.  The per-row bucket index is a JVM higher-order
+    ``aggregate`` over the boundary array (≤256 codegen comparisons per
+    row, no Python).  Bucket bits then interleave round-robin across
+    columns — the classic Morton curve — so a range predicate on ANY
+    single column maps to a bounded set of Z-ranges.
+
+    Returns (zcol, boundaries) — boundaries exposed for tests.
+    """
+    from pyspark.sql import functions as F
+
+    n_b = 1 << bits
+    zparts = []
+    all_bounds = {}
+    for ci, c in enumerate(cols):
+        probs = [i / n_b for i in range(1, n_b)]
+        bounds = df.stat.approxQuantile(c, probs, rel_err)
+        all_bounds[c] = bounds
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        )
+        for j in range(bits):
+            zparts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                    len(cols) * j + ci,
+                )
+            )
+    z = zparts[0]
+    for p in zparts[1:]:
+        z = z.bitwiseOR(p)
+    return z, all_bounds
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: list[str],
+    n_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering for MULTI-column pruning.
+
+    ``write_sorted_layout`` gives perfect pruning on a prefix of its
+    sort key and none on the rest; Z-order trades a little of the
+    first column's locality for real locality on EVERY ``zorder_by``
+    column — parquet min/max row-group stats then prune selective
+    predicates on any of them.  This is the 100 TB layout for fact
+    tables filtered along several independent dimensions (date AND
+    customer AND price band), where no single sort order serves all
+    queries.  All row-path math is JVM column algebra; the only driver
+    data is the ≤2^bits quantile boundaries per column."""
+    z, _ = zorder_value(df, zorder_by, bits=bits)
+    tagged = df.withColumn("__z", z)
+    out = (
+        tagged.repartitionByRange(n_files, "__z")
+        if n_files
+        else tagged.repartitionByRange("__z")
+    )
+    (
+        out.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

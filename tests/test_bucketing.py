@@ -77,3 +77,63 @@ def test_sorted_layout_roundtrip_and_pruning(spark, tables, tmp_path):
         back.filter(F.col("o_orderdate") < "1993-01-01")
     )
     assert any("o_orderdate" in f for fs in r.pushed_filters for f in fs)
+
+
+def _rg_stats(path, col):
+    """(min, max) per parquet row group for ``col`` across all files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    return spans
+
+
+def test_zorder_prunes_on_both_columns(spark, tables, tmp_path):
+    """Z-order must give BOTH columns pruning power: for a selective
+    range predicate on either column, fewer row groups' min/max spans
+    admit it than under a single-column sort (where the second column
+    is uniform noise in every row group)."""
+    from data_pipeline_package_for_python_spark.sources import (
+        write_sorted_layout,
+        write_zorder_layout,
+    )
+
+    orders = tables["orders"]
+    zpath = (tmp_path / "orders_z").as_posix()
+    spath = (tmp_path / "orders_s").as_posix()
+    write_zorder_layout(
+        orders, zpath, zorder_by=["o_custkey", "o_totalprice"], n_files=16
+    )
+    write_sorted_layout(
+        orders, spath, layout_by=["o_custkey"], n_files=16
+    )
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == orders.count()  # layout never loses rows
+
+    lo, hi = 100000.0, 120000.0  # ~6% band of o_totalprice
+    def admits(spans):
+        return sum(1 for mn, mx in spans if mx >= lo and mn <= hi)
+
+    z_hits = admits(_rg_stats(zpath, "o_totalprice"))
+    s_hits = admits(_rg_stats(spath, "o_totalprice"))
+    z_total = len(_rg_stats(zpath, "o_totalprice"))
+    # single-column sort leaves totalprice unclustered -> ~every row
+    # group admits the band; z-order must skip a real fraction
+    assert z_hits < s_hits
+    assert z_hits <= z_total * 0.75
+
+    # ...without giving up pruning on the first column either
+    k_spans = _rg_stats(zpath, "o_custkey")
+    k_total = len(k_spans)
+    k_hits = sum(1 for mn, mx in k_spans if mx >= 100 and mn <= 200)
+    assert k_hits <= k_total * 0.75

@@ -1,0 +1,149 @@
+"""Product-analytics query shapes: SQL front door, funnel, cohort
+retention.
+
+These pin the engine's *user-facing* analytics surface: the SQL entry
+point (text-to-result parity with the DataFrame API over the same
+session catalog), and the two classic event-analytics patterns every
+warehouse user writes — sequential funnels and cohort retention — each
+as pure DataFrame algebra with a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import time_bucket
+from ._registry import load, query
+
+
+@query(
+    "sql_front_door",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point as a first-class surface: the table
+    registers in the session catalog (``createOrReplaceTempView``) and
+    the query is pure SQL text through ``spark.sql`` — same Catalyst
+    plan, same optimizations (pushdown/pruning visible in explain) as
+    the DataFrame API.  A reference user migrating SQL workloads runs
+    them verbatim through this door."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "dpp_lineitem_v"
+    )
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5d) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS sum_qty
+        FROM dpp_lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+@query(
+    "funnel_view_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v1
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+               AS n_users,
+           CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_converted
+    """,
+)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → later purchase, first-touch): step 2
+    only counts purchases at-or-after the user's FIRST view, which is
+    what separates a funnel from two independent counts.  Shape: two
+    per-user aggregates and one broadcast-joined conditional re-scan —
+    each step is a narrow fixed-width shuffle on user_id, no windows
+    over the raw stream, no driver loops.  One row out."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v1"))
+    )
+    p1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v1, "user_id")
+        .filter(F.col("ts") >= F.col("v1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p1"))
+    )
+    return (
+        ev.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(v1.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(p1.agg(F.count(F.lit(1)).alias("n_converted")))
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(min(ts)) / 604800)
+                 AS BIGINT) * 604800 * 1000000) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             make_timestamp(CAST(floor(epoch(ts) / 604800)
+                 AS BIGINT) * 604800 * 1000000) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800
+               AS BIGINT) AS week_offset,
+           count(*) AS active_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted in each later week they were active.  Epoch-floor weeks on
+    both engines (calendar-agnostic, cascade-friendly).  Shape: one
+    per-user min, one distinct on (user, week) — both fixed-width
+    shuffles on user_id — then a user-keyed join and a small
+    (cohort, offset) aggregate.  The first-seen frame is dim-sized
+    (one row per user) but grows with users, so it is NOT broadcast-
+    pinned; AQE may choose to at runtime."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        time_bucket(F.min("ts"), "1 week").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", time_bucket("ts", "1 week").alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                (F.unix_timestamp("week")
+                 - F.unix_timestamp("cohort_week")) / F.lit(604800)
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

@@ -147,3 +147,83 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+def _profile_oracle() -> str:
+    """Generated UNION ALL twin of operators.profile.profile_columns
+    over the customer profile below (DuckDB lacks a direct analogue of
+    the one-pass wide->long shape, but the VALUES are plain SQL)."""
+    blocks = []
+    for c in ("c_custkey", "c_nationkey", "c_acctbal"):
+        blocks += [
+            f"SELECT '{c}' AS col_name, 'n' AS metric,"
+            f" CAST(count({c}) AS DOUBLE) AS value FROM customer",
+            f"SELECT '{c}', 'n_null',"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) FROM customer",
+            f"SELECT '{c}', 'n_distinct',"
+            f" CAST(count(DISTINCT {c}) AS DOUBLE) FROM customer",
+            f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM customer",
+            f"SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM customer",
+        ]
+    for c in ("c_mktsegment",):
+        blocks += [
+            f"SELECT '{c}', 'n', CAST(count({c}) AS DOUBLE) FROM customer",
+            f"SELECT '{c}', 'n_null',"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) FROM customer",
+            f"SELECT '{c}', 'n_distinct',"
+            f" CAST(count(DISTINCT {c}) AS DOUBLE) FROM customer",
+        ]
+    return " UNION ALL ".join(blocks)
+
+
+@query("profile_customer", oracle=_profile_oracle())
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE job: every stat an aggregate expression
+    in a single agg (exact distincts planned via Expand in the same
+    scan), wide row unpivoted map-side to (col_name, metric, value).
+    Profiling cost = one aggregation pass regardless of column count —
+    the 100 TB data-quality primitive."""
+    from ..operators.profile import profile_columns
+
+    c = load(spark, sf_dir, "customer")
+    return profile_columns(
+        c,
+        numeric_cols=("c_custkey", "c_nationkey", "c_acctbal"),
+        other_cols=("c_mktsegment",),
+    )
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle="""
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_price,
+           CAST(count(*) AS BIGINT) AS n_status
+    FROM orders
+    """,
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different
+    column sets (an old ingest without o_orderstatus, a new one
+    without o_totalprice) land in one dataset; ``mergeSchema=true``
+    reconciles them to the union schema with NULLs where a batch
+    lacked the column.  The counts pin exactly which half carries
+    which column — a silent column drop or misalignment breaks them."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="dpp_evolve_") + "/orders"
+    orders.select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/batch=1")
+    orders.select("o_orderkey", "o_orderstatus").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderstatus").alias("n_status"),
+    )

@@ -55,3 +55,27 @@ def test_bucketed_is_stable_and_in_range(spark, tables):
     ).first()
     assert agg["any_diff"] is False or agg["any_diff"] is None
     assert 0 <= agg["lo"] and agg["hi"] < 16
+
+
+def test_profile_columns_single_scan_no_python(spark, tables):
+    """The profiler's claim is cost = ONE pass: however many columns
+    are profiled, the plan reads the table once (exact distincts are
+    planned via Expand inside the same scan) and stays JVM-side."""
+    from data_pipeline_package_for_python_spark import plans
+    from data_pipeline_package_for_python_spark.operators.profile import (
+        profile_columns,
+    )
+
+    out = profile_columns(
+        tables["customer"],
+        numeric_cols=("c_custkey", "c_nationkey", "c_acctbal"),
+        other_cols=("c_mktsegment",),
+    )
+    r = plans.plan_report(out)
+    assert len(r.read_schemas) == 1  # one scan feeds every statistic
+    assert "BatchEvalPython" not in r.text
+    rows = {(x["col_name"], x["metric"]): x["value"] for x in out.collect()}
+    n = tables["customer"].count()
+    assert rows[("c_custkey", "n")] == float(n)
+    assert rows[("c_custkey", "n_distinct")] == float(n)  # key is unique
+    assert rows[("c_mktsegment", "n_null")] == 0.0

@@ -1,0 +1,83 @@
+"""Warehouse ETL primitives: SCD-1 upsert and SCD-2 history building.
+
+Parquet has no transactional MERGE; at scale the workhorse patterns
+are:
+
+- **Upsert (SCD-1)**: reconcile a base table with a changes batch —
+  update matched keys, insert new ones.  One full-outer join on the
+  key, updates win per column.  The shuffle carries only (key, changed
+  columns); at 100 TB the base side should be bucketed/partitioned on
+  the key so the join co-locates and unchanged partitions rewrite
+  selectively (partition-overwrite discipline, not a full rewrite).
+
+- **SCD-2 (versioned history)**: turn a change log into interval
+  versions — each change opens a version at its timestamp and closes
+  the previous one.  One window per key ordered by change time:
+  ``valid_to = lead(valid_from)``, open version has NULL ``valid_to``.
+  Single shuffle on the key; a key's history lives in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["upsert", "scd2_from_changes"]
+
+
+def upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """SCD-1 merge: rows in ``changes`` replace same-key rows in
+    ``base``; unmatched change rows insert.  Column set must match.
+    Per column the change value wins when the key matched
+    (``coalesce(change, base)`` — correct because a matched change row
+    supplies every column)."""
+    value_cols = [c for c in base.columns if c not in keys]
+    if set(base.columns) != set(changes.columns):
+        raise ValueError("upsert requires identical column sets")
+    b = base.alias("b")
+    c = changes.alias("c")
+    cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in keys]
+    return b.join(c, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"c.{k}"), F.col(f"b.{k}")).alias(k)
+            for k in keys
+        ],
+        *[
+            F.when(F.col(f"c.{keys[0]}").isNotNull(), F.col(f"c.{v}"))
+            .otherwise(F.col(f"b.{v}"))
+            .alias(v)
+            for v in value_cols
+        ],
+    )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Build SCD-2 interval versions from a change log.
+
+    Each change row becomes a version valid from its timestamp until
+    the key's next change (NULL = still current).  ``tie_break``
+    columns make the within-key order total when timestamps can
+    collide — determinism of the version chain depends on it.
+    """
+    order = [F.col(ts_col)] + [F.col(t) for t in (tie_break or [])]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return changes.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )

@@ -227,3 +227,89 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_totalprice").alias("n_price"),
         F.count("o_orderstatus").alias("n_status"),
     )
+
+
+@query(
+    "etl_upsert_customers",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey,
+             0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+                ELSE b.c_name END AS c_name,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_nationkey
+                ELSE b.c_nationkey END AS c_nationkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal
+                ELSE b.c_acctbal END AS c_acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment
+                ELSE b.c_mktsegment END AS c_mktsegment
+    FROM customer b FULL OUTER JOIN changes c
+      ON b.c_custkey = c.c_custkey
+    """,
+)
+def etl_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 upsert: a changes batch (balance bump on every 10th key,
+    brand-new keys for every 100th) merges into the customer base —
+    matched keys take the change row wholesale, unmatched insert.  One
+    full-outer join on the key; updates win via the matched-key flag,
+    not blind coalesce (a change may legitimately carry NULLs)."""
+    from ..operators.etl import upsert
+
+    base = load(spark, sf_dir, "customer")
+    bumped = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+    )
+    fresh = (
+        base.filter(F.col("c_custkey") % 100 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(1000000))
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("c_mktsegment", F.lit("NEW"))
+    )
+    changes = bumped.unionByName(fresh)
+    return upsert(base, changes, keys=["c_custkey"])
+
+
+@query(
+    "etl_scd2_user_values",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           )) AS valid_to_us,
+           CASE WHEN lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def etl_scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history from a change log: each signup event opens a
+    version valid until the same user's next one (lead over a per-key
+    window; event_id tie-break keeps the chain total and engine-
+    identical).  Intervals surface as exact epoch-µs integers — both
+    engines floor the fixture's ns timestamps to µs."""
+    from ..operators.etl import scd2_from_changes
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    v = scd2_from_changes(
+        ev, keys=["user_id"], ts_col="ts",
+        attr_cols=["event_id"], tie_break=["event_id"],
+    )
+    return v.select(
+        "user_id", "event_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )

@@ -40,10 +40,19 @@ def asof_join(
     direction: str = "backward",
     tie_break: str | Sequence[str] | None = None,
     how: str = "inner",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """For each left row, match the single right row with the greatest
     ``right_time <= left_time`` (direction='backward'; 'forward' = least
     ``right_time >= left_time``), within equal ``on`` keys.
+
+    ``tolerance`` bounds how stale the match may be: a candidate
+    farther than the tolerance from ``left_time`` is treated as no
+    match (dropped under ``how='inner'``, null-extended under
+    ``'left'``) — pandas ``merge_asof(tolerance=...)`` semantics,
+    applied as an exact post-predicate on the already-selected nearest
+    match.  Pass an SQL interval string (``'30 days'``) for timestamp
+    time columns, or a number for numeric ones.
 
     ``tie_break`` columns (right side) break right_time ties
     deterministically — always pass one when right_time is not unique per
@@ -112,6 +121,22 @@ def asof_join(
         u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__is_left") == 1)
     )
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        mt = F.col("__m").getField(right_time)
+        within = (
+            (F.col("__t") - mt <= tol)
+            if backward
+            else (mt - F.col("__t") <= tol)
+        )
+        # null __m (no match) propagates: when(null) -> null
+        matched = matched.withColumn(
+            "__m", F.when(within, F.col("__m"))
+        )
     if how == "inner":
         matched = matched.filter(F.col("__m").isNotNull())
     return matched.select("__l.*", "__m.*")

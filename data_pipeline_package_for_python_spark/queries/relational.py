@@ -696,6 +696,48 @@ def join_asof(spark, sf_dir):
     return j.select("event_id", "o_orderkey", "o_totalprice")
 
 
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ranked AS (
+        SELECT p.event_id AS purchase_id, p.ts AS pts,
+               c.event_id AS click_id, c.ts AS cts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, click_id FROM ranked
+    WHERE rn = 1 AND cts >= pts - INTERVAL 2 DAY
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (pandas merge_asof
+    ``tolerance`` semantics): each purchase attributes to the user's
+    latest PRIOR click, but only if that click is at most 2 days old —
+    older last-touches are no attribution at all.  The bound is an
+    exact post-predicate on the merge-scan's selected match; same
+    single-shuffle plan as the unbounded as-of."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    j = asof_join(
+        p, c, on="user_id", left_time="ts", right_time="cts",
+        left_key="purchase_id", tie_break="click_id",
+        tolerance="2 days",
+    )
+    return j.select("purchase_id", "click_id")
+
+
 def _orders_side_fits_broadcast(spark, orders_side) -> bool:
     """Stats-gated broadcast decision for the Q3/Q5 fact edge.
 

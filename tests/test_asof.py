@@ -151,3 +151,29 @@ def test_asof_matches_python_oracle(spark, lrows, rrows, direction, how):
     )
     rows = sorted((r.k, r.lt, r.lv, r.rt, r.rv) for r in got.collect())
     assert rows == _oracle(left, right, direction, how)
+
+
+def test_tolerance_bounds_match_staleness(spark):
+    """tolerance=3: (1,10) keeps its rt=10 match (diff 0), (1,20)'s
+    nearest rt=15 is 5 stale -> dropped under inner, null under left;
+    unmatched rows stay unmatched (no resurrection of farther rows)."""
+    left = _mk(spark, LEFT, LEFT_SCHEMA)
+    right = _mk(spark, RIGHT, RIGHT_SCHEMA)
+
+    def run(how):
+        got = asof_join(
+            left, right, "k", "lt", "rt",
+            left_key="lv", direction="backward", tie_break="rv",
+            how=how, tolerance=3,
+        )
+        return sorted((r.k, r.lt, r.lv, r.rt, r.rv) for r in got.collect())
+
+    base = _oracle(LEFT, RIGHT, "backward", "left")
+    want_left = sorted(
+        (k, lt, lv, rt, rv)
+        if rt is not None and lt - rt <= 3
+        else (k, lt, lv, None, None)
+        for k, lt, lv, rt, rv in base
+    )
+    assert run("left") == want_left
+    assert run("inner") == [r for r in want_left if r[3] is not None]

@@ -56,34 +56,43 @@ _SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    key = (sf_dir, table)
-    cached = _SCAN_CACHE.get(key)
+    cache_key = (sf_dir, table)
+    cached = _SCAN_CACHE.get(cache_key)
     if cached is not None and cached.sparkSession is spark:
         return cached
     if table == "events":
-        # events.ts is nanosecond-precision parquet, which Spark rejects by
-        # default (PARQUET_TYPE_ILLEGAL).  Read nanos as long, floor-divide
-        # to µs — exactly DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) behavior.
+        # events.ts arrives in whatever precision/annotation the fixture
+        # generator used; normalize to a plain TimestampType (session TZ
+        # is pinned to UTC) so every downstream op — unix_micros windows,
+        # watermarks, epoch-floor buckets — sees one canonical type:
+        #  * TIMESTAMP_NS parquet is rejected by default
+        #    (PARQUET_TYPE_ILLEGAL) — read nanos as long, floor-divide to
+        #    µs, exactly DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP);
+        #  * µs parquet with isAdjustedToUTC=false infers TIMESTAMP_NTZ —
+        #    cast to TIMESTAMP (value-preserving under the UTC session).
         # The legacy flag is consumed at schema resolution (inside
         # spark.read.parquet), so scope it tightly and restore whatever
         # was set before — session config must not leak out of a loader.
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
         try:
             df = spark.read.parquet(f"{sf_dir}/events.parquet")
-            if dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             if prev is None:
-                spark.conf.unset(key)
+                spark.conf.unset(conf_key)
             else:
-                spark.conf.set(key, prev)
+                spark.conf.set(conf_key, prev)
     else:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    _SCAN_CACHE[key] = df
+    _SCAN_CACHE[cache_key] = df
     return df
 
 

@@ -96,8 +96,14 @@ def prepare_events_stream_dir(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs parquet annotated isAdjustedToUTC=false infers NTZ; event
+            # time / watermarks / unix_micros need plain TIMESTAMP (UTC
+            # session makes the cast value-preserving).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         # split by event-time order so each staged file is a contiguous time
         # range -> oldest-file-first replay is a realistic arrival order
         from pyspark.sql.window import Window

@@ -34,6 +34,7 @@ __all__ = [
     "pack_sequences",
     "quality_score",
     "redact_pii",
+    "remove_boilerplate",
     "repetition_stats",
     "rolling_hash_fingerprint",
     "term_frequencies",
@@ -500,5 +501,107 @@ def pack_sequences(
         .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
         .withColumn(
             "n_tokens", F.size(F.split(F.col("chunk_text"), " ")).cast("long")
+        )
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    unit: str = "line",
+    min_doc_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (C4-style): drop every
+    ``unit`` (newline-delimited line, or whitespace word) that occurs in
+    at least ``min_doc_frac`` of all documents, and reassemble each
+    document from its surviving units in original order.
+
+    This is the cross-document counterpart of ``repetition_stats``
+    (which is within-document): headers, cookie banners and navigation
+    chrome repeat across pages and survive per-doc filters.
+
+    Distributed shape — three shuffles, all on compact keys:
+      1. ``posexplode`` → distinct (unit, id) → count per unit = the
+         document frequency (partial aggregation compresses map-side);
+      2. the boilerplate set joins back to the exploded units on
+         ``xxhash64(unit)`` — an 8-byte shuffle key regardless of unit
+         length (same trick as ``decontaminate``), with a string
+         equality check after the join so a hash collision can never
+         delete an innocent unit;
+      3. per-doc reassembly: ``collect_list(struct(pos, unit))`` →
+         ``array_sort`` → ``array_join`` — one group per document, list
+         size bounded by document length.
+    Never a cross join, never driver-side; the boilerplate set itself
+    stays distributed (it can be vocabulary-sized, so it is NOT pinned
+    to a broadcast — AQE demotes the join when it is actually small).
+
+    Returns (id, n_kept, n_removed, clean_text); ``clean_text`` is NULL
+    when every unit was boilerplate.
+    """
+    if unit not in ("line", "word"):
+        raise ValueError(f"unit must be 'line' or 'word', got {unit!r}")
+    sep = "\n" if unit == "line" else " "
+    base = ensure_parallel(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    units = base.select(
+        "id",
+        F.posexplode(F.split(F.col("__text"), sep)).alias("pos", "u"),
+    )
+
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        units.select("id", "u")
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("nd")
+            >= F.col("n_docs").cast("double") * F.lit(min_doc_frac)
+        )
+        .select(
+            F.xxhash64("u").alias("bh"), F.col("u").alias("bu")
+        )
+    )
+
+    kept = (
+        units.withColumn("uh", F.xxhash64("u"))
+        .join(
+            boiler,
+            (F.col("uh") == F.col("bh")) & (F.col("u") == F.col("bu")),
+            "left_anti",
+        )
+        .drop("uh")
+    )
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("u")))
+                ),
+                lambda s: s["u"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return (
+        base.withColumn(
+            "__n_total", F.size(F.split(F.col("__text"), sep)).cast("long")
+        )
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            (
+                F.col("__n_total")
+                - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+            ).alias("n_removed"),
+            "clean_text",
         )
     )

@@ -45,6 +45,9 @@ __all__ = [
     "rollup_time",
     "sum_units",
     "gap_fill",
+    "rolling_time_agg",
+    "ohlc",
+    "sessionize",
 ]
 
 _UNIT_S = {
@@ -202,4 +205,113 @@ def gap_fill(
         F.col(bucket_col),
         filled.alias(out_name),
         F.when(v.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: tuple[str, ...],
+    width: str,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Trailing time-based window aggregates: for every row, aggregate
+    the rows of the same key whose ``ts`` lies in ``[ts - width, ts]``
+    (both bounds inclusive — SQL ``RANGE BETWEEN INTERVAL width
+    PRECEDING AND CURRENT ROW``).
+
+    Implemented as ONE window per key ordered by ``unix_micros(ts)``
+    with a ``rangeBetween`` frame in exact integer microseconds — no
+    self-join (the naive ``e1 ⋈ e2 ON e2.ts BETWEEN e1.ts - w AND
+    e1.ts`` shape multiplies the fact table by its own window density;
+    the window form sorts each key once and slides).  At 100 TB one
+    key's rows sit in one task: fine for per-user/per-device keys
+    (bounded series), the wrong tool for a single global key — bucket
+    first (``rollup_time``) and roll over buckets instead.
+
+    ``aggs`` values are ordinary aggregate Columns (evaluated over the
+    frame).  Frame aggregates over DOUBLE should go through integer
+    units (see ``sum_units``) if the result must be engine-exact.
+    """
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-width_seconds(width) * 1_000_000, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str,
+    keys: tuple[str, ...] = (),
+    tie_break: tuple[str, ...] = (),
+) -> DataFrame:
+    """Candlestick downsample: per (bucket, keys) emit
+    open / high / low / close of ``value_col``.
+
+    One hash aggregate (same single-shuffle shape as ``rollup_time``).
+    Open/close are deterministic ordered picks via struct min/max —
+    ``min(struct(ts, *tie_break, value))`` orders by event time with
+    ``tie_break`` making the order total — not ``first()``, whose
+    result depends on partition arrival order.  High/low are plain
+    min/max.  All four are *picked* stored values (no arithmetic), so
+    DOUBLE outputs hash-match across engines without unit scaling.
+    """
+    ts = F.col(ts_col)
+    pick = F.struct(
+        ts, *[F.col(c) for c in tie_break], F.col(value_col).alias("v")
+    )
+    bucket = time_bucket(ts_col, width).alias("bucket")
+    return df.groupBy(bucket, *[F.col(k) for k in keys]).agg(
+        F.min(pick)["v"].alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(pick)["v"].alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: tuple[str, ...],
+    gap: str = "30 minutes",
+    order_tie: tuple[str, ...] = (),
+) -> DataFrame:
+    """Batch gap-based sessionization: rows of one key belong to one
+    session while consecutive gaps stay ≤ ``gap``; a larger gap starts
+    a new session.
+
+    The classic two-window shape — ``lag(ts)`` flags session starts,
+    a running ``sum`` of flags numbers sessions per key — both windows
+    share ONE partitioning/ordering (key, ts, tie), so Spark plans a
+    single sort + window exec, and each key's series stays in one task
+    (same per-key boundedness argument as ``rolling_time_agg``).
+    This is the batch twin of the streaming ``session_window``
+    aggregation; use it when the data is at rest and sessions need
+    arbitrary post-hoc stats.
+
+    Returns the input plus ``session_id`` (1-based per key, ordered by
+    time).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in order_tie]]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    gap_us = width_seconds(gap) * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_session = (
+        F.when(F.lag(ts_us).over(w).isNull(), F.lit(1))
+        .when(ts_us - F.lag(ts_us).over(w) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )

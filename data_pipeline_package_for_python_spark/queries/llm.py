@@ -1137,3 +1137,52 @@ def scan_binary_files(spark, sf_dir):
         F.length("content").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha"),
     )
+
+
+@query(
+    "text_boilerplate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS u
+      FROM documents
+    ), d AS (
+      SELECT u, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (
+      SELECT u FROM d, n WHERE nd >= CAST(n_docs AS DOUBLE) * 0.5
+    ), kept AS (
+      SELECT doc_id, pos, u FROM w
+      WHERE u NOT IN (SELECT u FROM boiler)
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(u, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1
+    )
+    SELECT doc.doc_id AS id,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(doc.text, ' '))
+                - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(a.clean_text) AS clean_md5
+    FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (C4-style): units occurring
+    in ≥50% of all documents are dropped and each document is
+    reassembled from its surviving units in original order
+    (operators/text.py remove_boilerplate; unit='word' here because the
+    fixture corpus is single-line — the line mode that real web corpora
+    use is pinned by tests/test_llm_ops.py).  Join back on
+    xxhash64(unit) 8-byte keys with a post-join string equality check,
+    reassembly via per-doc sorted collect — never a cross join, never
+    driver-side.  Output text is md5'd to keep the checked surface
+    compact."""
+    docs = load(spark, sf_dir, "documents")
+    out = T.remove_boilerplate(
+        docs, "doc_id", "text", unit="word", min_doc_frac=0.5
+    )
+    return out.select(
+        "id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )

@@ -1575,3 +1575,31 @@ def setop_intersect_except(spark, sf_dir):
             tagged(with_orders.exceptAll(rich), "n_except_all")
         )
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT lang,
+           CAST(count(doc_id) AS BIGINT) AS count_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Salted two-phase aggregation on a skewed key (documents.lang —
+    a handful of values, one dominant): phase 1 groups on (lang, salt)
+    so the hot language spreads over 32 reducers, phase 2 merges the
+    partials (operators/skew.py salted_groupby_agg).  The result is
+    salt-invariant — identical to the plain GROUP BY the oracle runs —
+    which is exactly why the operator is safe to drop in when one key
+    would otherwise exceed a reducer.  count/sum are decomposable, so
+    both phases keep map-side partial aggregation."""
+    from ..operators.skew import salted_groupby_agg
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return salted_groupby_agg(
+        docs, ["lang"], {"doc_id": "count", "n_chars": "sum"}
+    )

@@ -217,3 +217,127 @@ def ts_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"approx_users": F.hll_sketch_estimate(F.hll_union_agg("sk"))},
     )
     return weekly.select(F.col("bucket").alias("week"), "approx_users")
+
+
+@query(
+    "ts_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           (SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w)
+               / CAST(100 AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling aggregates at every event.
+    ONE window (sort each user's series once, slide the frame) — never
+    the naive time-band self-join, which multiplies the fact table by
+    its own window density.  The rolling sum goes through exact integer
+    units so the DOUBLE output is engine-identical."""
+    from ..operators.timeseries import rolling_time_agg
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_time_agg(
+        ev, "ts", ("user_id",), "1 hour",
+        aggs={
+            "n_1h": F.count(F.lit(1)),
+            "__units": F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ),
+        },
+    )
+    return out.select(
+        "event_id", "user_id", "n_1h",
+        (F.col("__units") / F.lit(100.0)).alias("sum_1h"),
+    )
+
+
+@query(
+    "ts_ohlc_6h",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_BUCKET_SQL.format(w=21600)} AS bucket,
+             event_type, event_id, value, ts
+      FROM events
+    ), r AS (
+      SELECT bucket, event_type, value,
+             row_number() OVER (PARTITION BY bucket, event_type
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY bucket, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM b
+    )
+    SELECT bucket, event_type,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsample: 6-hour candles per event_type in
+    ONE hash aggregate — open/close are deterministic ordered picks via
+    struct min/max on (ts, event_id, value), never ``first()`` (whose
+    answer depends on partition arrival order).  All four outputs are
+    picked stored DOUBLEs, so they hash-match without unit scaling."""
+    from ..operators.timeseries import ohlc
+
+    ev = load(spark, sf_dir, "events")
+    return ohlc(
+        ev, "ts", "value", "6 hours",
+        keys=("event_type",), tie_break=("event_id",),
+    )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_id
+      FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+               AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (30-minute inactivity splits) + session
+    stats.  lag-flag → running-sum numbering shares one sort per user
+    (Spark plans a single Window exec), then one aggregate on
+    (user, session).  The batch twin of the streaming session_window
+    query — at rest you also get arbitrary post-hoc session stats."""
+    from ..operators.timeseries import sessionize
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    s = sessionize(
+        ev, "ts", ("user_id",), gap="30 minutes", order_tie=("event_id",)
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
+        ).alias("duration_s"),
+    )

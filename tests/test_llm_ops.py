@@ -529,3 +529,43 @@ def test_pack_sequences_chunk_law(spark, tables):
         assert sum(c.n_tokens for c in chunks) == n_words[doc]
         # reassembling the chunks reproduces the document token stream
         assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+
+
+def test_remove_boilerplate_line_mode(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nfooter"),
+            (2, "COOKIE BANNER\nunique text here\nfooter"),
+            (3, "COOKIE BANNER\nmore original prose"),
+            (4, "COOKIE BANNER\nfooter"),  # fully boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in T.remove_boilerplate(
+            docs, "doc_id", "text", unit="line", min_doc_frac=0.75
+        ).collect()
+    }
+    # banner in 4/4 docs, footer in 3/4 (= 0.75) -> both removed
+    assert out[1].clean_text == "real content one"
+    assert out[2].clean_text == "unique text here"
+    assert out[3].clean_text == "more original prose"
+    assert out[4].clean_text is None and out[4].n_kept == 0
+    assert out[1].n_removed == 2 and out[4].n_removed == 2
+
+
+def test_remove_boilerplate_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "keep1 DROP keep2 DROP keep3"), (2, "DROP x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in T.remove_boilerplate(
+            docs, "doc_id", "text", unit="word", min_doc_frac=1.0
+        ).collect()
+    }
+    # only DROP is in 100% of docs; surviving words keep original order
+    assert out[1].clean_text == "keep1 keep2 keep3"
+    assert out[2].clean_text == "x"

@@ -151,3 +151,76 @@ def test_hll_distinct_rollup_accuracy_and_merge_law(spark, tables):
     assert got == want  # register-max union is lossless vs direct build
     for wk, n in truth.items():
         assert abs(got[wk] - n) <= max(2, 0.05 * n)
+
+
+def test_sessionize_gap_splits_and_numbers_sessions(spark):
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions (40-minute gap between event 3 and 4)
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(minutes=10), 2),
+        (1, t0 + dt.timedelta(minutes=25), 3),
+        (1, t0 + dt.timedelta(minutes=65), 4),
+        (1, t0 + dt.timedelta(minutes=70), 5),
+        # user 2: one session, exactly-at-gap boundary stays inside
+        (2, t0, 6),
+        (2, t0 + dt.timedelta(minutes=30), 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize(
+            df, "ts", ("user_id",), gap="30 minutes", order_tie=("event_id",)
+        ).collect()
+    }
+    assert got == {
+        (1, 1): 1, (1, 2): 1, (1, 3): 1,
+        (1, 4): 2, (1, 5): 2,
+        (2, 6): 1, (2, 7): 1,
+    }
+
+
+def test_ohlc_deterministic_picks_with_ties(spark):
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        ohlc,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    same_ts = t0 + dt.timedelta(minutes=5)
+    rows = [
+        ("a", t0, 1, 10.0),
+        # two rows share the close timestamp: event_id must break the tie
+        ("a", same_ts, 3, 30.0),
+        ("a", same_ts, 2, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, value double"
+    )
+    (r,) = ohlc(
+        df, "ts", "value", "1 hour", keys=("k",), tie_break=("event_id",)
+    ).collect()
+    assert (r.open, r.high, r.low, r.close, r.n) == (10.0, 30.0, 5.0, 30.0, 3)
+    assert r.bucket == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_rolling_time_agg_trailing_window_inclusive(spark):
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        rolling_time_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(hours=1), 2.0),          # t0 still in [-1h, 0]
+        (1, t0 + dt.timedelta(hours=2, seconds=1), 4.0),  # t0+1h now out
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rolling_time_agg(
+        df, "ts", ("user_id",), "1 hour", aggs={"s": F.sum("value")}
+    )
+    got = sorted((r.ts, r.s) for r in out.collect())
+    assert [s for _, s in got] == [1.0, 3.0, 4.0]

@@ -4,7 +4,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_parallel"]
+__all__ = ["ensure_parallel", "swap_cache"]
+
+
+# Single-slot cache registry: one live persisted frame per tag.  An
+# operator that persists an intermediate (e.g. MinHash signatures feeding
+# both the LSH band join and the verification lookups) registers it here;
+# the NEXT call under the same tag unpersists the previous occupant
+# before persisting its own.  This bounds cached-block growth to one
+# frame per operator in long-lived sessions (repeated pipeline runs,
+# benchmarks, notebooks) — the round-1 leak was measured at 10× query
+# slowdown once evicted blocks started thrashing executor memory.
+# Callers that need several live results concurrently pass distinct tags.
+_CACHE_SLOTS: dict[str, DataFrame] = {}
+
+
+def swap_cache(tag: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` under ``tag``, retiring the tag's previous frame."""
+    prev = _CACHE_SLOTS.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session of the old frame may already be stopped
+    out = df.persist()
+    _CACHE_SLOTS[tag] = out
+    return out
 
 
 def ensure_parallel(df: DataFrame) -> DataFrame:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ._util import ensure_parallel
+from ._util import ensure_parallel, swap_cache
 
 __all__ = [
     "MINHASH_PRIME",
@@ -355,14 +355,19 @@ def near_dedup_minhash(
     buckets (see :func:`lsh_candidate_pairs`).
 
     Cache lifetime: the persisted signature frame backs the RETURNED
-    (lazy) DataFrame, so it cannot be released here.  It is attached as
-    ``result.sig_cache`` — long-lived sessions that call this repeatedly
-    should ``result.sig_cache.unpersist()`` once the result is
-    materialized; one-shot jobs can ignore it (executor exit frees the
-    blocks).
+    (lazy) DataFrame, so it cannot be released here.  It occupies the
+    single-slot cache tag ``near_dedup_minhash.sigs`` (``_util.
+    swap_cache``): the next call unpersists it automatically, so
+    repeated runs in one session hold at most one live signature frame
+    (the round-2 bench measured 10× degradation once leaked blocks
+    started evicting).  It is also attached as ``result.sig_cache`` for
+    callers that want to release it earlier.
     """
     arrs = _shingle_arrays(df, id_col, text_col, n)
-    sigs = _signatures_from_arrays(arrs, num_hashes=num_hashes).persist()
+    sigs = swap_cache(
+        "near_dedup_minhash.sigs",
+        _signatures_from_arrays(arrs, num_hashes=num_hashes),
+    )
     cands = lsh_candidate_pairs(
         sigs.drop("__sh_arr"),
         bands=bands,

@@ -349,3 +349,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "etl_referential_check",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+      CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customers,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS n_orphan_orders,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS n_orphan_lineitems,
+      CAST((SELECT coalesce(sum(cnt), 0) FROM (
+              SELECT count(*) AS cnt FROM customer
+              GROUP BY c_custkey HAVING count(*) > 1))
+           AS BIGINT) AS n_dup_pk_rows,
+      CAST((SELECT count(*) FROM customer WHERE c_custkey IS NULL)
+           AS BIGINT) AS n_null_pk
+    """,
+)
+def etl_referential_check(spark, sf_dir):
+    """Warehouse data-quality gate: primary-key uniqueness, PK
+    null-freedom, and two foreign-key orphan counts in one result row.
+    Orphans are left-anti joins (shuffle on the key, AQE broadcasts the
+    dim side when small); PK duplication is one aggregate over the key.
+    The five 1-row aggregates cross-join broadcast-style into a single
+    report — the shape of a dbt-style expectations suite running as one
+    Spark job, not five sequential driver round-trips."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_customers = c.agg(F.count(F.lit(1)).alias("n_customers"))
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    orphan_lineitems = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
+    )
+    dup_pk = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias(
+                "n_dup_pk_rows"
+            )
+        )
+    )
+    null_pk = c.filter(F.col("c_custkey").isNull()).agg(
+        F.count(F.lit(1)).alias("n_null_pk")
+    )
+    return (
+        n_orders.crossJoin(n_customers)
+        .crossJoin(orphan_orders)
+        .crossJoin(orphan_lineitems)
+        .crossJoin(dup_pk)
+        .crossJoin(null_pk)
+    )

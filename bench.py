@@ -41,14 +41,27 @@ BENCH_SET: dict[str, tuple[str, ...]] = {
 }
 
 
-def median_time(fn, runs: int = RUNS) -> float:
-    fn()  # warm-up, discarded
-    times = []
+def interleaved_medians(spark_fn, duck_fn, runs: int = RUNS):
+    """A/B/A/B timing: alternate the two engines run-by-run so slow drift
+    (thermal, page cache, background load) hits both equally — round-2
+    evidence showed the DuckDB control moving +79% between back-to-back
+    sequential sessions on identical SQL, which made ratios unstable."""
+    spark_fn()  # warm-up, discarded
+    if duck_fn is not None:
+        duck_fn()
+    s_times, d_times = [], []
     for _ in range(runs):
         t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+        spark_fn()
+        s_times.append(time.perf_counter() - t0)
+        if duck_fn is not None:
+            t0 = time.perf_counter()
+            duck_fn()
+            d_times.append(time.perf_counter() - t0)
+    return (
+        statistics.median(s_times),
+        statistics.median(d_times) if d_times else 0.0,
+    )
 
 
 def main() -> None:
@@ -107,13 +120,14 @@ def main() -> None:
             # analogue of DuckDB's native fetchall(); collect() would add
             # row-at-a-time pickle overhead that is harness cost, not query
             # cost.
-            s_total += median_time(
-                lambda q=q: q.spark_fn(spark, SF_DIR).toPandas()
+            s_med, d_med = interleaved_medians(
+                lambda q=q: q.spark_fn(spark, SF_DIR).toPandas(),
+                (lambda q=q: con.execute(q.oracle).fetchall())
+                if q.oracle
+                else None,
             )
-            if q.oracle:
-                d_total += median_time(
-                    lambda q=q: con.execute(q.oracle).fetchall()
-                )
+            s_total += s_med
+            d_total += d_med
         spark_sec[bid] = round(s_total, 4)
         duck_sec[bid] = round(d_total, 4)
         print(

@@ -102,6 +102,43 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [c / n for c in counts]
 
 
+# ---------------------------------------------------------------------- #
+# real codec: PPM (P6) — the one uncompressed format decodable with the  #
+# stdlib alone.  Strict canonical layout b"P6\n<w> <h>\n255\n<rgb>";     #
+# parse failures raise ValueError so corrupt payloads surface as task    #
+# errors, not silent garbage.                                            #
+# ---------------------------------------------------------------------- #
+
+
+def ppm_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """Canonical P6 bytes for a width×height RGB buffer."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb buffer is {len(rgb)} bytes, want {width * height * 3}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def ppm_parse(payload: bytes, offset: int = 0) -> tuple[int, int, int, int]:
+    """Parse one canonical P6 header at ``offset``; returns
+    (width, height, pixel_offset, pixel_length).  Supports concatenated
+    frames (the engine's uncompressed video container): call again at
+    ``pixel_offset + pixel_length`` for the next frame."""
+    if payload[offset : offset + 3] != b"P6\n":
+        raise ValueError(f"not a canonical P6 header at offset {offset}")
+    sp = payload.index(b" ", offset + 3)
+    nl = payload.index(b"\n", sp + 1)
+    width = int(payload[offset + 3 : sp])
+    height = int(payload[sp + 1 : nl])
+    if payload[nl + 1 : nl + 5] != b"255\n":
+        raise ValueError(f"unsupported maxval at offset {offset}")
+    pixel_off = nl + 5
+    pixel_len = width * height * 3
+    if pixel_off + pixel_len > len(payload):
+        raise ValueError(f"truncated P6 pixel data at offset {offset}")
+    return width, height, pixel_off, pixel_len
+
+
 def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode payloads to fixed-dim feature vectors:
     (media_id, features ARRAY<DOUBLE>).
@@ -143,34 +180,65 @@ def resize_media(
     (media_id, thumb BINARY, meta STRUCT<width, height, n_bytes,
     content_sha>).
 
-    The resample itself is the codec-dependent stage and is STUBBED
-    like :func:`decode_media` (no Pillow/libav here): ``fake=True``
-    substitutes a deterministic crop-to-``width*height``-bytes
-    "thumbnail" so the distributed shape is fully exercised — Arrow
-    batches through ``mapInPandas``, bounded per-item output size
-    (a thumbnail is ≤ width×height regardless of source size, which is
+    With ``fake=False`` payloads must be canonical P6 PPM images: they
+    are REALLY decoded (:func:`ppm_parse`), nearest-neighbor resampled
+    to ``width×height`` (``src = floor(dst * src_dim / dst_dim)`` — the
+    deterministic resample every engine agrees on), and re-encoded as
+    P6.  Compressed formats (JPEG/PNG — codecs not in this
+    environment) still need ``fake=True``, a deterministic
+    crop-to-``width*height``-bytes stub.
+
+    Either way the distributed shape is the real one: Arrow batches
+    through ``mapInPandas``, bounded per-item output size (a thumbnail
+    is ≤ header + width×height×3 regardless of source size, which is
     what makes the output safely re-shuffleable at 100 TB), and the
     thumbnail metadata (length, content sha) computed JVM-side AFTER
     the Python stage so no hashing happens in Python."""
-    if not fake:
-        raise NotImplementedError(
-            "real media codecs (Pillow/libav) are not available in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
-    target = width * height
+    if fake:
+        target = width * height
 
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+        def batches(
+            it: Iterator["pd.DataFrame"],
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
 
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "thumb": pdf["payload"].map(
-                        lambda p: bytes(p)[:target]
-                    ),
-                }
-            )
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "thumb": pdf["payload"].map(
+                            lambda p: bytes(p)[:target]
+                        ),
+                    }
+                )
+
+    else:
+
+        def batches(
+            it: Iterator["pd.DataFrame"],
+        ) -> Iterator["pd.DataFrame"]:
+            import numpy as np
+            import pandas as pd
+
+            ys_base = np.arange(height)
+            xs_base = np.arange(width)
+            for pdf in it:
+                thumbs = []
+                for p in pdf["payload"]:
+                    b = bytes(p)
+                    w, h, po, pl = ppm_parse(b)
+                    arr = np.frombuffer(
+                        b, dtype=np.uint8, count=pl, offset=po
+                    ).reshape(h, w, 3)
+                    resized = arr[(ys_base * h) // height][
+                        :, (xs_base * w) // width
+                    ]
+                    thumbs.append(
+                        ppm_encode(width, height, resized.tobytes())
+                    )
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"], "thumb": thumbs}
+                )
 
     out = media.select("media_id", "payload").mapInPandas(
         batches, schema="media_id long, thumb binary"
@@ -197,19 +265,38 @@ def sample_frames(
     """Sample frames from each payload — the 1→N expansion stage of a
     video pipeline: (media_id, frame_idx, frame BINARY).
 
-    Real frame extraction is codec-bound and stubbed; ``fake=True``
-    chunks the payload into consecutive ``frame_bytes`` windows (one
-    "frame" per chunk, at least one even for empty payloads) — the
-    batch shape is the real one: a single ``mapInPandas`` pass where
-    each input row yields a variable number of output rows inside the
-    same Arrow batch, no explode/join, no shuffle.  ``max_frames``
-    bounds the expansion factor (the knob that keeps a pathological
-    10-hour video from emitting 10⁶ rows into one task's output)."""
-    if not fake:
-        raise NotImplementedError(
-            "real media codecs (Pillow/libav) are not available in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
+    With ``fake=False`` payloads must be the engine's uncompressed
+    video container — consecutive canonical P6 frames — and frame
+    extraction is REAL: each header is parsed (:func:`ppm_parse`), each
+    frame's exact byte extent sliced out, and a trailing partial frame
+    raises.  Compressed containers (mp4/webm — codecs not in this
+    environment) still need ``fake=True``, which chunks the payload
+    into fixed ``frame_bytes`` windows (one "frame" per chunk, at least
+    one even for empty payloads).
+
+    Either way the batch shape is the real one: a single
+    ``mapInPandas`` pass where each input row yields a variable number
+    of output rows inside the same Arrow batch, no explode/join, no
+    shuffle.  ``max_frames`` bounds the expansion factor (the knob that
+    keeps a pathological 10-hour video from emitting 10⁶ rows into one
+    task's output)."""
+
+    def split_frames(b: bytes) -> list[bytes]:
+        if fake:
+            n = max(1, -(-len(b) // frame_bytes))  # ceil, ≥1
+            if max_frames is not None:
+                n = min(n, max_frames)
+            return [
+                b[i * frame_bytes : (i + 1) * frame_bytes] for i in range(n)
+            ]
+        out, off = [], 0
+        while off < len(b):
+            _, _, po, pl = ppm_parse(b, off)
+            out.append(b[off : po + pl])
+            off = po + pl
+            if max_frames is not None and len(out) >= max_frames:
+                break
+        return out
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -217,14 +304,10 @@ def sample_frames(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(p)
-                n = max(1, -(-len(b) // frame_bytes))  # ceil, ≥1
-                if max_frames is not None:
-                    n = min(n, max_frames)
-                for i in range(n):
+                for i, fr in enumerate(split_frames(bytes(p))):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    frames.append(fr)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )

@@ -1046,64 +1046,160 @@ def multimodal_features(spark, sf_dir):
     return M.media_features(media, fake=True)
 
 
+# Deterministic synthetic PPM fixtures: pixel (x, y, channel c) of
+# doc_id's image is (doc_id*31 + y*17 + x*7 + c*3) % 256, dimensions
+# w = 4 + doc_id % 13, h = 4 + doc_id % 11.  The payload is built
+# JVM-side (codegen: sequence → transform → unhex), the operator's
+# Python codec REALLY parses it back (operators/multimodal.py
+# ppm_parse — it never sees the formula), and the oracle reconstructs
+# the expected OUTPUT bytes from the same formula — so a header-parse,
+# stride, or resample bug surfaces as a byte-level mismatch.
+_PPM_HEADER_SQL = (
+    "cast(concat('P6', char(10), cast({w} as string), ' ', "
+    "cast({h} as string), char(10), '255', char(10)) as binary)"
+)
+
+
+def _ppm_payload_sql(w: str, h: str, val: str) -> str:
+    """Spark SQL expr building a canonical P6 payload; ``val`` is a
+    formula over flat pixel index ``i`` (y = i div (w*3),
+    x = (i % (w*3)) div 3, c = i % 3)."""
+    header = _PPM_HEADER_SQL.format(w=w, h=h)
+    return (
+        f"concat({header}, unhex(concat_ws('', "
+        f"transform(sequence(0, ({w}) * ({h}) * 3 - 1, 1), "
+        f"i -> format_string('%02x', {val})))))"
+    )
+
+
+_RESIZE_VAL = (
+    "(doc_id * 31 + (i div ((4 + doc_id % 13) * 3)) * 17"
+    " + ((i % ((4 + doc_id % 13) * 3)) div 3) * 7 + (i % 3) * 3) % 256"
+)
+
+
 @query(
     "multimodal_resize",
     oracle="""
-    SELECT doc_id AS media_id,
-           8 AS width, 8 AS height,
-           least(strlen(text), 64) AS n_bytes,
-           sha256(substring(text, 1, 64)) AS content_sha
-    FROM documents
+    WITH px AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+             unnest(range(0, 192)) AS i
+      FROM documents
+    ), v AS (
+      SELECT doc_id, i,
+             (doc_id * 31
+              + (((i // 24) * h) // 8) * 17
+              + ((((i % 24) // 3) * w) // 8) * 7
+              + (i % 3) * 3) % 256 AS val
+      FROM px
+    ), thumb AS (
+      SELECT doc_id,
+             encode('P6' || chr(10) || '8 8' || chr(10) || '255'
+                    || chr(10))
+             || from_hex(string_agg(right('0' || to_hex(val), 2), ''
+                                    ORDER BY i)) AS tb
+      FROM v GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           octet_length(tb) AS n_bytes, hex(tb) AS thumb_hex
+    FROM thumb
     """,
 )
 def multimodal_resize(spark, sf_dir):
-    """Thumbnail stage (deterministic fake resample): bounded-size
-    output payloads via mapInPandas, thumbnail metadata (length +
-    content sha) computed JVM-side after the Python stage."""
-    docs = load(spark, sf_dir, "documents")
-    media = M.pack_media(docs, "doc_id", "text")
-    resized = M.resize_media(media, width=8, height=8, fake=True)
+    """REAL thumbnail stage over synthetic P6 images: the JVM builds
+    each doc's PPM payload in codegen, the Arrow-batched mapInPandas
+    codec parses the header, nearest-neighbor resamples to 8×8
+    (src = floor(dst*src_dim/8)), and re-encodes; the oracle rebuilds
+    the expected thumbnail bytes pixel-by-pixel.  Byte-level equality
+    of the two 203-byte payloads is the check — no hashing, no stub."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        F.expr(
+            _ppm_payload_sql(
+                "4 + doc_id % 13", "4 + doc_id % 11", _RESIZE_VAL
+            )
+        ).alias("payload"),
+    )
+    media = M.pack_media(imgs, "doc_id", "payload",
+                         mime="image/x-portable-pixmap")
+    resized = M.resize_media(media, width=8, height=8, fake=False)
     return resized.select(
         "media_id",
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
-        F.col("meta.content_sha").alias("content_sha"),
+        F.hex("thumb").alias("thumb_hex"),
     )
+
+
+# Frame f of doc_id's container: w = 3 + (doc_id + f) % 5,
+# h = 2 + (doc_id + f) % 3, pixel value adds f*13 to the still formula.
+_FRAME_W = "(3 + (doc_id + f) % 5)"
+_FRAME_H = "(2 + (doc_id + f) % 3)"
+_FRAME_VAL = (
+    f"(doc_id * 31 + f * 13 + (i div ({_FRAME_W} * 3)) * 17"
+    f" + ((i % ({_FRAME_W} * 3)) div 3) * 7 + (i % 3) * 3) % 256"
+)
 
 
 @query(
     "multimodal_frame_sample",
     oracle="""
-    WITH f AS (
-      SELECT doc_id,
-             unnest(range(0, greatest(1,
-               CAST(ceil(strlen(text) / 64.0) AS BIGINT)))) AS frame_idx,
-             text
+    WITH fr AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS f
       FROM documents
+    ), dims AS (
+      SELECT doc_id, f, 3 + (doc_id + f) % 5 AS w, 2 + (doc_id + f) % 3 AS h
+      FROM fr
+    ), px AS (
+      SELECT doc_id, f, w, h, unnest(range(0, w * h * 3)) AS i
+      FROM dims
+    ), v AS (
+      SELECT doc_id, f, w, h, i,
+             (doc_id * 31 + f * 13 + (i // (w * 3)) * 17
+              + ((i % (w * 3)) // 3) * 7 + (i % 3) * 3) % 256 AS val
+      FROM px
+    ), frames AS (
+      SELECT doc_id, f,
+             encode('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                    || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+             || from_hex(string_agg(right('0' || to_hex(val), 2), ''
+                                    ORDER BY i)) AS fb
+      FROM v GROUP BY doc_id, f, w, h
     )
-    SELECT doc_id AS media_id,
-           CAST(frame_idx AS INTEGER) AS frame_idx,
-           strlen(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
-               AS frame_bytes,
-           sha256(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
-               AS frame_sha
-    FROM f
+    SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           octet_length(fb) AS frame_bytes, hex(fb) AS frame_hex
+    FROM frames
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):
-    """Frame sampling (deterministic fake chunker): the 1-to-N video
-    expansion through ONE mapInPandas pass — variable rows-out per
-    row-in inside the same Arrow batch, no explode/join/shuffle; frame
-    hashes JVM-side."""
-    docs = load(spark, sf_dir, "documents")
-    media = M.pack_media(docs, "doc_id", "text")
-    frames = M.sample_frames(media, frame_bytes=64, fake=True)
+    """REAL frame extraction from an uncompressed video container
+    (consecutive P6 frames, variable per-frame dimensions): the JVM
+    concatenates 1 + doc_id % 4 frames per doc in codegen, the
+    mapInPandas codec walks the container header-by-header slicing
+    exact frame extents (1→N rows inside one Arrow batch, no
+    explode/join/shuffle), and the oracle rebuilds every expected
+    frame byte-for-byte."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    frame_expr = _ppm_payload_sql(_FRAME_W, _FRAME_H, _FRAME_VAL)
+    container = docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(0, doc_id % 4, 1), "
+            f"f -> {frame_expr}), cast('' as binary), "
+            "(acc, x) -> concat(acc, x))"
+        ).alias("payload"),
+    )
+    media = M.pack_media(container, "doc_id", "payload",
+                         modality="video",
+                         mime="video/x-concatenated-ppm")
+    frames = M.sample_frames(media, fake=False)
     return frames.select(
         "media_id",
         "frame_idx",
         F.length("frame").alias("frame_bytes"),
-        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+        F.hex("frame").alias("frame_hex"),
     )
 
 

@@ -751,11 +751,27 @@ def _orders_side_fits_broadcast(spark, orders_side) -> bool:
     knob as Catalyst's planner (-1 disables it).  At the 100 TB design
     point the scan estimate is in the terabytes and the gate always
     declines — the unconditional ``F.broadcast`` pin this replaces
-    would have OOM'd the driver there."""
+    would have OOM'd the driver there.
+
+    The verdict is memoized per (session, lineage, threshold): the scan
+    estimate is pure metadata (parquet footer sizes) and stable for a
+    given input, while computing it forces analysis + optimization of
+    the probe frame — ~50 ms of py4j/Catalyst per call that would
+    otherwise be paid on every plan construction."""
     from .. import plans
 
     thr = plans.broadcast_threshold_bytes(spark)
-    return thr > 0 and plans.estimated_size_bytes(orders_side) <= thr
+    if thr <= 0:
+        return False
+    key = (id(spark), orders_side._jdf.queryExecution().logical().semanticHash(), thr)
+    hit = _GATE_CACHE.get(key)
+    if hit is None:
+        hit = plans.estimated_size_bytes(orders_side) <= thr
+        _GATE_CACHE[key] = hit
+    return hit
+
+
+_GATE_CACHE: dict[tuple[int, int, int], bool] = {}
 
 
 @query(
@@ -793,6 +809,38 @@ def join_star_q5(spark, sf_dir):
     )
     li = load(spark, sf_dir, "lineitem")
 
+    li_sel = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    if _orders_side_fits_broadcast(spark, o):
+        # Small-side path: every broadcast build is an INDEPENDENT base
+        # scan (orders, customer, nation, region), so AQE materializes
+        # all four concurrently — one wall-clock round instead of the
+        # serialized chain bcast(r) → bcast(n⋈r) → bcast(c⋈n⋈r) →
+        # bcast(o⋈dims) that a pre-joined dim tree costs.  The lineitem
+        # probe then pipelines all four broadcast hash joins in a single
+        # stage; the only shuffle is the 5-group rollup.  (The probed
+        # orders estimate bounds the largest broadcast; c/n/r are true
+        # dims.)
+        revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
+        return (
+            li_sel.join(
+                F.broadcast(o.select("o_orderkey", "o_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(c.select("c_custkey", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(n.select("n_nationkey", "n_regionkey", "n_name")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(r.select("r_regionkey")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .groupBy("n_name")
+            .agg(revenue_expr.alias("revenue"))
+        )
     dims = star_join(
         c,
         (n, F.col("c_nationkey") == F.col("n_nationkey")),
@@ -801,22 +849,6 @@ def join_star_q5(spark, sf_dir):
     enriched_orders = o.join(
         F.broadcast(dims), o.o_custkey == dims.c_custkey
     ).select("o_orderkey", "n_name")
-
-    li_sel = li.select("l_orderkey", "l_extendedprice", "l_discount")
-    if _orders_side_fits_broadcast(spark, o):
-        # Small-side path: enriched ⊆ orders scan (inner join with a dim
-        # adds bounded width), so the probed scan estimate bounds the
-        # broadcast.  lineitem streams map-side; ONE shuffle (rollup) of
-        # pre-filtered joined rows.
-        revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
-        return (
-            li_sel.join(
-                F.broadcast(enriched_orders),
-                F.col("l_orderkey") == enriched_orders.o_orderkey,
-            )
-            .groupBy("n_name")
-            .agg(revenue_expr.alias("revenue"))
-        )
     # Scale path: aggregation pushed below the join — lineitem
     # pre-aggregates per l_orderkey into exact integer revenue units
     # (associative, lossless), the single fact-sized shuffle carries
@@ -879,18 +911,21 @@ def join_q3_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1996-01-01"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    enriched = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "o_orderdate"
-    )
     if _orders_side_fits_broadcast(spark, o):
-        # Small-side path: broadcast bounded by the probed orders scan;
-        # lineitem streams, one shuffle (per-orderkey agg of the joined,
-        # already filter-reduced rows).
+        # Small-side path: broadcast orders and customer as INDEPENDENT
+        # base-scan builds (materialized concurrently by AQE) instead of
+        # broadcasting the o⋈c join — the join-then-broadcast shape
+        # serializes bcast(c) → enriched stage → bcast(enriched), one
+        # scheduler round each.  lineitem probes both broadcast hash
+        # joins in one pipelined stage; one shuffle (per-orderkey agg of
+        # the filter-reduced joined rows).
         revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
         return (
             li.join(
-                F.broadcast(enriched), li.l_orderkey == enriched.o_orderkey
+                F.broadcast(o),
+                F.col("l_orderkey") == F.col("o_orderkey"),
             )
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("o_orderkey", "o_orderdate")
             .agg(revenue_expr.alias("revenue"))
             .select(
@@ -901,6 +936,9 @@ def join_q3_topk(spark, sf_dir):
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
             .limit(10)
         )
+    enriched = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     # Scale path: grouping key == join key, so the aggregation pushes
     # below the join entirely — per-orderkey integer revenue units,
     # shuffle join, no post-join re-aggregation.

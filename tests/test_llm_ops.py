@@ -194,11 +194,57 @@ def test_resize_and_frame_sample_roundtrip(spark):
         media, frame_bytes=16, max_frames=2, fake=True
     ).collect()
     assert max(r.frame_idx for r in capped) == 1
-    # real codec path stays an explicit stub
-    with pytest.raises(NotImplementedError):
-        M.resize_media(media, width=4, height=4)
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(media)
+
+def test_ppm_real_codec_roundtrip(spark):
+    # 2×2 image: pixels (r,g,b) = (10k, 10k+1, 10k+2) for k = y*2+x
+    rgb = bytes(
+        v for k in range(4) for v in (10 * k, 10 * k + 1, 10 * k + 2)
+    )
+    img = M.ppm_encode(2, 2, rgb)
+    w, h, po, pl = M.ppm_parse(img)
+    assert (w, h) == (2, 2) and img[po : po + pl] == rgb
+    df = spark.createDataFrame([(1, img)], "doc_id long, payload binary")
+    media = M.pack_media(df, "doc_id", "payload")
+    # upscale 2×2 → 4×4 nearest-neighbor: src = (dst * 2) // 4 = dst // 2
+    thumb = bytes(
+        M.resize_media(media, width=4, height=4, fake=False)
+        .collect()[0]
+        .thumb
+    )
+    tw, th, tpo, tpl = M.ppm_parse(thumb)
+    assert (tw, th) == (4, 4)
+    pix = thumb[tpo:]
+    for ty in range(4):
+        for tx in range(4):
+            k = (ty // 2) * 2 + (tx // 2)
+            got = pix[(ty * 4 + tx) * 3 : (ty * 4 + tx) * 3 + 3]
+            assert got == bytes((10 * k, 10 * k + 1, 10 * k + 2))
+    # container of two frames with different dims → exact re-slicing
+    img2 = M.ppm_encode(1, 3, bytes(range(9)))
+    vid = spark.createDataFrame(
+        [(7, img + img2)], "doc_id long, payload binary"
+    )
+    frames = sorted(
+        M.sample_frames(
+            M.pack_media(vid, "doc_id", "payload"), fake=False
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [bytes(r.frame) for r in frames] == [img, img2]
+    # max_frames caps the walk without reading past the cap
+    capped = M.sample_frames(
+        M.pack_media(vid, "doc_id", "payload"), max_frames=1, fake=False
+    ).collect()
+    assert len(capped) == 1 and bytes(capped[0].frame) == img
+    # corrupt payloads fail loudly in the task, not silently
+    bad = spark.createDataFrame(
+        [(9, b"JFIF garbage")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="P6"):
+        M.resize_media(
+            M.pack_media(bad, "doc_id", "payload"),
+            width=2, height=2, fake=False,
+        ).collect()
 
 
 def test_fingerprints_order_sensitivity(spark):

@@ -2,33 +2,47 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 __all__ = ["ensure_parallel", "swap_cache"]
 
 
-# Single-slot cache registry: one live persisted frame per tag.  An
-# operator that persists an intermediate (e.g. MinHash signatures feeding
-# both the LSH band join and the verification lookups) registers it here;
-# the NEXT call under the same tag unpersists the previous occupant
-# before persisting its own.  This bounds cached-block growth to one
-# frame per operator in long-lived sessions (repeated pipeline runs,
+# Single-slot cache registry: one live persisted frame per (session, tag).
+# An operator that persists an intermediate (e.g. MinHash signatures
+# feeding both the LSH band join and the verification lookups) registers
+# it here; the NEXT call under the same slot unpersists the previous
+# occupant before persisting its own.  This bounds cached-block growth to
+# one frame per operator in long-lived sessions (repeated pipeline runs,
 # benchmarks, notebooks) — the round-1 leak was measured at 10× query
 # slowdown once evicted blocks started thrashing executor memory.
-# Callers that need several live results concurrently pass distinct tags.
-_CACHE_SLOTS: dict[str, DataFrame] = {}
+#
+# Keyed by session identity so concurrent sessions never retire each
+# other's frames, and guarded by a lock so interleaved driver threads
+# (Spark's scheduler is happy to run concurrent actions) can't race the
+# pop/persist pair.  NOTE the remaining semantic, by design: two
+# concurrent calls on DIFFERENT inputs under the SAME tag in the SAME
+# session still hand the slot to the later call — the earlier frame is
+# retired and recomputes via lineage if still referenced (correct, just
+# uncached).  Callers needing several live results concurrently pass
+# distinct tags.
+_CACHE_SLOTS: dict[tuple[int, str], DataFrame] = {}
+_CACHE_LOCK = threading.Lock()
 
 
 def swap_cache(tag: str, df: DataFrame) -> DataFrame:
-    """Persist ``df`` under ``tag``, retiring the tag's previous frame."""
-    prev = _CACHE_SLOTS.pop(tag, None)
-    if prev is not None:
+    """Persist ``df`` under ``tag``, retiring the slot's previous frame."""
+    key = (id(df.sparkSession), tag)
+    out = df.persist()
+    with _CACHE_LOCK:
+        prev = _CACHE_SLOTS.pop(key, None)
+        _CACHE_SLOTS[key] = out
+    if prev is not None and prev is not out:
         try:
             prev.unpersist()
         except Exception:
             pass  # session of the old frame may already be stopped
-    out = df.persist()
-    _CACHE_SLOTS[tag] = out
     return out
 
 

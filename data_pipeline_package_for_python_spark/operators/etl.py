@@ -23,7 +23,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["upsert", "scd2_from_changes"]
+__all__ = ["hash_split", "upsert", "scd2_from_changes"]
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    fractions: dict[str, float] | None = None,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds (bucket, split).
+
+    The split a training pipeline actually needs: stable across runs,
+    machines, and engines (no ``rand()``), derived only from the row's
+    key — so re-ingesting a grown corpus never migrates an existing
+    document between splits.  ``bucket = md5(key)[:8] as int64 mod
+    n_buckets``; fraction boundaries partition the bucket space in
+    dict-insertion order.  Map-only: no shuffle, no sampling pass, and
+    an identical construction runs in SQL on any engine (the DuckDB
+    oracle replays it verbatim)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    bucket = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+        f"16, 10) as bigint) % {n_buckets}"
+    )
+    out = df.withColumn("bucket", bucket)
+    expr, cum = None, 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        edge = F.col("bucket") < int(round(cum * n_buckets))
+        expr = (
+            F.when(edge, F.lit(name))
+            if expr is None
+            else expr.when(edge, F.lit(name))
+        )
+    split = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return out.withColumn("split", split)
 
 
 def upsert(

@@ -27,6 +27,7 @@ __all__ = [
     "PII_PATTERNS",
     "TOKEN_REGEX",
     "build_vocab",
+    "charset_quality",
     "decontaminate",
     "doc_fingerprint",
     "encode_as_vocab_ids",
@@ -128,6 +129,38 @@ def quality_score(
         stopword_ratio.alias("stopword_ratio"),
         punct_count.alias("punct_count"),
         bucket.alias("quality_bucket"),
+    )
+
+
+def charset_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_alpha_ratio: float = 0.6,
+) -> DataFrame:
+    """Charset-level quality filter: (id, n_alpha, n_ascii, alpha_ratio,
+    is_ascii, keep).
+
+    The cheapest corpus gate there is — two regexp strips and a length,
+    all inside whole-stage codegen, map-only at any scale.  Patterns are
+    restricted to character classes with identical semantics in Java
+    regex and RE2 so a DuckDB oracle can replay them verbatim:
+    ``[^A-Za-z]`` (alpha strip) and ``[^ -~]`` (printable-ASCII strip).
+    ``keep`` mirrors the standard LLM-corpus rule of dropping documents
+    whose alphabetic mass is below ``min_alpha_ratio``."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_ascii = F.length(F.regexp_replace(text, "[^ -~]", ""))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_alpha.alias("n_alpha"),
+        n_ascii.alias("n_ascii"),
+        alpha_ratio.alias("alpha_ratio"),
+        (n_ascii == n_chars).alias("is_ascii"),
+        (alpha_ratio >= F.lit(min_alpha_ratio)).alias("keep"),
     )
 
 

@@ -75,10 +75,25 @@ def zz_canary(spark, sf_dir):
     )
 
 
+# Pulled to the very front of the rotation: queries whose round-3 work
+# is exactly what the driver should certify (real-codec multimodal
+# decode, binaryFile ingestion, boilerplate removal) — cheap, and they
+# must not fall past the ~50-entry budget horizon.
+_FRONT = (
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "scan_binary_files",
+    "text_boilerplate",
+)
+
+
 def _rotate() -> None:
+    front = [QUERIES[n] for n in _FRONT]
     ordered = (
-        [q for n, q in QUERIES.items()
-         if n not in _DRIVER_CHECKED and n != "zz_canary"]
+        front
+        + [q for n, q in QUERIES.items()
+           if n not in _DRIVER_CHECKED and n != "zz_canary"
+           and n not in _FRONT]
         + [q for n, q in QUERIES.items() if n in _DRIVER_CHECKED]
         + [QUERIES["zz_canary"]]
     )

@@ -680,3 +680,57 @@ def func_winsorize(spark, sf_dir):
             ).alias("sum_winsorized"),
         )
     )
+
+
+@query(
+    "func_quantile_buckets",
+    oracle="""
+    WITH q AS (
+      SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+             ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q2,
+             ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                WHEN o_totalprice <= q2 THEN 1
+                WHEN o_totalprice <= q3 THEN 2
+                ELSE 3 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_price
+    FROM orders, q
+    GROUP BY 1
+    """,
+)
+def func_quantile_buckets(spark, sf_dir):
+    """Quantile feature binning (QuantileDiscretizer shape, exact
+    flavor): one percentile aggregate produces the quartile fences
+    (rounded to 4 decimals so both engines clip at identical doubles),
+    broadcast as a 1-row frame; bucket assignment is a map-side CASE
+    over the fact scan — never a per-row rank, never a sort.  The same
+    two-job shape holds at 100 TB with percentile_approx swapped in for
+    the fence pass."""
+    o = load(spark, sf_dir, "orders")
+    q = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+    price = F.col("o_totalprice")
+    bucket = (
+        F.when(price <= F.col("q1"), F.lit(0))
+        .when(price <= F.col("q2"), F.lit(1))
+        .when(price <= F.col("q3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        o.join(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(price * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("sum_price"),
+        )
+    )

@@ -707,6 +707,67 @@ def text_decontaminate(spark, sf_dir):
 
 
 @query(
+    "text_charset_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_ascii
+      FROM documents
+    )
+    SELECT doc_id AS id, n_alpha, n_ascii,
+           CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+           (n_ascii = n_chars) AS is_ascii,
+           (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) >= 0.6) AS keep
+    FROM m
+    """,
+)
+def text_charset_filter(spark, sf_dir):
+    """Charset quality gate (alpha-mass + printable-ASCII checks): two
+    codegen regexp strips, map-only — the cheapest corpus filter
+    (operators/text.py charset_quality).  Both engines run the same
+    Java/RE2-identical character classes, so ratios are bit-equal."""
+    docs = load(spark, sf_dir, "documents")
+    return T.charset_quality(docs, "doc_id", "text", min_alpha_ratio=0.6)
+
+
+@query(
+    "etl_train_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM b GROUP BY 1
+    """,
+)
+def etl_train_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (80/10/10): bucket
+    by md5(doc_id)-derived int64, never rand() — stable across runs and
+    engines, new corpus batches never migrate old docs between splits
+    (operators/etl.py hash_split).  Map-only assignment; the tiny
+    3-group rollup here exists to give the driver a checkable surface."""
+    from ..operators.etl import hash_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    split = hash_split(docs, "doc_id")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@query(
     "text_pack_sequences",
     oracle="""
     WITH words AS (

@@ -241,3 +241,44 @@ def udf_native_udtf(spark, sf_dir):
              LATERAL split_words_udtf(p_partkey, p_type) t
         """
     )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def udf_apply_in_arrow(spark, sf_dir):
+    """applyInArrow grouped map (Spark 4 Arrow-native surface): the UDF
+    receives each group as a pyarrow.Table and aggregates with Arrow
+    compute kernels — no pandas materialization at all, the cheapest
+    Python boundary Spark offers.  Cent units are computed JVM-side
+    (floor in codegen) so the Python stage only sums exact int64s and
+    the final double division is IEEE-identical to the oracle's."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def seg_stats(table: "pa.Table") -> "pa.Table":
+        cents = pc.sum(table.column("cents")).as_py() or 0
+        return pa.table(
+            {
+                "seg": [table.column("seg")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_acctbal": pa.array([cents / 100.0], pa.float64()),
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return c.groupBy("seg").applyInArrow(
+        seg_stats, "seg string, n long, sum_acctbal double"
+    )

@@ -168,3 +168,55 @@ def test_pack_sequences_partitions_tokens(spark, texts, max_tokens):
         chunks = [c for _, c in sorted(got[i])]
         rebuilt = [w for c in chunks for w in c.split(" ")]
         assert rebuilt == text.split(" ")
+
+
+def test_hash_split_laws(spark, sf_dir):
+    """hash_split: partition (every row in exactly one split), stability
+    (subset restriction never migrates a row), and fraction sanity."""
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        hash_split,
+    )
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    full = {
+        r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()
+    }
+    assert set(full.values()) <= {"train", "val", "test"}
+    assert len(full) == docs.count()
+    # growing the corpus must not move existing rows between splits
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {
+        r.doc_id: r.split for r in hash_split(subset, "doc_id").collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    # 80/10/10 within loose Binomial bounds at n=500
+    n = len(full)
+    train_frac = sum(1 for v in full.values() if v == "train") / n
+    assert 0.7 < train_frac < 0.9
+    # map-only: no shuffle in the assignment plan
+    from data_pipeline_package_for_python_spark import plans
+
+    assert plans.plan_report(hash_split(docs, "doc_id")).n_shuffles == 0
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_charset_quality_laws(spark):
+    from data_pipeline_package_for_python_spark.operators.text import (
+        charset_quality,
+    )
+
+    rows = [
+        (1, "Pure ASCII letters only"),
+        (2, "12345 67890"),
+        (3, "héllo wörld"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in charset_quality(df, "doc_id", "text").collect()}
+    assert out[1].is_ascii and out[1].keep
+    assert out[2].is_ascii and not out[2].keep  # digits: no alpha mass
+    assert not out[3].is_ascii  # é/ö outside printable ASCII
+    assert out[4].n_alpha == 0 and not out[4].keep  # empty: safe ratio
+    assert all(0.0 <= r.alpha_ratio <= 1.0 for r in out.values())

@@ -190,6 +190,60 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir, tables):
     assert not r.has_cartesian
 
 
+def test_salted_skew_agg_two_phase(spark, sf_dir):
+    r = rep("agg_salted_skew", spark, sf_dir)
+    # Exactly two exchanges: phase-1 spreads the hot key over (key, salt)
+    # reducers, phase-2 merges per-key partials.  No join, no sort of the
+    # fact, and crucially no single-key hashpartitioning that would put
+    # the dominant language on one reducer.
+    assert r.n_shuffles == 2
+    assert r.joins == []
+    assert any("salt" in k for k in r.shuffle_keys), r.shuffle_keys
+    assert any(
+        "lang" in k and "salt" not in k for k in r.shuffle_keys
+    ), r.shuffle_keys
+
+
+def test_salted_skew_agg_salt_invariant(spark, sf_dir):
+    from data_pipeline_package_for_python_spark.operators.skew import (
+        salted_groupby_agg,
+    )
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    results = {
+        n_salts: {
+            tuple(r)
+            for r in salted_groupby_agg(
+                docs,
+                ["lang"],
+                {"doc_id": "count", "n_chars": "sum"},
+                salt_buckets=n_salts,
+            ).collect()
+        }
+        for n_salts in (1, 4, 32)
+    }
+    assert results[1] == results[4] == results[32]
+
+
+def test_winsorize_broadcast_threshold_no_sort(spark, sf_dir):
+    r = rep("func_winsorize", spark, sf_dir)
+    # The 1-row (lo, hi) percentile frame joins the fact with no
+    # condition — the only sane physical shape is a broadcast nested
+    # loop of that single row; a cartesian or a shuffled join here
+    # would be a planning regression.
+    assert "BroadcastNestedLoopJoin" in r.joins
+    assert "CartesianProduct" not in r.joins
+    # Clipping is a map-side CASE over the scan: no window, no rank,
+    # and no sort of the fact table anywhere in the plan.
+    assert "Window" not in r.text
+    assert "Sort " not in r.text.replace("SortAggregate", "")
+    # Two single-row aggregates ⇒ at most two (tiny) exchanges.
+    assert r.n_shuffles <= 2
+
+
 def test_incremental_dedup_is_anti_join_on_digest(spark, sf_dir, tables):
     docs = tables["documents"]
     out = D.incremental_dedup(

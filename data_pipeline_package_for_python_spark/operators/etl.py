@@ -23,7 +23,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hash_split", "upsert", "scd2_from_changes"]
+__all__ = ["hash_split", "snapshot_diff", "upsert", "scd2_from_changes"]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots: one row per key with
+    ``change_type`` ∈ {insert, delete, update, unchanged}.
+
+    One full-outer join on the key — the same single-shuffle shape as
+    :func:`upsert`; at 100 TB both snapshots should be bucketed on the
+    key so the join co-locates.  ``compare_cols`` (default: all shared
+    non-key columns) decide update-vs-unchanged via null-safe
+    equality (``eqNullSafe`` — a NULL→value transition is an update,
+    not a match)."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change_type"),
+    )
 
 
 def hash_split(

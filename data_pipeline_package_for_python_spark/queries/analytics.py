@@ -415,3 +415,49 @@ def etl_referential_check(spark, sf_dir):
         .crossJoin(dup_pk)
         .crossJoin(null_pk)
     )
+
+
+@query(
+    "etl_cdc_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                 AS text
+      FROM documents WHERE doc_id >= 200
+    )
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+                ELSE 'update' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.text IS DISTINCT FROM n.text
+    """,
+)
+def etl_cdc_diff(spark, sf_dir):
+    """Change-data-capture between table snapshots: per-key insert /
+    delete / update classification from ONE full-outer join on the key
+    (operators/etl.py snapshot_diff) — the diff engine behind
+    incremental downstream refreshes.  Null-safe value comparison so
+    NULL→value transitions classify as updates.  The synthetic "new"
+    snapshot drops doc_id < 200, mutates every 7th doc, and adds
+    doc_id ≥ 400, exercising all three change classes."""
+    from ..operators.etl import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 200).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text"]).filter(
+        F.col("change_type") != "unchanged"
+    )

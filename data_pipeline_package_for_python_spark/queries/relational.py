@@ -1641,3 +1641,67 @@ def agg_salted_skew(spark, sf_dir):
     return salted_groupby_agg(
         docs, ["lang"], {"doc_id": "count", "n_chars": "sum"}
     )
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderstatus <> 'F'
+    ), replaced AS (
+      SELECT o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    ), final AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM replaced
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_price
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the incremental-reload primitive:
+    rewriting one partition's batch must replace ONLY the partitions
+    present in the batch and leave every other partition untouched
+    (``partitionOverwriteMode=dynamic``; static mode would wipe the
+    whole table root).  At 100 TB this is how daily reloads amortize:
+    the rewrite cost follows the changed partitions, not the table.
+    The check re-reads the table after replacing partition 'F' with a
+    modified half-batch and aggregates every partition — wiping or
+    duplicating any partition breaks the hash."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dpp_dynover_") + "/orders"
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    batch = (
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        batch.write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            / F.lit(100.0)
+        ).alias("sum_price"),
+    )

@@ -449,6 +449,88 @@ def simhash64(
     return out
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance:
+    (id_a, id_b, hamming) with id_a < id_b and hamming ≤ ``max_hamming``.
+
+    The pigeonhole blocking that makes this linear-ish at 100 TB: split
+    the 64-bit fingerprint into 4 16-bit bands — any two fingerprints
+    within hamming distance 3 agree EXACTLY on at least one band (3 bit
+    flips can dirty at most 3 of the 4 bands).  Candidates are pairs
+    sharing any (band index, band value) key — one equality self-join on
+    a narrow int key, never all-pairs — then verified with
+    ``bit_count(a XOR b)``, all in codegen.  ``max_hamming`` must stay
+    ≤ 3 for 4 bands to be a complete cover (k+1 bands cover distance k).
+
+    ``max_band_freq`` is the same degenerate-bucket guard as
+    ``lsh_candidate_pairs``: a band value shared by B docs emits B²
+    candidates, so hot buckets (e.g. all-zero fingerprints from empty
+    docs) are dropped above the cap.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band pigeonhole blocking only covers hamming <= 3; "
+            f"got max_hamming={max_hamming}"
+        )
+    fp = simhash64(df, id_col, text_col)
+    # 4 × 16-bit bands: hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF.
+    bands = [
+        F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+    ]
+    keyed = fp.select(
+        "id", "simhash_hi", "simhash_lo",
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"),
+    ).withColumn(
+        # one narrow int64 join key: band index in the high bits
+        "band_key",
+        F.shiftleft(F.col("band_idx").cast("long"), 16) + F.col("band_val"),
+    )
+    if max_band_freq is not None:
+        freq_w = Window.partitionBy("band_key")
+        keyed = (
+            keyed.withColumn("__bf", F.count(F.lit(1)).over(freq_w))
+            .filter(F.col("__bf") <= max_band_freq)
+            .drop("__bf")
+        )
+    a = keyed.select(
+        F.col("id").alias("id_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        "band_key",
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        "band_key",
+    )
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # --------------------------------------------------------------------- #
 # incremental (cross-run) dedup                                         #
 # --------------------------------------------------------------------- #

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hash_split", "snapshot_diff", "upsert", "scd2_from_changes"]
+__all__ = [
+    "expectations_report",
+    "hash_split",
+    "snapshot_diff",
+    "upsert",
+    "scd2_from_changes",
+]
 
 
 def snapshot_diff(
@@ -165,4 +171,60 @@ def scd2_from_changes(
     ).withColumn(
         "is_current",
         F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def expectations_report(
+    df: DataFrame,
+    rules: dict,
+    *,
+    unique: tuple[str, ...] = (),
+) -> DataFrame:
+    """Data-quality gate: evaluate row-level expectations and key-
+    uniqueness checks in ONE aggregate pass; long-format report
+    (rule, n_rows, n_violations, passed).
+
+    ``rules`` maps rule name → boolean Column that is True when the row
+    is VALID (NULL counts as a violation — an unevaluable rule is a
+    failing rule, the conservative gate semantics).  ``unique`` lists
+    columns that must be duplicate-free; each contributes
+    ``count(*) − count(DISTINCT col)`` as its violation count inside
+    the same aggregate.
+
+    The whole report is one scan + one hash aggregate regardless of
+    rule count (rules are codegen'd CASE sums, not per-rule jobs), then
+    a map-side stack() to long format — the same one-pass discipline as
+    ``operators/profile.py``.  At 100 TB this is the cheapest shape a
+    full-table audit can take: cost is the scan, rules are free.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = []
+    for name, valid in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(valid.isNull() | (~valid), 1).otherwise(0)
+            ).cast("long").alias(f"__v_{len(names)}")
+        )
+        names.append(name)
+    for col in unique:
+        aggs.append(
+            (F.count(col) - F.count_distinct(F.col(col)))
+            .cast("long")
+            .alias(f"__v_{len(names)}")
+        )
+        names.append(f"unique({col})")
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', __v_{i}" for i, n in enumerate(names)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
     )

@@ -129,6 +129,151 @@ def connected_components(
     return mapping.union(roots).distinct()
 
 
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph:
+    (id, n_triangles).
+
+    Classic two-join enumeration with **degree ordering** (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW '11): orient every edge from the lower-(degree, id)
+    endpoint to the higher one, so each triangle is enumerated exactly
+    once as a<b<c in that order and — the part that matters at 100 TB —
+    the join fan-out of a hot node is bounded by its ORIENTED
+    out-degree, which degree ordering caps near sqrt(|E|) instead of
+    the raw degree.  Two shuffles (wedge join + closing-edge semi
+    join), no driver state.
+    """
+    undirected = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        undirected.select(F.col("a").alias("id"))
+        .union(undirected.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        undirected.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    # wedges u->v, u->w (v<w in orientation order) closed by edge v->w
+    e1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    e2 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_w"))
+    wedges = e1.join(e2, "w_u").filter(F.col("w_v") != F.col("w_w"))
+    closing = oriented.select(
+        F.col("u").alias("w_v"), F.col("v").alias("w_w")
+    )
+    triangles = wedges.join(closing, ["w_v", "w_w"]).select(
+        F.col("w_u").alias("x"), F.col("w_v").alias("y"), F.col("w_w").alias("z")
+    )
+    per_node = (
+        triangles.select(F.col("x").alias("id"))
+        .union(triangles.select(F.col("y").alias("id")))
+        .union(triangles.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.select("id").join(per_node, "id", "left").select(
+        "id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: (id, rank).
+
+    Power iteration as `iterations` rounds of (rank ⋈ out-edges →
+    groupBy dst), each round one shuffle on node id; dangling-node mass
+    is redistributed uniformly (one scalar agg per round folded into
+    the same job — no extra pass over the edges).  Lineage is truncated
+    per round with ``localCheckpoint`` exactly like
+    ``connected_components``.  Ranks are L1-normalized to sum to the
+    node count (the random-surfer convention where the uniform start is
+    rank 1 per node).
+
+    Float caveat: cross-partition double summation is order-sensitive,
+    so results are reproducible-to-~1e-12, not bit-deterministic — the
+    registered query is rows-only-checked with law tests (mass
+    conservation, uniform-graph fixed point) in tests/test_laws.py.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    elist = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib_src = ranks.join(
+            out_deg, "id", "left"
+        ).withColumn(
+            "share",
+            F.when(
+                F.col("out_deg").isNotNull(),
+                F.col("rank") / F.col("out_deg"),
+            ),
+        )
+        # dangling mass: ranks of nodes with no out-edges (one scalar)
+        dangling = (
+            contrib_src.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        inbound = (
+            elist.join(
+                contrib_src.select(F.col("id").alias("e_src"), "share"),
+                "e_src",
+            )
+            .groupBy(F.col("e_dst").alias("id"))
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = (
+            nodes.join(inbound, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def resolve_duplicates(
     df: DataFrame,
     pairs: DataFrame,

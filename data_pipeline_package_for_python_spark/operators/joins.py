@@ -181,3 +181,59 @@ def star_join(fact: DataFrame, *dims: tuple[DataFrame, Column | str | list]) -> 
     for dim, on in dims:
         out = out.join(F.broadcast(dim), on, "inner")
     return out
+
+
+def fuzzy_join_levenshtein(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    blocking: list[tuple[Column | str, Column | str]],
+    max_distance: int = 2,
+    max_block_freq: int | None = None,
+) -> DataFrame:
+    """Approximate string match (record linkage): rows whose keys are
+    within ``max_distance`` edits, found WITHOUT an all-pairs compare.
+
+    ``blocking`` is a list of (left_expr, right_expr) pairs; candidates
+    are generated by an EQUALITY join on the concatenated blocking key
+    (one hash-partitioned shuffle), then verified with
+    ``F.levenshtein`` in codegen.  This is standard blocking-based
+    entity resolution: recall is bounded by the blocking scheme (rows
+    in different blocks are never compared — callers pick blocks the
+    corruption model cannot escape, e.g. first token + length bucket),
+    and cost is Σ|block_l|·|block_r| instead of |L|·|R|.
+
+    ``max_block_freq`` drops blocks whose LEFT-side frequency exceeds
+    the cap — the same degenerate-hot-bucket guard as the LSH
+    operators; at 100 TB one empty-string block must not cartesian.
+    """
+    lkey = F.concat_ws(
+        "\x1f", *[c if isinstance(c, Column) else F.col(c) for c, _ in blocking]
+    )
+    rkey = F.concat_ws(
+        "\x1f", *[c if isinstance(c, Column) else F.col(c) for _, c in blocking]
+    )
+    lb = left.withColumn("__block", lkey)
+    rb = right.withColumn("__block", rkey)
+    if max_block_freq is not None:
+        freq_w = Window.partitionBy("__block")
+        lb = (
+            lb.withColumn("__bf", F.count(F.lit(1)).over(freq_w))
+            .filter(F.col("__bf") <= max_block_freq)
+            .drop("__bf")
+        )
+    matched = (
+        lb.alias("__l")
+        .join(rb.alias("__r"), "__block")
+        .withColumn(
+            "distance",
+            F.levenshtein(
+                F.col(f"__l.{left_key}"), F.col(f"__r.{right_key}")
+            ).cast("long"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .drop("__block")
+    )
+    return matched

@@ -638,3 +638,37 @@ def remove_boilerplate(
             "clean_text",
         )
     )
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded URL mentions with canonical form: (id, url, domain,
+    url_norm) — the substrate for URL-level dedup and per-domain corpus
+    accounting in a crawl pipeline.
+
+    Entirely codegen regex (map-only, zero shuffle):
+    ``regexp_extract_all`` pulls ``http(s)://`` spans, normalization
+    lowercases, strips the scheme and a leading ``www.``, and drops the
+    query string, fragment, and any trailing slash — the standard
+    canonicalizer that makes ``http://WWW.X.com/a?utm=1`` and
+    ``https://x.com/a/`` the same corpus key.  Patterns restricted to
+    Java-regex/RE2-identical constructs so a DuckDB oracle runs them
+    verbatim (same discipline as ``redact_pii``).
+    """
+    urls = ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"https?://[^\s]+"), 0
+            )
+        ).alias("url"),
+    )
+    lowered = F.lower(F.col("url"))
+    no_scheme = F.regexp_replace(lowered, r"^https?://(www\.)?", "")
+    no_query = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    norm = F.regexp_replace(no_query, r"/$", "")
+    return urls.select(
+        "id",
+        "url",
+        F.regexp_extract(norm, r"^([^/]+)", 1).alias("domain"),
+        norm.alias("url_norm"),
+    )

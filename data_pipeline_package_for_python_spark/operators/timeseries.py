@@ -315,3 +315,52 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: tuple[str, ...],
+    *,
+    depth: int = 8,
+    scale: int = 100,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2, truncated at
+    ``depth`` lags, in EXACT scaled-integer arithmetic.
+
+    Adds two BIGINT columns: ``ewma_num`` = Σ_{k=0..depth-1}
+    lag_k(floor(value·scale)) · 2^(depth-1-k) and ``ewma_den`` = the sum
+    of the weights actually present (series shorter than ``depth`` get
+    a smaller denominator, not zero-padding).  ``ewma_num / ewma_den``
+    is the EWMA; the split keeps every checked value integer-exact so
+    cross-engine hashes can't drift on float summation order.
+
+    One window sort per key (``depth`` lag expressions share the same
+    window spec — one physical Window operator, one shuffle).  The
+    dyadic weight 2^-k is the α=1/2 special case where weights are
+    exactly representable and the truncation error after ``depth`` lags
+    is bounded by 2^-depth of the oldest mass — the standard trick for
+    reproducible EWMA in fixed point.
+    """
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    if tie_break is not None:
+        # ts collisions within a key make lag() order-ambiguous; a
+        # unique tie-break column restores the total order the exact
+        # cross-engine check needs.
+        order.append(F.col(tie_break))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    num_terms = []
+    den_terms = []
+    for k in range(depth):
+        weight = 2 ** (depth - 1 - k)
+        lagged = F.lag(v, k).over(w)
+        num_terms.append(F.coalesce(lagged * weight, F.lit(0)))
+        den_terms.append(
+            F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        )
+    num = sum(num_terms[1:], num_terms[0]).cast("long")
+    den = sum(den_terms[1:], den_terms[0]).cast("long")
+    return df.withColumn("ewma_num", num).withColumn("ewma_den", den)

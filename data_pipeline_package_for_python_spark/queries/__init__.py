@@ -77,13 +77,22 @@ def zz_canary(spark, sf_dir):
 
 # Pulled to the very front of the rotation: queries whose round-3 work
 # is exactly what the driver should certify (real-codec multimodal
-# decode, binaryFile ingestion, boilerplate removal) — cheap, and they
-# must not fall past the ~50-entry budget horizon.
+# decode, binaryFile ingestion, boilerplate removal, and every operator
+# added this round) — cheap, and they must not fall past the ~50-entry
+# budget horizon.
 _FRONT = (
     "multimodal_resize",
     "multimodal_frame_sample",
     "scan_binary_files",
     "text_boilerplate",
+    "dedup_simhash_pairs",
+    "sim_topk_sq8",
+    "text_url_extract",
+    "join_fuzzy_levenshtein",
+    "ts_ewma",
+    "etl_expectations",
+    "graph_triangles",
+    "graph_pagerank",
 )
 
 

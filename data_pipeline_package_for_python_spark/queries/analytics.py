@@ -461,3 +461,147 @@ def etl_cdc_diff(spark, sf_dir):
     return snapshot_diff(old, new, ["doc_id"], ["text"]).filter(
         F.col("change_type") != "unchanged"
     )
+
+
+@query(
+    "etl_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             SUM(CASE WHEN NOT (o_totalprice > 0)
+                      OR o_totalprice IS NULL THEN 1 ELSE 0 END)
+                 AS v_price_positive,
+             SUM(CASE WHEN NOT (o_totalprice >= 5000)
+                      OR o_totalprice IS NULL THEN 1 ELSE 0 END)
+                 AS v_price_floor_5k,
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                 AS v_orderdate_present,
+             SUM(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                      OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                 AS v_status_domain,
+             count(o_orderkey) - count(DISTINCT o_orderkey)
+                 AS v_unique_orderkey
+      FROM orders
+    )
+    SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'price_positive' AS rule, n_rows,
+             v_price_positive AS n_violations FROM agg
+      UNION ALL SELECT 'price_floor_5k', n_rows, v_price_floor_5k FROM agg
+      UNION ALL SELECT 'orderdate_present', n_rows,
+                       v_orderdate_present FROM agg
+      UNION ALL SELECT 'status_domain', n_rows, v_status_domain FROM agg
+      UNION ALL SELECT 'unique(o_orderkey)', n_rows,
+                       v_unique_orderkey FROM agg
+    )
+    """,
+)
+def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations gate over orders: four row-level rules
+    + key uniqueness, ALL evaluated in one scan + one hash aggregate
+    regardless of rule count (operators/etl.py expectations_report) —
+    rules are codegen CASE sums, the audit costs exactly one table
+    pass at any scale.  price_floor_5k is deliberately violated so the
+    report exercises both verdicts."""
+    from ..operators.etl import expectations_report
+
+    orders = load(spark, sf_dir, "orders")
+    return expectations_report(
+        orders,
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "price_floor_5k": F.col("o_totalprice") >= 5000,
+            "orderdate_present": F.col("o_orderdate").isNotNull(),
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        unique=("o_orderkey",),
+    )
+
+
+# Synthetic interaction graph for the graph-analytics queries: nodes are
+# customer/order residues mod 100, an edge per order between them — a
+# dense deterministic graph derivable identically in both engines (the
+# warehouse tables have no native unipartite graph).
+_GRAPH_EDGES_SQL = """
+      SELECT DISTINCT
+             least(o_custkey % 100, o_orderkey % 100) AS a,
+             greatest(o_custkey % 100, o_orderkey % 100) AS b
+      FROM orders
+      WHERE (o_custkey % 100) <> (o_orderkey % 100)
+"""
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            (F.col("o_custkey") % 100).alias("cu"),
+            (F.col("o_orderkey") % 100).alias("ov"),
+        )
+        .filter(F.col("cu") != F.col("ov"))
+        .select(
+            F.least("cu", "ov").alias("u"), F.greatest("cu", "ov").alias("v")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pern AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY id
+    ),
+    nodes AS (
+      SELECT DISTINCT a AS id FROM e UNION SELECT DISTINCT b FROM e
+    )
+    SELECT n.id, COALESCE(p.n_triangles, 0) AS n_triangles
+    FROM nodes n LEFT JOIN pern p USING (id)
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts with degree-ordered wedge enumeration
+    (operators/graph.py triangle_count) — each triangle enumerated once,
+    hot-node join fan-out capped near sqrt(|E|) by the orientation; two
+    shuffles total.  The oracle counts the same triangles via the
+    canonical a<b<c three-edge join; equality pins that orientation is
+    an implementation detail, not a semantic one."""
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_graph_edges(spark, sf_dir))
+
+
+@query(
+    "graph_pagerank",
+    oracle=None,
+    doc="Power iteration is a data-dependent iterative loop with "
+        "cross-partition double summation — reproducible to ~1e-12 but "
+        "not bit-deterministic, so no value-hash oracle; rows-only "
+        "check + mass-conservation/fixed-point laws in "
+        "tests/test_graph_ops.py.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 fixed rounds, damping 0.85) over the interaction
+    graph, bidirected (operators/graph.py pagerank): one shuffle per
+    round, dangling mass folded back uniformly, lineage truncated per
+    round with localCheckpoint — the connected-components discipline
+    applied to power iteration."""
+    from ..operators.graph import pagerank
+
+    e = _graph_edges(spark, sf_dir)
+    bidir = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return pagerank(bidir, iterations=10, damping=0.85)

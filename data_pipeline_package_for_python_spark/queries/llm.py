@@ -319,6 +319,43 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash64(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_simhash_oracle()}),
+    b AS (
+      SELECT id, simhash_hi AS hi, simhash_lo AS lo,
+             unnest([(simhash_hi >> 16) & 65535, simhash_hi & 65535,
+                     (simhash_lo >> 16) & 65535, simhash_lo & 65535])
+                 AS band_val,
+             unnest([0, 1, 2, 3]) AS band_idx
+      FROM sh
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, a.hi AS hi_a, a.lo AS lo_a,
+                      c.id AS id_b, c.hi AS hi_b, c.lo AS lo_b
+      FROM b a JOIN b c
+        ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       AND a.id < c.id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3) by 4×16-bit pigeonhole
+    banding — candidates from an equality self-join on band keys, never
+    all-pairs; verified with bit_count(xor) in codegen
+    (operators/dedup.py simhash_near_pairs)."""
+    return D.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
 _INCR_ORACLE = """
     SELECT n.doc_id
     FROM documents n
@@ -680,6 +717,58 @@ def text_redact_pii(spark, sf_dir):
     return T.redact_pii(docs, "doc_id", "text")
 
 
+# URL mentions are synthesized onto each document the same way the PII
+# suffix is (documents carry no native URLs): two links per doc with a
+# noisy scheme case, a www. prefix, a query string, and a trailing
+# slash — one of each canonicalization hazard.
+_URL_SUFFIX_SPARK = (
+    "concat(text, ' see https://WWW.Site', doc_id % 20,"
+    " '.example.com/page/', doc_id, '?utm=x also http://mirror',"
+    " doc_id % 7, '.example.net/a/', doc_id % 5, '/')"
+)
+_URL_SUFFIX_SQL = (
+    "text || ' see https://WWW.Site' || (doc_id % 20) ||"
+    " '.example.com/page/' || doc_id || '?utm=x also http://mirror' ||"
+    " (doc_id % 7) || '.example.net/a/' || (doc_id % 5) || '/'"
+)
+
+
+@query(
+    "text_url_extract",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_URL_SUFFIX_SQL} AS text FROM documents
+    ),
+    u AS (
+      SELECT doc_id AS id,
+             unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
+      FROM aug
+    ),
+    n AS (
+      SELECT id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+                 '[?#].*$', ''),
+               '/$', '') AS url_norm
+      FROM u
+    )
+    SELECT id, url, regexp_extract(url_norm, '^([^/]+)', 1) AS domain,
+           url_norm
+    FROM n
+    """,
+)
+def text_url_extract(spark, sf_dir):
+    """URL extraction + canonicalization (lowercase, strip scheme/www,
+    drop query/fragment/trailing slash) — the substrate for URL-level
+    crawl dedup; all codegen regex, map-only
+    (operators/text.py extract_urls)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SUFFIX_SPARK).alias("text")
+    )
+    return T.extract_urls(docs, "doc_id", "text")
+
+
 @query(
     "text_decontaminate",
     oracle=f"""
@@ -997,6 +1086,70 @@ def sim_topk_ivf(spark, sf_dir):
     return S.ivf_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0),
         k=5, centroid_stride=40, n_probe=2,
+    )
+
+
+@query(
+    "sim_topk_sq8",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c1 AS (
+      SELECT unnest(list_transform(v, (x, i) -> {{'pos': i, 'ax': abs(x)}}))
+                 AS u
+      FROM c0
+    ),
+    dims AS (SELECT u.pos AS pos, max(u.ax) AS m FROM c1 GROUP BY u.pos),
+    msrow AS (SELECT array_agg(m ORDER BY pos) AS ms FROM dims),
+    qz AS (
+      SELECT vec_id AS query_id, v AS qv,
+             list_transform(v, (x, i) -> CASE WHEN ms[i] = 0.0 THEN 0
+               ELSE CAST(floor(x / ms[i] * 127.0) AS BIGINT) END) AS qq
+      FROM c0, msrow WHERE vec_id % 50 = 0
+    ),
+    cz AS (
+      SELECT vec_id AS neighbor_id, v AS cv,
+             list_transform(v, (x, i) -> CASE WHEN ms[i] = 0.0 THEN 0
+               ELSE CAST(floor(x / ms[i] * 127.0) AS BIGINT) END) AS cq
+      FROM c0, msrow
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(qq, cq), p -> p[1] * p[2])),
+               (a, b) -> a + b) AS qscore
+      FROM qz, cz WHERE query_id <> neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS sr
+        FROM scored
+      ) WHERE sr <= 20
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id,
+             {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+                 AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_DOT} / ({_NORM.format(v='qv')}
+                        * {_NORM.format(v='cv')}) DESC, neighbor_id)
+                 AS rank
+      FROM short
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN: per-dimension max-abs codebook, exact
+    BIGINT code-dot shortlist (bit-deterministic — no float summation
+    order in the candidate cut), double-precision cosine re-rank on the
+    ≤20 survivors (operators/similarity.py:sq8_topk).  The
+    memory-bandwidth tier of the ANN family: 4× less traffic than
+    float32 at 100 TB."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.sq8_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, shortlist=20
     )
 
 

@@ -16,7 +16,13 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ._registry import davg, dsum, load, query, ssum
-from ..operators.joins import asof_join, broadcast_join, range_join, star_join
+from ..operators.joins import (
+    asof_join,
+    broadcast_join,
+    fuzzy_join_levenshtein,
+    range_join,
+    star_join,
+)
 
 # ---------------------------------------------------------------------- #
 # §2.2.1 scans                                                           #
@@ -736,6 +742,53 @@ def join_asof_tolerance(spark, sf_dir):
         tolerance="2 days",
     )
     return j.select("purchase_id", "click_id")
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH dirty AS (
+      SELECT p_partkey AS d_key,
+             substring(p_name, 1, length(p_name) - 1) AS d_name
+      FROM part
+    ),
+    blocked AS (
+      SELECT d.d_key, d.d_name, p.p_partkey AS c_key, p.p_name AS c_name,
+             CAST(levenshtein(d.d_name, p.p_name) AS BIGINT) AS distance
+      FROM dirty d JOIN part p
+        ON string_split(d.d_name, ' ')[1] = string_split(p.p_name, ' ')[1]
+    )
+    SELECT d_key, d_name, c_key, c_name, distance
+    FROM blocked WHERE distance <= 2
+    """,
+)
+def join_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy record linkage: part names with the last character chopped
+    off re-linked to the clean catalog by levenshtein ≤ 2 within
+    first-token blocks (operators/joins.py fuzzy_join_levenshtein).
+    Candidates come from one equality join on the blocking key — cost
+    Σ|block|² instead of |L|·|R|; the edit distance evaluates in
+    codegen on candidates only."""
+    part = load(spark, sf_dir, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("d_key"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("d_name"),
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("c_key"), F.col("p_name").alias("c_name")
+    )
+    matched = fuzzy_join_levenshtein(
+        dirty,
+        clean,
+        "d_name",
+        "c_name",
+        blocking=[(
+            F.split(F.col("d_name"), " ").getItem(0),
+            F.split(F.col("c_name"), " ").getItem(0),
+        )],
+        max_distance=2,
+    )
+    return matched.select("d_key", "d_name", "c_key", "c_name", "distance")
 
 
 def _orders_side_fits_broadcast(spark, orders_side) -> bool:

@@ -341,3 +341,47 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
         ).alias("duration_s"),
     )
+
+
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(v, {k}) OVER w, 0) * {2 ** (7 - k)}" for k in range(8)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(v, {k}) OVER w IS NOT NULL"
+    f" THEN {2 ** (7 - k)} ELSE 0 END)"
+    for k in range(8)
+)
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+           CAST({_EWMA_DEN} AS BIGINT) AS ewma_den
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=1/2, 8-lag truncation) in EXACT scaled-integer
+    arithmetic (operators/timeseries.py ewma_dyadic): numerator and
+    present-weight denominator are BIGINT, so the smoothing is
+    bit-identical across engines and partitionings — no float-summation
+    drift.  The 8 lag expressions share one window spec → one sort per
+    user, one shuffle."""
+    from ..operators.timeseries import ewma_dyadic
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = ewma_dyadic(
+        ev, "ts", "value", ("user_id",),
+        depth=8, scale=100, tie_break="event_id",
+    )
+    return out.select("event_id", "user_id", "ewma_num", "ewma_den")

@@ -1,0 +1,254 @@
+"""Round-3 operator laws: triangle counting, PageRank, fuzzy join,
+dyadic EWMA, SQ8 ANN, expectations report, SimHash near-pairs.
+
+Graph laws run against hand-computable fixtures (K4, paths, stars);
+PageRank is pinned by mass conservation and the uniform fixed point —
+the properties that survive float-summation reordering — because the
+registered query is rows-only-checked.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_package_for_python_spark.operators.graph import (
+    pagerank,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+# --------------------------------------------------------------------- #
+# triangle_count                                                        #
+# --------------------------------------------------------------------- #
+
+def test_triangles_k4(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_count(_edges(spark, k4)).collect()
+    }
+    # K4 has C(3,2)=3 triangles through every node
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_graph_zero(spark):
+    path = [(i, i + 1) for i in range(5)]
+    out = triangle_count(_edges(spark, path)).collect()
+    assert {r["id"] for r in out} == set(range(6))
+    assert all(r["n_triangles"] == 0 for r in out)
+
+
+def test_triangles_dup_and_reversed_edges_collapse(spark):
+    tri = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (0, 2)]
+    out = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_count(_edges(spark, tri)).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+# --------------------------------------------------------------------- #
+# pagerank                                                              #
+# --------------------------------------------------------------------- #
+
+def test_pagerank_mass_conservation(spark):
+    g = [(i, (i * 7 + 3) % 11) for i in range(11) for _ in (0,)]
+    ranks = pagerank(_edges(spark, g), iterations=8).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert math.isclose(total, len(ranks), rel_tol=1e-9)
+
+
+def test_pagerank_uniform_cycle_fixed_point(spark):
+    n = 6
+    cycle = [(i, (i + 1) % n) for i in range(n)]
+    ranks = pagerank(_edges(spark, cycle), iterations=5).collect()
+    for r in ranks:
+        assert math.isclose(r["rank"], 1.0, rel_tol=1e-12)
+
+
+def test_pagerank_star_center_dominates(spark):
+    star = [(i, 0) for i in range(1, 6)]
+    out = {r["id"]: r["rank"] for r in pagerank(_edges(spark, star)).collect()}
+    assert out[0] > max(v for k, v in out.items() if k != 0)
+    # leaves are dangling-symmetric → identical ranks
+    leaf_ranks = [v for k, v in out.items() if k != 0]
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
+
+
+# --------------------------------------------------------------------- #
+# fuzzy_join_levenshtein                                                #
+# --------------------------------------------------------------------- #
+
+def test_fuzzy_join_blocks_and_verifies(spark):
+    from data_pipeline_package_for_python_spark.operators.joins import (
+        fuzzy_join_levenshtein,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "green apple"), (2, "red pear"), (3, "blu stone")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "green apples"), (11, "red bear"), (12, "blue stone")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join_levenshtein(
+        left, right, "lname", "rname",
+        blocking=[(
+            F.split("lname", " ").getItem(0),
+            F.split("rname", " ").getItem(0),
+        )],
+        max_distance=2,
+    ).select("lid", "rid", "distance").collect()
+    got = {(r["lid"], r["rid"]): r["distance"] for r in out}
+    # green/red block-match within distance; "blu" vs "blue" is a
+    # DIFFERENT first token → blocked out even though distance is 1
+    assert got == {(1, 10): 1, (2, 11): 1}
+
+
+def test_fuzzy_join_hot_block_cap(spark):
+    from data_pipeline_package_for_python_spark.operators.joins import (
+        fuzzy_join_levenshtein,
+    )
+
+    left = spark.createDataFrame(
+        [(i, "x common") for i in range(10)] + [(99, "y rare")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(100, "x common"), (101, "y rares")], "rid long, rname string"
+    )
+    out = fuzzy_join_levenshtein(
+        left, right, "lname", "rname",
+        blocking=[(
+            F.split("lname", " ").getItem(0),
+            F.split("rname", " ").getItem(0),
+        )],
+        max_distance=2,
+        max_block_freq=5,
+    ).select("lid", "rid").collect()
+    # the 10-row "x" block exceeds the cap and is dropped wholesale
+    assert {(r["lid"], r["rid"]) for r in out} == {(99, 101)}
+
+
+# --------------------------------------------------------------------- #
+# ewma_dyadic                                                           #
+# --------------------------------------------------------------------- #
+
+def test_ewma_dyadic_hand_computed(spark):
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        ewma_dyadic,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0),
+         (2, "2024-01-01 00:01:00", 2.0),
+         (3, "2024-01-01 00:02:00", 3.0)],
+        "eid long, ts string, value double",
+    ).select("eid", F.col("ts").cast("timestamp").alias("ts"), "value")
+    df = df.withColumn("k", F.lit(1))
+    out = {
+        r["eid"]: (r["ewma_num"], r["ewma_den"])
+        for r in ewma_dyadic(
+            df, "ts", "value", ("k",), depth=4, scale=100, tie_break="eid"
+        ).collect()
+    }
+    # depth=4 weights (newest→oldest): 8,4,2,1 on v=100,200,300
+    assert out[1] == (100 * 8, 8)
+    assert out[2] == (200 * 8 + 100 * 4, 12)
+    assert out[3] == (300 * 8 + 200 * 4 + 100 * 2, 14)
+
+
+# --------------------------------------------------------------------- #
+# expectations_report                                                   #
+# --------------------------------------------------------------------- #
+
+def test_expectations_report_counts(spark):
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, None), (4, 3.0)],
+        "k long, x double",
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in expectations_report(
+            df,
+            {"x_positive": F.col("x") > 0, "k_small": F.col("k") < 100},
+            unique=("k",),
+        ).collect()
+    }
+    # NULL x counts as a violation (unevaluable = failing)
+    assert out["x_positive"] == (4, 2, False)
+    assert out["k_small"] == (4, 0, True)
+    assert out["unique(k)"] == (4, 1, False)
+
+
+# --------------------------------------------------------------------- #
+# simhash_near_pairs                                                    #
+# --------------------------------------------------------------------- #
+
+def test_simhash_near_pairs_exact_dup_and_bounds(spark):
+    from data_pipeline_package_for_python_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here entirely now")],
+        "id long, text string",
+    )
+    out = simhash_near_pairs(docs, "id", "text", max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert got[(1, 2)] == 0
+    assert all(a < b for a, b in got)
+    assert all(h <= 3 for h in got.values())
+
+
+def test_simhash_near_pairs_rejects_wide_radius(spark):
+    from data_pipeline_package_for_python_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, "id", "text", max_hamming=4)
+
+
+# --------------------------------------------------------------------- #
+# sq8_topk                                                              #
+# --------------------------------------------------------------------- #
+
+def test_sq8_topk_matches_exact_on_separated_corpus(spark):
+    """When vectors are well separated, the int8 shortlist cannot
+    reorder across the cut and SQ8 == exact brute force."""
+    from data_pipeline_package_for_python_spark.operators.similarity import (
+        cosine_topk,
+        sq8_topk,
+    )
+
+    vecs = []
+    for i in range(12):
+        base = [0.0] * 8
+        base[i % 4] = 1.0 + i * 0.25
+        base[(i + 1) % 4] = 0.5 if i % 2 else -0.5
+        vecs.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, q, k=3).select(
+        "query_id", "rank", "neighbor_id"
+    ).collect()
+    approx = sq8_topk(emb, q, k=3, shortlist=8).select(
+        "query_id", "rank", "neighbor_id"
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))

@@ -715,3 +715,80 @@ def bloom_member(sketch: BloomSketch, key: Column) -> Column:
     _probe = pandas_udf(_probe_fn, "boolean")
 
     return _probe(_bloom_positions(key, sketch.m_bits, sketch.k))
+
+
+def jaccard_pairs_prefix_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs (J ≥ t_num/t_den) via PREFIX
+    FILTERING (PPJoin family, Xiao et al., WWW '08):
+    (id_a, id_b, n_inter, n_a, n_b).
+
+    The scale upgrade over ``jaccard_similar_pairs``: instead of
+    joining on EVERY shingle, each document joins only on its prefix —
+    the ``sz − ceil(t·sz) + 1`` globally-rarest shingles (rarest-first
+    order makes prefixes small AND selective).  Two sets with J ≥ t
+    must overlap in ≥ 1 prefix element (pigeonhole on the ≥ ceil(t·sz)
+    required intersections), so recall is exactly 1 — the filter only
+    prunes candidates, never answers.  Candidates are then verified
+    with the full intersection count and the integer cross-
+    multiplication ``t_den·inter ≥ t_num·(n_a + n_b − inter)`` — no
+    float Jaccard anywhere.
+
+    Cost: one extra narrow shuffle for global shingle frequencies +
+    one per-doc window; the candidate join's key distribution is the
+    RAREST shingles, the exact opposite of the hot-bucket problem the
+    plain shingle join has.  ``ceil`` is the integer form
+    ``(sz·t_num + t_den − 1) div t_den`` so any engine replays it.
+    """
+    sh = word_shingles(df, id_col, text_col, n).select(
+        "id", _shingle_hash().alias("h")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(freq, "h")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "h")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"(sz * {t_num} + {t_den} - 1) div {t_den}")
+        + 1
+    ).select("id", "h")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "h")
+        .join(prefix.select(F.col("id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.lit(t_den) * F.col("n_inter")
+            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    )

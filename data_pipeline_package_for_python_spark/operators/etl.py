@@ -25,8 +25,10 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "expectations_report",
+    "hash_sample",
     "hash_split",
     "snapshot_diff",
+    "stratified_hash_sample",
     "upsert",
     "scd2_from_changes",
 ]
@@ -228,3 +230,63 @@ def expectations_report(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    *,
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic Bernoulli-by-key sampling: keep a row iff its
+    key's md5-derived bucket falls under ``fraction``.
+
+    The sampling a 100 TB pipeline wants instead of ``rand()``:
+    map-only (a codegen filter — no sampling pass, no seed state),
+    EXACTLY reproducible across runs/engines/partitionings (so the
+    sample is hash-checkable and a re-run touches the same rows), and
+    consistent by key — every occurrence of a key is in or out
+    together, which makes downstream joins between two hash-samples of
+    related tables line up (sample orders and their lineitems with the
+    SAME predicate on the shared key).  ``fraction`` resolution is
+    1/n_buckets."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+        f"16, 10) as bigint) % {n_buckets}"
+    )
+    return df.filter(bucket < int(round(fraction * n_buckets)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    *,
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample the
+    majority class, keep all of a rare one) — the same md5-bucket
+    mechanism as :func:`hash_sample` with the threshold chosen by the
+    stratum value in a codegen CASE.  Strata absent from ``fractions``
+    are dropped (rate 0).  Map-only, no per-stratum passes."""
+    bucket = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+        f"16, 10) as bigint) % {n_buckets}"
+    )
+    expr = None
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} out of [0, 1]")
+        edge = int(round(frac * n_buckets))
+        cond = F.col(stratum_col) == name
+        expr = (
+            F.when(cond, F.lit(edge))
+            if expr is None
+            else expr.when(cond, F.lit(edge))
+        )
+    threshold = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    return df.filter(bucket < threshold)

@@ -39,6 +39,9 @@ if TYPE_CHECKING:  # pragma: no cover
 
 __all__ = [
     "FEATURE_DIM",
+    "audio_energy",
+    "wav_encode",
+    "wav_parse",
     "decode_media",
     "media_features",
     "media_fingerprint",
@@ -335,4 +338,94 @@ def media_features(
         F.size("features").alias("dim"),
         F.array_max("features").alias("f_max"),
         idx.cast("int").alias("f_argmax"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# real codec: WAV (RIFF PCM) — the stdlib-decodable AUDIO format (the    #
+# `wave` module), completing the modality set next to PPM images/frame   #
+# containers.  Canonical layout: 16-bit signed little-endian mono PCM.   #
+# ---------------------------------------------------------------------- #
+
+
+def wav_encode(samples, sample_rate: int = 16000) -> bytes:
+    """Canonical RIFF/WAVE bytes for a 16-bit mono PCM sample buffer."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_parse(payload: bytes):
+    """(sample_rate, int16 sample array) from canonical mono PCM WAV;
+    raises ValueError on any other layout so corrupt payloads surface
+    as task errors, not silent garbage."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                "audio_energy expects canonical 16-bit mono PCM WAV"
+            )
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    return rate, np.frombuffer(raw, dtype="<i2")
+
+
+def audio_energy(media: DataFrame, *, window: int) -> DataFrame:
+    """Windowed audio energy over REALLY-decoded WAV payloads:
+    (media_id, window_idx, n_samples, energy, peak) — one row per
+    ``window``-sample chunk, energy = Σ s² and peak = max|s| in EXACT
+    int64 (hash-checkable: no float DSP in the checked surface).
+
+    Same distributed posture as the PPM codec stages: Arrow batches
+    through ``mapInPandas`` (decode cost is per-batch Python, never
+    per-row pickling), output rows are fixed-width scalars so the 1→N
+    expansion re-shuffles safely regardless of source payload size.
+    The stdlib ``wave`` parse is the honest-decode proof for the audio
+    modality; compressed codecs (MP3/FLAC) are not in this environment
+    and would slot into the same iterator.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, widx, ns, energy, peak = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, samp = wav_parse(bytes(p))
+                s64 = samp.astype(np.int64)
+                for wi in range(0, len(s64), window):
+                    chunk = s64[wi : wi + window]
+                    ids.append(mid)
+                    widx.append(wi // window)
+                    ns.append(len(chunk))
+                    energy.append(int((chunk * chunk).sum()))
+                    peak.append(int(np.abs(chunk).max()) if len(chunk) else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": widx,
+                    "n_samples": ns,
+                    "energy": energy,
+                    "peak": peak,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema="media_id long, window_idx long, n_samples long, "
+               "energy long, peak long",
     )

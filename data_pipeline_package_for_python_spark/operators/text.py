@@ -672,3 +672,48 @@ def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_extract(norm, r"^([^/]+)", 1).alias("domain"),
         norm.alias("url_norm"),
     )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus:
+    (id, n_ngrams, n_unseen) — how many of a doc's distinct n-grams
+    never occur in the reference.  The memorization/novelty proxy a
+    training pipeline uses to rank candidate data against what the
+    model has already seen (low novelty = near-duplicate knowledge,
+    high novelty = new material), entirely in exact integers.
+
+    Shape: distinct n-grams both sides → join on the md5-derived int64
+    n-gram hash (8-byte keys, reference side deduplicated first) →
+    per-doc counts.  Linear in corpus n-grams; the reference hash set
+    is the only reused state, and at 100 TB it is a narrow one-column
+    frame that AQE broadcasts when small and shuffle-joins when not —
+    no driver-side set, no Python.
+    """
+    from .dedup import _shingle_hash, word_shingles
+
+    c = word_shingles(corpus, id_col, text_col, n).select(
+        "id", _shingle_hash().alias("h")
+    )
+    ref = (
+        word_shingles(reference, id_col, text_col, n)
+        .select(_shingle_hash().alias("h"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    return (
+        c.join(ref, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unseen"),
+        )
+    )

@@ -46,6 +46,8 @@ __all__ = [
     "sum_units",
     "gap_fill",
     "rolling_time_agg",
+    "rolling_zscore_flags",
+    "ewma_dyadic",
     "ohlc",
     "sessionize",
 ]
@@ -364,3 +366,65 @@ def ewma_dyadic(
     num = sum(num_terms[1:], num_terms[0]).cast("long")
     den = sum(den_terms[1:], den_terms[0]).cast("long")
     return df.withColumn("ewma_num", num).withColumn("ewma_den", den)
+
+
+def rolling_zscore_flags(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: tuple[str, ...],
+    *,
+    window_rows: int = 16,
+    z_threshold: int = 3,
+    scale: int = 100,
+    min_baseline: int = 8,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly flags in EXACT integer arithmetic —
+    adds (n_base, dev, var_num, is_anomaly).
+
+    Baseline = the ``window_rows`` rows BEFORE each row (the current
+    value never contaminates its own baseline).  With v = floor(value·
+    scale), n/s/q = count/Σv/Σv² over the baseline frame, the z-test
+    ``|v − s/n| / σ > z`` rearranges to the integer inequality
+    ``(n·v − s)² > z²·(n·q − s²)`` — no division, no sqrt, no floats,
+    so the flags are bit-identical across engines and partitionings
+    (σ here is the population std of the baseline).  Rows with fewer
+    than ``min_baseline`` prior observations never flag (cold-start
+    guard).
+
+    One window sort per key (all three frame aggregates share the
+    spec); the anomaly test itself is a map-side codegen expression.
+    At 100 TB this is the streaming-monitoring shape at rest: per-key
+    series sort once, flags fall out of the scan.
+    """
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    if tie_break is not None:
+        order.append(F.col(tie_break))
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    out = (
+        df.withColumn("__v", v)
+        .withColumn("n_base", F.count("__v").over(w))
+        .withColumn("__s", F.coalesce(F.sum("__v").over(w), F.lit(0)))
+        .withColumn(
+            "__q",
+            F.coalesce(F.sum(F.col("__v") * F.col("__v")).over(w), F.lit(0)),
+        )
+    )
+    dev = F.col("n_base") * F.col("__v") - F.col("__s")
+    var_num = F.col("n_base") * F.col("__q") - F.col("__s") * F.col("__s")
+    return (
+        out.withColumn("dev", dev)
+        .withColumn("var_num", var_num)
+        .withColumn(
+            "is_anomaly",
+            (F.col("n_base") >= min_baseline)
+            & (dev * dev > F.lit(z_threshold * z_threshold) * var_num),
+        )
+        .drop("__v", "__s", "__q")
+    )

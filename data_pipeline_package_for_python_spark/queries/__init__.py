@@ -93,6 +93,12 @@ _FRONT = (
     "etl_expectations",
     "graph_triangles",
     "graph_pagerank",
+    "multimodal_audio_energy",
+    "sample_hash_deterministic",
+    "sample_hash_stratified",
+    "ts_anomaly_zscore",
+    "text_ngram_novelty",
+    "dedup_jaccard_prefix",
 )
 
 

@@ -1417,6 +1417,79 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+# Synthetic PCM: doc_id's track has 1024 + (doc_id % 3)*256 samples,
+# sample k = (((doc_id*31 + k*7) % 256) - 128) * 256 — int16-range,
+# engine-replayable without parsing any container.
+_WAV_N = "(1024 + (doc_id % 3) * 256)"
+_WAV_U = "pmod((((doc_id * 31 + k * 7) % 256) - 128) * 256, 65536)"
+
+
+def _wav_payload_sql(n: str) -> str:
+    """Spark SQL expr building a canonical RIFF/WAVE (16-bit mono PCM
+    @16 kHz) payload for ``n`` samples of the `_WAV_U` formula — the
+    audio twin of ``_ppm_payload_sql``.  Static header fields are
+    pre-rendered little-endian hex; only the two size fields are
+    computed."""
+    dsize = f"(({n}) * 2)"
+    le32 = (
+        "format_string('%02x%02x%02x%02x', ({x}) % 256,"
+        " (({x}) div 256) % 256, (({x}) div 65536) % 256,"
+        " (({x}) div 16777216) % 256)"
+    )
+    riff_size = le32.format(x=f"(36 + {dsize})")
+    data_size = le32.format(x=dsize)
+    return (
+        "unhex(concat('52494646', "          # 'RIFF'
+        f"{riff_size}, "
+        "'57415645666d7420', "               # 'WAVE' 'fmt '
+        "'10000000', "                       # fmt chunk size 16
+        "'0100', '0100', "                   # PCM, mono
+        "'803e0000', '007d0000', "           # 16000 Hz, 32000 B/s
+        "'0200', '1000', "                   # block align 2, 16-bit
+        "'64617461', "                       # 'data'
+        f"{data_size}, "
+        f"concat_ws('', transform(sequence(0, ({n}) - 1, 1), "
+        f"k -> format_string('%02x%02x', ({_WAV_U}) % 256, "
+        f"({_WAV_U}) div 256)))))"
+    )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH r AS (SELECT unnest(range(0, 1536)) AS k),
+    s AS (
+      SELECT doc_id, k,
+             (((doc_id * 31 + k * 7) % 256) - 128) * 256 AS samp
+      FROM documents, r
+      WHERE k < 1024 + (doc_id % 3) * 256
+    )
+    SELECT doc_id AS media_id, k // 256 AS window_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(samp * samp) AS BIGINT) AS energy,
+           CAST(max(abs(samp)) AS BIGINT) AS peak
+    FROM s GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """REAL audio decode: the JVM builds each doc's canonical RIFF/WAVE
+    payload in codegen (header + 16-bit LE PCM), the Arrow-batched
+    mapInPandas stage parses it with the stdlib ``wave`` module and
+    emits per-256-sample window energy/peak in EXACT int64
+    (operators/multimodal.py audio_energy).  The oracle replays the
+    PCM formula directly — if the WAV round-trip dropped or reordered
+    a single sample, the energy hashes diverge.  Completes the honest-
+    decode modality set: PPM stills, concatenated-PPM video, PCM
+    audio."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    tracks = docs.select(
+        "doc_id", F.expr(_wav_payload_sql(_WAV_N)).alias("payload")
+    )
+    media = M.pack_media(tracks, "doc_id", "payload",
+                         modality="audio", mime="audio/wav")
+    return M.audio_energy(media, window=256)
+
+
 @query(
     "scan_binary_files",
     oracle="""
@@ -1495,4 +1568,95 @@ def text_boilerplate(spark, sf_dir):
     )
     return out.select(
         "id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+      FROM words
+    ),
+    sh2 AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+1], ' ')
+                 AS shingle
+      FROM idx
+    ),
+    c AS (SELECT id, {_H} AS h FROM sh2 WHERE id >= 100),
+    r AS (SELECT DISTINCT {_H} AS h FROM sh2 WHERE id < 100)
+    SELECT c.id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen
+    FROM c LEFT JOIN r ON c.h = r.h
+    GROUP BY c.id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Bigram novelty of each corpus doc (doc_id ≥ 100) against the
+    reference slice (doc_id < 100): distinct-bigram join on int64
+    hashes, per-doc exact unseen counts (operators/text.py
+    ngram_novelty) — the data-valuation proxy for 'does this document
+    add anything new'.  Linear in corpus bigrams, broadcast-or-shuffle
+    chosen by stats on the deduped reference side."""
+    docs = load(spark, sf_dir, "documents")
+    return T.ngram_novelty(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+        "doc_id", "text", n=2,
+    )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hs AS (SELECT id, {_H} AS h FROM sh),
+    sizes AS (SELECT id, count(*) AS sz FROM hs GROUP BY id),
+    freq AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
+    ranked AS (
+      SELECT hs.id, hs.h,
+             row_number() OVER (PARTITION BY hs.id ORDER BY f.df, hs.h)
+                 AS rn,
+             s.sz
+      FROM hs JOIN freq f USING (h) JOIN sizes s USING (id)
+    ),
+    pfx AS (
+      SELECT id, h FROM ranked
+      WHERE rn <= sz - ((sz * 1 + 2 - 1) // 2) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pfx a JOIN pfx b USING (h) WHERE a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN hs x ON x.id = c.id_a
+      JOIN hs y ON y.id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE 2 * i.n_inter >= 1 * (sa.sz + sb.sz - i.n_inter)
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.5 pairs via prefix filtering (PPJoin family):
+    each doc joins only on its sz − ceil(sz/2) + 1 globally-RAREST
+    shingles (pigeonhole-complete for the threshold), then candidates
+    verify with full intersection counts and integer cross-
+    multiplication — no float Jaccard, no all-shingle self-join
+    (operators/dedup.py jaccard_pairs_prefix_filter).  The third
+    Jaccard tier: exact like the naive join, prunes like LSH."""
+    return D.jaccard_pairs_prefix_filter(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, t_num=1, t_den=2,
     )

@@ -473,6 +473,75 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+_MD5_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 10000"
+)
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_MD5_BUCKET_SQL.format(key='o_orderkey')} < 500
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic 5% Bernoulli-by-key sample (md5 buckets, no
+    rand()): map-only codegen filter, EXACTLY reproducible across
+    engines — unlike `sample_fraction`, the drawn rows themselves
+    hash-check.  Key-consistency means a second table sampled on the
+    shared key joins losslessly with this one
+    (operators/etl.py hash_sample)."""
+    from ..operators.etl import hash_sample
+
+    o = load(spark, sf_dir, "orders")
+    return hash_sample(o, "o_orderkey", 0.05).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus,
+             {_MD5_BUCKET_SQL.format(key='o_orderkey')} AS bucket
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM b
+    WHERE bucket < CASE o_orderstatus
+                     WHEN 'O' THEN 1000
+                     WHEN 'F' THEN 500
+                     WHEN 'P' THEN 10000
+                     ELSE 0 END
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_hash_stratified(spark, sf_dir):
+    """Per-stratum deterministic rates (downsample common statuses,
+    keep ALL of 'P') with the same md5-bucket mechanism — the
+    engine-reproducible twin of `sample_stratified`, so the per-stratum
+    key checksums hash-check exactly
+    (operators/etl.py stratified_hash_sample)."""
+    from ..operators.etl import stratified_hash_sample
+
+    o = load(spark, sf_dir, "orders")
+    s = stratified_hash_sample(
+        o, "o_orderkey", "o_orderstatus",
+        {"O": 0.10, "F": 0.05, "P": 1.0},
+    )
+    return s.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 # ---------------------------------------------------------------------- #
 # §2.2.3 joins                                                           #
 # ---------------------------------------------------------------------- #

@@ -385,3 +385,51 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=8, scale=100, tie_break="event_id",
     )
     return out.select("event_id", "user_id", "ewma_num", "ewma_den")
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    fr AS (
+      SELECT event_id, user_id, v,
+             count(v) OVER w AS n_base,
+             COALESCE(SUM(v) OVER w, 0) AS s,
+             COALESCE(SUM(v * v) OVER w, 0) AS q
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_base * v - s AS BIGINT) AS dev,
+           CAST(n_base * q - s * s AS BIGINT) AS var_num,
+           (n_base >= 8 AND
+            (n_base * v - s) * (n_base * v - s) > 9 * (n_base * q - s * s))
+               AS is_anomaly
+    FROM fr
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (|z| > 3 vs the 16 prior events
+    per user) in EXACT integer arithmetic: the z-test rearranges to
+    (n·v − s)² > 9·(n·q − s²) — no division/sqrt/floats, so flags are
+    bit-identical across engines (operators/timeseries.py
+    rolling_zscore_flags).  One window sort per user; the test is a
+    map-side codegen expression — monitoring at rest costs one scan."""
+    from ..operators.timeseries import rolling_zscore_flags
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_zscore_flags(
+        ev, "ts", "value", ("user_id",),
+        window_rows=16, z_threshold=3, scale=100, min_baseline=8,
+        tie_break="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "n_base", "dev", "var_num", "is_anomaly"
+    )

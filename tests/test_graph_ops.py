@@ -252,3 +252,115 @@ def test_sq8_topk_matches_exact_on_separated_corpus(spark):
         "query_id", "rank", "neighbor_id"
     ).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
+
+
+# --------------------------------------------------------------------- #
+# round-3 batch 2: prefix-filter Jaccard, hash sampling, z-score, WAV   #
+# --------------------------------------------------------------------- #
+
+def test_prefix_filter_jaccard_equals_naive(spark, tables):
+    """Prefix filtering prunes candidates, never answers: the PPJoin
+    result must equal the all-shingles exact join at the same
+    threshold."""
+    from data_pipeline_package_for_python_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+        jaccard_similar_pairs,
+    )
+
+    docs = tables["documents"].limit(150)
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_prefix_filter(
+            docs, "doc_id", "text", n=3, t_num=1, t_den=2
+        ).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_similar_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert fast == naive
+
+
+def test_hash_sample_key_consistency(spark, tables):
+    """Sampling orders and (separately) lineitems by the shared key
+    keeps exactly the lineitems of sampled orders — the join-lineup
+    property rand() sampling cannot give."""
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        hash_sample,
+    )
+
+    o = hash_sample(tables["orders"], "o_orderkey", 0.1)
+    li = hash_sample(tables["lineitem"], "l_orderkey", 0.1)
+    o_keys = {r[0] for r in o.select("o_orderkey").collect()}
+    li_keys = {r[0] for r in li.select("l_orderkey").distinct().collect()}
+    all_li_keys = {
+        r[0]
+        for r in tables["lineitem"].select("l_orderkey").distinct().collect()
+    }
+    assert li_keys == o_keys & all_li_keys
+
+
+def test_hash_sample_deterministic_and_bounded(spark, tables):
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        hash_sample,
+    )
+
+    o = tables["orders"]
+    n1 = hash_sample(o, "o_orderkey", 0.2).count()
+    n2 = hash_sample(o, "o_orderkey", 0.2).count()
+    assert n1 == n2
+    total = o.count()
+    assert 0.1 * total < n1 < 0.3 * total
+    assert hash_sample(o, "o_orderkey", 0.0).count() == 0
+    assert hash_sample(o, "o_orderkey", 1.0).count() == total
+
+
+def test_zscore_flags_spike(spark):
+    """A flat series with one spike flags exactly the spike (after the
+    warm-up window)."""
+    import pyspark.sql.functions as F
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        rolling_zscore_flags,
+    )
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 10.0 + (0.1 * (i % 3)))
+        for i in range(20)
+    ]
+    rows.append((20, "2024-01-01 00:20:00", 500.0))
+    rows.append((21, "2024-01-01 00:21:00", 10.1))
+    df = (
+        spark.createDataFrame(rows, "eid long, ts string, value double")
+        .select("eid", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .withColumn("k", F.lit(1))
+    )
+    out = {
+        r["eid"]: r["is_anomaly"]
+        for r in rolling_zscore_flags(
+            df, "ts", "value", ("k",), tie_break="eid"
+        ).collect()
+    }
+    assert out[20] is True
+    assert sum(1 for v in out.values() if v) == 1
+
+
+def test_wav_roundtrip_and_energy(spark):
+    from data_pipeline_package_for_python_spark.operators.multimodal import (
+        audio_energy,
+        pack_media,
+        wav_encode,
+    )
+
+    samples = list(range(-300, 300, 3))  # 200 samples
+    payload = wav_encode(samples, 16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    media = pack_media(df, "media_id", "payload", modality="audio")
+    out = audio_energy(media, window=64).orderBy("window_idx").collect()
+    assert [r["n_samples"] for r in out] == [64, 64, 64, 8]
+    exp0 = sum(s * s for s in samples[:64])
+    assert out[0]["energy"] == exp0
+    assert out[0]["peak"] == 300

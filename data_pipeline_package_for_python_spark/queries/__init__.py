@@ -99,6 +99,8 @@ _FRONT = (
     "ts_anomaly_zscore",
     "text_ngram_novelty",
     "dedup_jaccard_prefix",
+    "agg_median",
+    "window_cume_nth",
 )
 
 

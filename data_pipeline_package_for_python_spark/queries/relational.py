@@ -1290,6 +1290,36 @@ def agg_stats(spark, sf_dir):
     both engines (built-in stddev aggregates doubles in engine-specific
     order, and wide decimal→double casts double-round in DuckDB — neither
     is cross-engine hashable)."""
+    return _agg_stats_impl(spark, sf_dir)
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           median(CAST(l_quantity AS DOUBLE)) AS med_qty,
+           median(CAST(l_extendedprice AS DOUBLE)) AS med_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark, sf_dir):
+    """Exact grouped median — hash-checkable because BOTH engines
+    define even-count median as the midpoint interpolation of the two
+    central order statistics of the same double inputs (verified
+    value-identical; unlike stddev there is no accumulation-order
+    dependence, the result is a function of the sorted multiset).  At
+    scale the exact median is a per-group sort — the approx_percentile
+    row is the 100 TB default; this is the exact tier."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_extendedprice").alias("med_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _agg_stats_impl(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     qi = F.floor(F.col("l_quantity") * 10 + F.lit(0.5))
     di = F.floor(F.col("l_discount") * 1000 + F.lit(0.5))
@@ -1561,6 +1591,42 @@ def window_ntile_percent(spark, sf_dir):
             "o_orderkey",
             F.ntile(4).over(w).alias("quartile"),
             F.percent_rank().over(w).alias("pct_rank"),
+        )
+        .filter(F.col("o_orderkey") < 500)
+    )
+
+
+@query(
+    "window_cume_nth",
+    oracle="""
+    SELECT o_orderkey,
+           cume_dist() OVER w AS cdist,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    QUALIFY o_orderkey < 500
+    """,
+)
+def window_cume_nth(spark, sf_dir):
+    """cume_dist + nth_value — the remaining ranked-window surface
+    next to rank/ntile/percent_rank.  nth_value uses an explicit
+    running frame (identical default in both engines, pinned
+    explicitly so the oracle cannot drift); total order via the
+    (price, key) tie-break."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_orderkey",
+            F.cume_dist().over(w).alias("cdist"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
         )
         .filter(F.col("o_orderkey") < 500)
     )

@@ -747,8 +747,15 @@ def jaccard_pairs_prefix_filter(
     plain shingle join has.  ``ceil`` is the integer form
     ``(sz·t_num + t_den − 1) div t_den`` so any engine replays it.
     """
-    sh = word_shingles(df, id_col, text_col, n).select(
-        "id", _shingle_hash().alias("h")
+    # The hashed shingle table is referenced five times (frequencies,
+    # sizes, ranking, and both verification probes) — persist it once
+    # (PPJoin's token index) or every reference replays the shingle
+    # explode and the plan's exchange count multiplies.
+    sh = swap_cache(
+        "ppjoin_shingles",
+        word_shingles(df, id_col, text_col, n).select(
+            "id", _shingle_hash().alias("h")
+        ),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

@@ -143,13 +143,19 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     the raw degree.  Two shuffles (wedge join + closing-edge semi
     join), no driver state.
     """
-    undirected = (
+    from ._util import swap_cache
+
+    # The canonical edge list feeds degree counting AND the three-way
+    # wedge join (5 plan references) — persist it or the whole upstream
+    # subtree replicates per reference and the exchange count explodes.
+    undirected = swap_cache(
+        "triangle_undirected",
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .distinct(),
     )
     deg = (
         undirected.select(F.col("a").alias("id"))
@@ -160,7 +166,10 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
-    oriented = (
+    # Same reasoning: the oriented list is referenced three times by the
+    # wedge + closing joins.
+    oriented = swap_cache(
+        "triangle_oriented",
         undirected.join(da, "a").join(db, "b")
         .select(
             F.when(
@@ -171,7 +180,7 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
             .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
             .alias("e")
         )
-        .select("e.u", "e.v")
+        .select("e.u", "e.v"),
     )
     # wedges u->v, u->w (v<w in orientation order) closed by edge v->w
     e1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))

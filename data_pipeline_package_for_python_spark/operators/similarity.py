@@ -610,7 +610,11 @@ def sq8_topk(
     can reorder near-ties, the re-rank cannot recover a vector the
     integer pass dropped).
     """
-    scales = sq8_dimension_scales(corpus, vec_col)
+    from ._util import swap_cache
+
+    # One-row frame referenced by both quantization sides — persist so
+    # the posexplode+max subtree runs once, not once per reference.
+    scales = swap_cache("sq8_scales", sq8_dimension_scales(corpus, vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).crossJoin(F.broadcast(scales)).select(

@@ -259,3 +259,50 @@ def test_incremental_dedup_is_anti_join_on_digest(spark, sf_dir, tables):
     assert r.shuffle_keys == [] or all(
         "text" not in k for k in r.shuffle_keys
     )
+
+
+# --------------------------------------------------------------------- #
+# round-3 additions                                                     #
+# --------------------------------------------------------------------- #
+
+def test_expectations_single_scan_no_joins(spark, sf_dir):
+    """N rules + uniqueness must stay ONE scan + aggregates — adding a
+    rule must never add a join or a per-rule pass."""
+    r = rep("etl_expectations", spark, sf_dir)
+    assert r.joins == [] and not r.has_cartesian
+    assert r.n_shuffles <= 2  # single global aggregate (partial + final)
+
+
+def test_ewma_and_zscore_one_window_shuffle(spark, sf_dir):
+    """The 8 lag terms (EWMA) / 3 frame aggregates (z-score) must share
+    one window partitioning — exactly one shuffle, no joins."""
+    for name in ("ts_ewma", "ts_anomaly_zscore"):
+        r = rep(name, spark, sf_dir)
+        assert r.joins == [], name
+        assert r.n_shuffles == 1, name
+
+
+def test_audio_energy_is_arrow_map_only(spark, sf_dir):
+    r = rep("multimodal_audio_energy", spark, sf_dir)
+    assert "MapInPandas" in r.text
+    assert r.joins == [] and r.n_shuffles == 0
+
+
+def test_fuzzy_join_is_equality_blocked(spark, sf_dir):
+    """Record linkage must candidate via the EQUALITY blocking join —
+    a nested-loop/cartesian here means the blocking key fell out."""
+    r = rep("join_fuzzy_levenshtein", spark, sf_dir)
+    assert not r.has_cartesian
+    assert all(j in ("BroadcastHashJoin", "SortMergeJoin",
+                     "ShuffledHashJoin") for j in r.joins)
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_simhash_pairs", "dedup_jaccard_prefix",
+             "graph_triangles"]
+)
+def test_banded_pair_ops_no_cartesian(name, spark, sf_dir):
+    """Every pair-generating operator must candidate through equality
+    joins on band/prefix/edge keys — all-pairs shapes are the exact
+    failure mode these operators exist to avoid."""
+    assert not rep(name, spark, sf_dir).has_cartesian

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "compaction_bins",
     "expectations_report",
     "hash_sample",
     "hash_split",
@@ -290,3 +291,37 @@ def stratified_hash_sample(
         )
     threshold = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
     return df.filter(bucket < threshold)
+
+
+def compaction_bins(
+    manifest: DataFrame,
+    size_col: str,
+    order_col: str,
+    *,
+    target: int,
+) -> DataFrame:
+    """Small-files compaction planner over a file manifest: assign each
+    file to a rewrite bin of ~``target`` cumulative size; adds
+    (cum_before, bin).
+
+    The planning trick that makes this one sort instead of an
+    iterative packer: greedy first-fit over a fixed file order is
+    EXACTLY ``bin = floor(cumulative_size_before / target)`` — a
+    window cumulative sum, so the plan is a single global sort over
+    manifest rows (catalog-sized, not data-sized; at 100 TB the
+    manifest is millions of rows where the table is billions).  The
+    rewrite itself is then one job per bin reading that bin's files.
+    Deterministic for a total ``order_col`` — callers sort by file
+    path/id, never by mtime.
+    """
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    return (
+        manifest.withColumn("cum_before", cum_before.cast("long"))
+        .withColumn(
+            "bin", F.floor(F.col("cum_before") / F.lit(target)).cast("long")
+        )
+    )

@@ -101,6 +101,7 @@ _FRONT = (
     "dedup_jaccard_prefix",
     "agg_median",
     "window_cume_nth",
+    "etl_compaction_plan",
 )
 
 

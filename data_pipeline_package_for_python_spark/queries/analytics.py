@@ -605,3 +605,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return pagerank(bidir, iterations=10, damping=0.85)
+
+
+@query(
+    "etl_compaction_plan",
+    oracle="""
+    WITH manifest AS (
+      SELECT o_orderkey % 200 AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    planned AS (
+      SELECT file_id, n_rows,
+             CAST(SUM(n_rows) OVER (ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_rows AS BIGINT) AS cum_before
+      FROM manifest
+    )
+    SELECT file_id, n_rows, cum_before,
+           CAST(cum_before // 40 AS BIGINT) AS bin
+    FROM planned
+    """,
+)
+def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (operators/etl.py
+    compaction_bins): greedy size-binning expressed as one cumulative-
+    sum window over a synthetic 200-file manifest — the catalog-driven
+    shape real table formats use (plan over the manifest, never open
+    data files).  Bin boundaries are engine-exact integers."""
+    from ..operators.etl import compaction_bins
+
+    manifest = (
+        load(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 200).alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return compaction_bins(
+        manifest, "n_rows", "file_id", target=40
+    ).select("file_id", "n_rows", "cum_before", "bin")

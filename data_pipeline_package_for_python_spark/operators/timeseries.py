@@ -45,6 +45,8 @@ __all__ = [
     "rollup_time",
     "sum_units",
     "gap_fill",
+    "histogram_rollup",
+    "histogram_quantile_lo",
     "rolling_time_agg",
     "rolling_zscore_flags",
     "ewma_dyadic",
@@ -428,3 +430,72 @@ def rolling_zscore_flags(
         )
         .drop("__v", "__s", "__q")
     )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    width: str = "1 hour",
+    bin_units: int = 5000,
+    scale: int = 100,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Mergeable equi-width histogram per time bucket:
+    (bucket, bin, n) with bin = floor(value·scale) div bin_units.
+
+    The quantile twin of the HLL distinct rollup: histogram counts are
+    EXACT integers and re-aggregate associatively to any coarser grain
+    (daily = sum of hourly bins — never re-reads the fact table), which
+    approx_percentile sketches cannot do through SQL.  Quantile error
+    is bounded by one bin width, chosen by ``bin_units``; state per
+    bucket is #occupied-bins rows, not a value list.  One hash
+    aggregate, map-side combined."""
+    v_bin = (
+        F.floor(F.col(value_col) * scale).cast("long") / F.lit(bin_units)
+    ).cast("long")
+    return (
+        df.groupBy(
+            time_bucket(ts_col, width).alias(bucket_name),
+            v_bin.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile_lo(
+    hist: DataFrame,
+    group_cols: tuple[str, ...],
+    quantiles: dict[str, tuple[int, int]],
+    *,
+    bin_units: int = 5000,
+) -> DataFrame:
+    """Per-group quantile LOWER BOUNDS from an equi-width histogram:
+    for q = num/den, the smallest bin whose running count reaches
+    ``ceil(q·n)`` — all integer arithmetic, so the estimate (bin lower
+    edge in scaled units) is engine-exact while true-quantile error
+    stays within one bin width.
+
+    One window (cumulative count per group ordered by bin) + one
+    aggregate; the cascade property means this can run on ANY grain of
+    a :func:`histogram_rollup` without touching raw data."""
+    kcols = [F.col(k) for k in group_cols]
+    w_cum = (
+        Window.partitionBy(*kcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*kcols)
+    cum = hist.withColumn("__cum", F.sum("n").over(w_cum)).withColumn(
+        "__tot", F.sum("n").over(w_tot)
+    )
+    aggs = [F.sum("n").alias("n_rows")]
+    for name, (num, den) in quantiles.items():
+        need = F.expr(f"(__tot * {num} + {den} - 1) div {den}")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= need, F.col("bin") * bin_units)
+            ).alias(name)
+        )
+    return cum.groupBy(*kcols).agg(*aggs)

@@ -102,6 +102,7 @@ _FRONT = (
     "agg_median",
     "window_cume_nth",
     "etl_compaction_plan",
+    "ts_quantile_histogram",
 )
 
 

@@ -433,3 +433,65 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "n_base", "dev", "var_num", "is_anomaly"
     )
+
+
+@query(
+    "ts_quantile_histogram",
+    oracle="""
+    WITH hourly AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                 AS bucket,
+             CAST(FLOOR(value * 100) AS BIGINT) // 5000 AS bin,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT make_timestamp((epoch_us(bucket) // 86400000000)
+                            * 86400000000) AS day,
+             bin, SUM(n) AS n
+      FROM hourly GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, bin, n,
+             SUM(n) OVER (PARTITION BY day ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c,
+             SUM(n) OVER (PARTITION BY day) AS tot
+      FROM daily
+    )
+    SELECT day,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MIN(CASE WHEN c >= (tot * 1 + 1) // 2
+                         THEN bin * 5000 END) AS BIGINT) AS p50_lo,
+           CAST(MIN(CASE WHEN c >= (tot * 9 + 9) // 10
+                         THEN bin * 5000 END) AS BIGINT) AS p90_lo
+    FROM cum GROUP BY day
+    """,
+)
+def ts_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile cascade: hourly equi-width histograms (exact
+    integer bins) re-aggregate to daily WITHOUT re-reading events, then
+    p50/p90 lower bounds fall out of one cumulative window — the
+    quantile twin of the HLL distinct rollup, with engine-exact outputs
+    (true quantile within one 50.00-unit bin)
+    (operators/timeseries.py histogram_rollup/histogram_quantile_lo).
+    The oracle aggregates daily directly; equality IS the
+    associativity law."""
+    from ..operators.timeseries import (
+        histogram_quantile_lo,
+        histogram_rollup,
+        time_bucket,
+    )
+
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    hourly = histogram_rollup(
+        ev, "ts", "value", width="1 hour", bin_units=5000, scale=100
+    )
+    daily = hourly.groupBy(
+        time_bucket("bucket", "1 day").alias("day"), F.col("bin")
+    ).agg(F.sum("n").alias("n"))
+    return histogram_quantile_lo(
+        daily, ("day",),
+        {"p50_lo": (1, 2), "p90_lo": (9, 10)},
+        bin_units=5000,
+    ).select("day", "n_rows", "p50_lo", "p90_lo")

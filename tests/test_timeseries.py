@@ -224,3 +224,55 @@ def test_rolling_time_agg_trailing_window_inclusive(spark):
     )
     got = sorted((r.ts, r.s) for r in out.collect())
     assert [s for _, s in got] == [1.0, 3.0, 4.0]
+
+
+def test_histogram_cascade_associativity(spark, tables):
+    """Weekly histogram from daily == weekly from hourly == weekly
+    direct — the mergeability contract that lets quantile rollups
+    cascade without re-reading facts."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        histogram_rollup,
+        time_bucket,
+    )
+
+    ev = tables["events"].select("ts", "value")
+    hourly = histogram_rollup(ev, "ts", "value", width="1 hour")
+    weekly_from_hourly = (
+        hourly.groupBy(
+            time_bucket("bucket", "1 week").alias("wk"), "bin"
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+    weekly_direct = histogram_rollup(
+        ev, "ts", "value", width="1 week", bucket_name="wk"
+    )
+    a = {(r["wk"], r["bin"]): r["n"] for r in weekly_from_hourly.collect()}
+    b = {(r["wk"], r["bin"]): r["n"] for r in weekly_direct.collect()}
+    assert a == b
+
+
+def test_histogram_quantile_bounds_true_quantile(spark, tables):
+    """The histogram p50 lower bound must bracket the true median:
+    p50_lo <= median(v_scaled) < p50_lo + bin_units."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        histogram_quantile_lo,
+        histogram_rollup,
+    )
+
+    ev = tables["events"].select("ts", "value").withColumn(
+        "g", F.lit(1)
+    )
+    hist = histogram_rollup(
+        ev, "ts", "value", width="1 week", bucket_name="g2"
+    ).withColumn("g", F.lit(1)).groupBy("g", "bin").agg(
+        F.sum("n").alias("n")
+    )
+    q = histogram_quantile_lo(hist, ("g",), {"p50_lo": (1, 2)}).collect()[0]
+    true_med = ev.agg(
+        F.expr("percentile(floor(value * 100), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    assert q["p50_lo"] <= true_med < q["p50_lo"] + 5000

@@ -103,6 +103,8 @@ _FRONT = (
     "window_cume_nth",
     "etl_compaction_plan",
     "ts_quantile_histogram",
+    "etl_rebalance_corpus",
+    "dedup_quality_survivor",
 )
 
 

@@ -1660,3 +1660,120 @@ def dedup_jaccard_prefix(spark, sf_dir):
         load(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, t_num=1, t_den=2,
     )
+
+
+@query(
+    "etl_rebalance_corpus",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM b
+    WHERE bucket < CASE lang
+                     WHEN 'en' THEN 4000
+                     WHEN 'fr' THEN 8000
+                     ELSE 10000 END
+    GROUP BY lang
+    """,
+)
+def etl_rebalance_corpus(spark, sf_dir):
+    """Per-language corpus rebalancing: downsample the dominant
+    language (en 40%, fr 80%, all others kept) with the deterministic
+    md5-bucket mechanism — the quota step every multilingual training
+    mix applies, reproducible across runs and engines so the sampled
+    corpus itself hash-checks (operators/etl.py
+    stratified_hash_sample).  Map-only filter; the tiny per-language
+    rollup gives the driver a checkable surface."""
+    from ..operators.etl import stratified_hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    s = stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.4, "fr": 0.8, "es": 1.0, "zh": 1.0, "de": 1.0},
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@query(
+    "dedup_quality_survivor",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    bidir AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
+    ),
+    comp AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, component,
+           first_value(doc_id) OVER w AS survivor_id,
+           doc_id = first_value(doc_id) OVER w AS is_survivor
+    FROM labeled
+    WINDOW w AS (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+    """,
+)
+def dedup_quality_survivor(spark, sf_dir):
+    """Quality-aware cluster survivor election — the composition a real
+    corpus cleanup runs: near-dup pairs → transitive clusters
+    (large-star/small-star CC) → keep the LONGEST member per cluster
+    (tie → min id), not blindly the min id.  One window per component
+    on top of the cluster map; everything upstream is the same bounded
+    candidate machinery as dedup_clusters."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_similar_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    ).select("id_a", "id_b")
+    cc = G.resolve_duplicates(
+        docs.select("doc_id", "n_chars"), pairs, "doc_id"
+    )
+    w = (
+        W.partitionBy("component")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return cc.select(
+        "doc_id",
+        "component",
+        F.first("doc_id").over(w).alias("survivor_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_survivor"),
+    )

@@ -364,3 +364,88 @@ def test_wav_roundtrip_and_energy(spark):
     exp0 = sum(s * s for s in samples[:64])
     assert out[0]["energy"] == exp0
     assert out[0]["peak"] == 300
+
+
+# --------------------------------------------------------------------- #
+# property tests: blocking completeness                                 #
+# --------------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+_docs_st = st.lists(
+    st.lists(_words, min_size=1, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@_SLOW
+@given(_docs_st)
+def test_prefix_filter_complete_on_random_corpora(spark, texts):
+    """Prefix filtering must find EVERY pair the naive all-shingles
+    join finds, on arbitrary corpora — the pigeonhole argument, not a
+    fixture coincidence."""
+    from data_pipeline_package_for_python_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+        jaccard_similar_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_prefix_filter(
+            docs, "id", "text", n=2, t_num=1, t_den=2
+        ).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_similar_pairs(
+            docs, "id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    assert fast == naive
+
+
+@_SLOW
+@given(_docs_st)
+def test_simhash_banding_complete_on_random_corpora(spark, texts):
+    """4×16-bit banding must surface every pair within hamming ≤ 3 of
+    the full fingerprint table (computed brute-force driver-side)."""
+    from data_pipeline_package_for_python_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    fps = {
+        r["id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in simhash64(docs, "id", "text").collect()
+    }
+    expected = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+                fps[a][1] ^ fps[b][1]
+            ).count("1")
+            if d <= 3:
+                expected.add((a, b, d))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(docs, "id", "text").collect()
+    }
+    assert got == expected

@@ -105,6 +105,7 @@ _FRONT = (
     "ts_quantile_histogram",
     "etl_rebalance_corpus",
     "dedup_quality_survivor",
+    "stream_quantile_histogram",
 )
 
 

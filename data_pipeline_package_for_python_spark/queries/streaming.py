@@ -321,3 +321,37 @@ def stream_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     which must equal the batch GROUP BY."""
     counters = running_user_counters(_stream(spark, sf_dir))
     return run_available_now(counters, output_mode="append")
+
+
+@query(
+    "stream_quantile_histogram",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+               AS w_start,
+           CAST(FLOOR(value * 100) AS BIGINT) // 5000 AS bin,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram as a STREAMING aggregate: 6-hour tumbling
+    windows × integer value bins — per-group state is one counter, so
+    the quantile sketch of operators/timeseries.py histogram_rollup
+    maintains incrementally under watermarked eviction, and the
+    converged stream state hash-equals the batch histogram.  This is
+    the streaming leg of the cascade story: window histograms merge to
+    any coarser grain downstream without re-reading the stream."""
+    s = _stream(spark, sf_dir).withColumn(
+        "bin",
+        (F.floor(F.col("value") * 100).cast("long") / F.lit(5000)).cast(
+            "long"
+        ),
+    )
+    agg = tumbling_agg(
+        s,
+        duration="6 hours",
+        watermark="2 hours",
+        keys=("bin",),
+        aggs={"n": F.count("*")},
+    )
+    return run_available_now(agg, output_mode="complete")

@@ -106,6 +106,7 @@ _FRONT = (
     "etl_rebalance_corpus",
     "dedup_quality_survivor",
     "stream_quantile_histogram",
+    "sink_python_datasource",
 )
 
 

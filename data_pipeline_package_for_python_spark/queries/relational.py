@@ -1893,3 +1893,37 @@ def sink_partition_overwrite(spark, sf_dir):
             / F.lit(100.0)
         ).alias("sum_price"),
     )
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_python_datasource(spark, sf_dir):
+    """The WRITER half of Spark 4's Python DataSource API
+    (sources/pyds.py JsonLinesSinkDataSource): executors stream their
+    partitions to independent files under a two-phase
+    .inprogress→rename commit (a failed or speculative task never
+    publishes a half-file), then the round-trip re-read aggregates
+    back to the source values.  With the reader row this completes the
+    custom-source/custom-sink story — no JVM code either way."""
+    import tempfile
+
+    from ..sources.pyds import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    ).select("o_orderkey", "o_orderstatus")
+    path = tempfile.mkdtemp(prefix="dpp_pyds_sink_") + "/orders"
+    o.write.format("dpp_jsonl").option("path", path).mode("append").save()
+    back = spark.read.json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

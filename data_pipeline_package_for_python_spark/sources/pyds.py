@@ -73,3 +73,78 @@ class SynthRangeDataSource(DataSource):
 def register_synth_range(spark) -> None:
     """Idempotent session registration (latest registration wins)."""
     spark.dataSource.register(SynthRangeDataSource)
+
+
+# ---------------------------------------------------------------------- #
+# Python DataSource WRITER — the sink half of the API: executors each    #
+# write their partition to an independent jsonl file (no cross-task      #
+# coordination, no driver routing), the standard parallel-sink shape.    #
+# ---------------------------------------------------------------------- #
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class _JsonLinesCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        """Executor-side: stream THIS partition's rows to its own file.
+
+        Atomicity discipline: write to a ``.inprogress`` name and let
+        ``commit`` rename — a failed/speculative task never leaves a
+        half-file that a reader would pick up."""
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        tmp = final + ".inprogress"
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonLinesCommit(tmp, n)
+
+    def commit(self, messages):
+        """Driver-side: promote every task's .inprogress file — the
+        two-phase protocol that makes the sink all-or-nothing."""
+        import os
+
+        for m in messages:
+            os.replace(m.path, m.path[: -len(".inprogress")])
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("dpp_jsonl").option("path", ...)`` sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dpp_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonLinesWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    """Idempotently register the jsonl sink on the session."""
+    spark.dataSource.register(JsonLinesSinkDataSource)

@@ -107,6 +107,9 @@ _FRONT = (
     "dedup_quality_survivor",
     "stream_quantile_histogram",
     "sink_python_datasource",
+    "udf_udtf_analyze",
+    "func_try_arithmetic",
+    "func_collation",
 )
 
 

@@ -734,3 +734,72 @@ def func_quantile_buckets(spark, sf_dir):
             ).alias("sum_price"),
         )
     )
+
+
+@query(
+    "func_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 7, 0) AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE 'k' || o_orderkey END AS BIGINT) AS safe_cast,
+           CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                ELSE 9223372036854775807 END AS safe_add
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def func_try_arithmetic(spark, sf_dir):
+    """ANSI-safe TRY family (Spark 4 runs under ANSI SQL, where /0,
+    overflow, and bad casts THROW): try_divide → NULL on zero divisor,
+    try_cast → NULL on malformed input, try_add → NULL on BIGINT
+    overflow.  The error-as-NULL discipline a 100 TB batch job needs —
+    one poisoned row must not kill a 6-hour pipeline, and the NULLs
+    stay auditable (count them with an expectations rule)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    mixed = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.col("o_orderkey").cast("string"),
+    ).otherwise(F.concat(F.lit("k"), F.col("o_orderkey")))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7).alias(
+            "safe_div"
+        ),
+        mixed.cast("string").try_cast("bigint").alias("safe_cast"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("o_orderkey") % 2
+        ).alias("safe_add"),
+    )
+
+
+@query(
+    "func_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT CAST(count(DISTINCT seg) AS BIGINT) AS raw_distinct,
+           CAST(count(DISTINCT lower(seg)) AS BIGINT) AS ci_distinct
+    FROM mixed
+    """,
+)
+def func_collation(spark, sf_dir):
+    """String collations (Spark 4): UTF8_LCASE comparisons treat case
+    variants as EQUAL inside the aggregate itself — count(DISTINCT
+    collate(seg, 'UTF8_LCASE')) halves the raw distinct count on a
+    case-mixed column without rewriting values.  Collation rides the
+    type, so every comparison operator (joins, sorts, groupBy)
+    inherits it; the oracle replays the semantics via lower()."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.col("c_mktsegment")
+    ).otherwise(F.lower(F.col("c_mktsegment")))
+    return c.select(seg.alias("seg")).agg(
+        F.count_distinct(F.col("seg")).alias("raw_distinct"),
+        F.count_distinct(
+            F.collate(F.col("seg"), "UTF8_LCASE")
+        ).alias("ci_distinct"),
+    )

@@ -282,3 +282,58 @@ def udf_apply_in_arrow(spark, sf_dir):
     return c.groupBy("seg").applyInArrow(
         seg_stats, "seg string, n long, sum_acctbal double"
     )
+
+
+@query(
+    "udf_udtf_analyze",
+    oracle="""
+    SELECT doc_id,
+           split_part(packed, '|', 1) AS f0,
+           split_part(packed, '|', 2) AS f1,
+           split_part(packed, '|', 3) AS f2
+    FROM (
+      SELECT doc_id, lang || '|' || source || '|' || doc_id AS packed
+      FROM documents
+    )
+    """,
+)
+def udf_udtf_analyze(spark, sf_dir):
+    """POLYMORPHIC UDTF (Spark 4 ``analyze()``): the output schema is
+    computed at plan time from the literal width argument — f0..f{n-1}
+    columns from a '|'-packed string — instead of being declared
+    statically.  The dynamic-schema table function is the API that
+    makes Python UDTFs composable with Catalyst (the analyzer sees
+    real columns, so pruning/pushdown work downstream)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    @udtf
+    class UnpackFields:
+        @staticmethod
+        def analyze(key: AnalyzeArgument, packed: AnalyzeArgument,
+                    n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            schema = StructType().add("doc_id", LongType())
+            for i in range(width):
+                schema = schema.add(f"f{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, key: int, packed: str, n: int):
+            parts = packed.split("|")
+            parts = (parts + [None] * n)[:n]
+            yield (key, *parts)
+
+    spark.udtf.register("unpack_fields_udtf", UnpackFields)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("|", "lang", "source", F.col("doc_id")).alias("packed"),
+    )
+    docs.createOrReplaceTempView("docs_packed_v")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.f0, t.f1, t.f2
+        FROM docs_packed_v,
+             LATERAL unpack_fields_udtf(doc_id, packed, 3) t
+        """
+    )

@@ -30,6 +30,16 @@ rows_st = st.lists(
 )
 
 
+
+
+def _nullsafe_sorted(rows):
+    """Sort collected rows with None-safe keys (hypothesis feeds NULL
+    strings; bare tuple sort raises TypeError comparing None < str)."""
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
 def mkdf(spark, rows):
     return spark.createDataFrame(rows, "k int, v int, tag string")
 
@@ -41,8 +51,8 @@ def test_filter_fusion(spark, rows, lo):
     df = mkdf(spark, rows)
     split = df.filter(F.col("v") > lo).filter(F.col("k") % 2 == 0)
     fused = df.filter((F.col("v") > lo) & (F.col("k") % 2 == 0))
-    assert sorted(map(tuple, split.collect())) == sorted(
-        map(tuple, fused.collect())
+    assert _nullsafe_sorted(split.collect()) == _nullsafe_sorted(
+        fused.collect()
     )
 
 
@@ -89,8 +99,8 @@ def test_partial_plus_final_agg_equals_direct(spark, rows):
         .groupBy("k")
         .agg(F.sum("ps").alias("s"))
     )
-    assert sorted(map(tuple, direct.collect())) == sorted(
-        map(tuple, two_level.collect())
+    assert _nullsafe_sorted(direct.collect()) == _nullsafe_sorted(
+        two_level.collect()
     )
 
 

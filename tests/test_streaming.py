@@ -308,3 +308,48 @@ def test_transform_with_state_env_blocked(spark, stream_dir):  # pragma: no cove
         timeMode="None",
     )
     run_available_now(out, output_mode="append")
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tables, tmp_path):
+    """Stop → restart against the SAME checkpoint must resume from the
+    recorded offsets: already-committed input files are never
+    reprocessed, new files are, and the union of both runs' processed
+    rows equals the full input exactly once.  This is the recovery
+    contract that makes every streaming query here production-real,
+    not just availableNow-convergent."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = tables["events"].select("event_id", "ts", "user_id", "event_type")
+
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        seen = []
+
+        def sink(df, epoch_id):
+            seen.append(df.count())
+
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(seen)
+
+    n_run1 = run_once()
+    assert n_run1 == first.count()
+
+    # new data arrives while the query is down
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    n_run2 = run_once()
+    # ONLY the new file is processed — restart did not replay run 1
+    assert n_run2 == second.count()
+    assert n_run1 + n_run2 == ev.count()

@@ -306,3 +306,31 @@ def test_banded_pair_ops_no_cartesian(name, spark, sf_dir):
     joins on band/prefix/edge keys — all-pairs shapes are the exact
     failure mode these operators exist to avoid."""
     assert not rep(name, spark, sf_dir).has_cartesian
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joining a partition-column-keyed fact against a filtered dim
+    must plan a DynamicPruning subquery — at 100 TB this is the
+    difference between scanning 3 status partitions and 1, decided at
+    RUNTIME from the dim side's filter result.  Catalyst gives this
+    for free ONLY when the layout partitions on the join key; the pin
+    keeps the partitioned-sink discipline honest."""
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    path = str(tmp_path / "orders_part")
+    load(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "pending")],
+        "st string, label string",
+    ).filter(F.col("label") == "open")
+    j = fact.join(dim, fact.o_orderstatus == dim.st)
+    plan = j._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    # and the runtime answer is the pruned partition's rows only
+    n_open = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).count()
+    assert j.count() == n_open

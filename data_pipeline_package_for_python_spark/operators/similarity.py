@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bucketed_topk",
+    "cosine_cross_set_pairs",
     "cosine_near_dup_pairs",
     "cosine_topk",
     "dot",
@@ -652,4 +653,47 @@ def sq8_topk(
         reranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def cosine_cross_set_pairs(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Semantic cross-set matches: (corpus_id, ref_id, cosine ≥
+    threshold) between two different sets — the embedding-space
+    analogue of benchmark decontamination (n-gram overlap misses
+    paraphrases; near-parallel vectors catch them).
+
+    Both sets bucket under the SAME deterministic sign-LSH scheme, so
+    the comparison is a bucket equality join: corpus rows only ever
+    meet reference rows whose leading-dimension signs agree — one
+    shuffle (or a map-side probe when the reference side broadcasts,
+    the typical case: eval sets are thousands of rows against a
+    billion-doc corpus), never a cross-set cartesian.
+    """
+    cb = sign_buckets(corpus, id_col=id_col, vec_col=vec_col,
+                      n_bits=n_bits).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("qv"),
+        "bucket",
+    )
+    rb = sign_buckets(reference, id_col=id_col, vec_col=vec_col,
+                      n_bits=n_bits).select(
+        F.col(id_col).alias("ref_id"),
+        F.col(vec_col).alias("cv"),
+        "bucket",
+    )
+    return (
+        cb.join(rb, "bucket")
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("corpus_id", "ref_id", "cosine")
     )

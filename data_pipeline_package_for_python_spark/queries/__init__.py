@@ -110,6 +110,7 @@ _FRONT = (
     "udf_udtf_analyze",
     "func_try_arithmetic",
     "func_collation",
+    "sim_semantic_decontaminate",
 )
 
 

@@ -1777,3 +1777,40 @@ def dedup_quality_survivor(spark, sf_dir):
         F.first("doc_id").over(w).alias("survivor_id"),
         (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_survivor"),
     )
+
+
+@query(
+    "sim_semantic_decontaminate",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_expr('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT c.vec_id AS corpus_id, r.vec_id AS ref_id,
+             c.v AS qv, r.v AS cv
+      FROM b c JOIN b r USING (bucket)
+      WHERE c.vec_id >= 100 AND r.vec_id < 100
+    )
+    SELECT corpus_id, ref_id,
+           {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+               AS cosine
+    FROM pairs
+    WHERE {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) >= 0.4
+    """,
+)
+def sim_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC benchmark decontamination: corpus embeddings
+    (vec_id ≥ 100) matched against the eval-set slice (vec_id < 100)
+    by cosine within shared sign-LSH buckets — catches the paraphrased
+    contamination that n-gram `text_decontaminate` cannot see
+    (operators/similarity.py cosine_cross_set_pairs).  The reference
+    side is the broadcast side at scale; threshold 0.4 exercises
+    non-empty results on the near-orthogonal fixture vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_cross_set_pairs(
+        emb.filter(F.col("vec_id") >= 100),
+        emb.filter(F.col("vec_id") < 100),
+        threshold=0.4, n_bits=4,
+    )

@@ -449,3 +449,77 @@ def test_simhash_banding_complete_on_random_corpora(spark, texts):
         for r in simhash_near_pairs(docs, "id", "text").collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------- #
+# compaction planner / URL canonicalizer / sampler validation           #
+# --------------------------------------------------------------------- #
+
+def test_compaction_bins_greedy_boundaries(spark):
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        compaction_bins,
+    )
+
+    manifest = spark.createDataFrame(
+        [(0, 30), (1, 30), (2, 50), (3, 10), (4, 100)],
+        "file_id long, sz long",
+    )
+    out = {
+        r["file_id"]: (r["cum_before"], r["bin"])
+        for r in compaction_bins(
+            manifest, "sz", "file_id", target=60
+        ).collect()
+    }
+    # cumsums before: 0,30,60,110,120 -> bins 0,0,1,1,2
+    assert out == {0: (0, 0), 1: (30, 0), 2: (60, 1), 3: (110, 1),
+                   4: (120, 2)}
+
+
+def test_extract_urls_canonicalization(spark):
+    from data_pipeline_package_for_python_spark.operators.text import (
+        extract_urls,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "see https://WWW.Example.com/A/b?utm=1#frag and "
+             "http://example.com/a/b/ done")],
+        "id long, text string",
+    )
+    out = {r["url_norm"] for r in extract_urls(df, "id", "text").collect()}
+    # scheme/www/query/fragment/trailing-slash all stripped, lowercased
+    assert out == {"example.com/a/b"}
+
+
+def test_stratified_hash_sample_validates_and_drops_unknown(spark):
+    import pytest as _pytest
+
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "k long, s string",
+    )
+    out = stratified_hash_sample(df, "k", "s", {"a": 1.0}).collect()
+    # stratum 'b' absent from fractions -> dropped entirely
+    assert {r["s"] for r in out} == {"a"} and len(out) == 50
+    with _pytest.raises(ValueError):
+        stratified_hash_sample(df, "k", "s", {"a": 1.5})
+
+
+def test_audio_energy_rejects_non_wav(spark):
+    import pytest as _pytest
+
+    from data_pipeline_package_for_python_spark.operators.multimodal import (
+        audio_energy,
+        pack_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav payload"))],
+        "media_id long, payload binary",
+    )
+    media = pack_media(df, "media_id", "payload", modality="audio")
+    with _pytest.raises(Exception):
+        audio_energy(media, window=64).collect()

@@ -111,6 +111,7 @@ _FRONT = (
     "func_try_arithmetic",
     "func_collation",
     "sim_semantic_decontaminate",
+    "window_share_of_total",
 )
 
 

@@ -1927,3 +1927,34 @@ def sink_python_datasource(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(cents AS DOUBLE)
+             / SUM(cents) OVER (PARTITION BY o_orderstatus) AS share
+    FROM c
+    """,
+)
+def window_share_of_total(spark, sf_dir):
+    """Percent-of-total (ratio_to_report): each order's share of its
+    status group's revenue.  The denominator is a windowed SUM of
+    exact integer cents — order-insensitive, so the double division is
+    engine-identical; a windowed SUM of raw doubles would hash-drift
+    on accumulation order.  One window, no self-join against the
+    group totals."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (cents.cast("double") / F.sum(cents).over(w)).alias("share"),
+    )

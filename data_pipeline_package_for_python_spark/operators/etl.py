@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "cap_per_group",
     "compaction_bins",
     "expectations_report",
     "hash_sample",
@@ -325,3 +326,34 @@ def compaction_bins(
             "bin", F.floor(F.col("cum_before") / F.lit(target)).cast("long")
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, selected by DETERMINISTIC
+    hash rank (md5 of the key) — the per-domain document cap a crawl
+    pipeline applies so no single host dominates the corpus.
+
+    Hash rank ≈ a uniform random draw, but reproducible across runs
+    and engines (the kept set itself hash-checks) and stable under
+    corpus growth for the rows already ranked.  Routed through the
+    salted two-phase top-k (operators/skew.py): domains are exactly
+    the hot-key case — one mega-host must not serialize through a
+    single reducer at 100 TB.
+    """
+    from .skew import salted_topk_per_group
+
+    ranked = df.withColumn(
+        "__hr", F.md5(F.col(key_col).cast("string"))
+    )
+    kept = salted_topk_per_group(
+        ranked,
+        [group_col],
+        [F.col("__hr"), F.col(key_col)],
+        n,
+    )
+    return kept.drop("__hr")

@@ -717,3 +717,52 @@ def ngram_novelty(
             ).cast("long").alias("n_unseen"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking: (id, chunk_idx, n_tokens,
+    chunk_text) — fixed-size token windows every ``stride`` tokens,
+    overlapping by ``chunk_tokens − stride``.  The retrieval/embedding
+    prep step (context windows with overlap so no boundary sentence is
+    lost), as the map-only HOF pipeline: split once, slice per chunk
+    index inside codegen, posexplode.  No shuffle; output width is
+    bounded by ``chunk_tokens`` so rows re-shuffle safely downstream.
+
+    Chunk count = ceil(max(n_tokens − chunk, 0) / stride) + 1 — the
+    last window may be short but is never empty, and every token is in
+    ≥ 1 chunk for stride ≤ chunk_tokens.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    words = ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    # last chunk index = ceil(max(n_tokens - chunk, 0) / stride);
+    # sequence(0, last) is inclusive, so chunk count = last + 1.
+    last_idx = (
+        f"CAST((greatest(size(__ws) - {chunk_tokens}, 0) "
+        f"+ {stride} - 1) div {stride} AS INT)"
+    )
+    chunks = words.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {last_idx}), "
+                f"i -> slice(__ws, i * {stride} + 1, {chunk_tokens}))"
+            )
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "__chunk").alias("chunk_text"),
+    )

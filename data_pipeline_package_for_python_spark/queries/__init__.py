@@ -112,6 +112,8 @@ _FRONT = (
     "func_collation",
     "sim_semantic_decontaminate",
     "window_share_of_total",
+    "text_chunk_documents",
+    "etl_cap_per_domain",
 )
 
 

@@ -1814,3 +1814,59 @@ def sim_semantic_decontaminate(spark, sf_dir):
         emb.filter(F.col("vec_id") < 100),
         threshold=0.4, n_bits=4,
     )
+
+
+@query(
+    "etl_cap_per_domain",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def etl_cap_per_domain(spark, sf_dir):
+    """Per-domain document cap (≤ 10 docs per source) by deterministic
+    md5 hash rank — a reproducible uniform draw, so the kept set
+    itself hash-checks and stays stable as the corpus grows
+    (operators/etl.py cap_per_group).  Runs through the salted
+    two-phase top-k: domains are the canonical hot key, and the cap
+    must not serialize a mega-host through one reducer."""
+    from ..operators.etl import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", "doc_id", 10)
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(
+               0, (greatest(len(ws) - 64, 0) + 47) // 48)) AS i
+      FROM w
+    )
+    SELECT doc_id AS id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(ws[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
+           array_to_string(ws[i*48+1 : i*48+64], ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def text_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (64-token windows, stride 48 — 16-token
+    overlap): the retrieval/embedding prep stage, as a map-only HOF
+    pipeline (split once, slice per index in codegen, posexplode) —
+    no shuffle, output width bounded by the chunk size
+    (operators/text.py chunk_documents).  Every token lands in ≥ 1
+    chunk; boundary sentences appear in two."""
+    return T.chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=64, stride=48,
+    )

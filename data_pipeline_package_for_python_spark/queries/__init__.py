@@ -114,6 +114,7 @@ _FRONT = (
     "window_share_of_total",
     "text_chunk_documents",
     "etl_cap_per_domain",
+    "func_explode_outer",
 )
 
 

@@ -803,3 +803,37 @@ def func_collation(spark, sf_dir):
             F.collate(F.col("seg"), "UTF8_LCASE")
         ).alias("ci_distinct"),
     )
+
+
+@query(
+    "func_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(o_orderpriority, '-') END AS parts
+      FROM orders WHERE o_orderkey < 600
+    )
+    SELECT o_orderkey,
+           unnest(CASE WHEN len(parts) = 0
+                       THEN [CAST(NULL AS VARCHAR)]
+                       ELSE parts END) AS part
+    FROM t
+    """,
+)
+def func_explode_outer(spark, sf_dir):
+    """explode_outer: rows with EMPTY arrays survive as a single
+    NULL-element row instead of vanishing — the LEFT-JOIN-shaped
+    explode a fact table needs when the array is optional (plain
+    explode silently drops the parent row and corrupts downstream
+    counts).  The oracle replays the semantics by unnesting a
+    [NULL] substitute for empty arrays."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    parts = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.col("o_orderpriority"), "-"))
+    return o.select(
+        "o_orderkey", F.explode_outer(parts).alias("part")
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "BloomSketch",
     "build_bloom",
     "bloom_member",
+    "duplicated_substring_spans",
     "exact_dedup",
     "incremental_dedup",
     "jaccard_similar_pairs",
@@ -798,4 +799,73 @@ def jaccard_pairs_prefix_filter(
             >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
         .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_chars: int = 40,
+) -> DataFrame:
+    """Exact duplicated-substring spans across documents:
+    (id, span_start, span_end, n_windows) — maximal character ranges
+    whose every ``window_chars``-gram also appears in ANOTHER document.
+
+    The substring-level dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL '22), re-expressed as
+    relational algebra instead of a suffix array: every stride-1
+    character window is hashed in codegen (one array ``transform`` per
+    doc — the text is never re-scanned per window), windows whose hash
+    occurs in ≥ 2 distinct docs are flagged, and flagged starts merge
+    into maximal spans with the classic island detection (gap > window
+    ⇒ new span; two windows ≤ ``window_chars`` apart overlap or
+    touch).  A span's every position is covered by some shared window,
+    so clipping [span_start, span_end] removes exactly the cross-doc
+    repeated text.
+
+    Scale: windows = Σ doc_len rows of (id, start, hash64) — ~8× the
+    corpus bytes, hash-partitioned; the groupBy and the per-doc span
+    merge are the only shuffles.  A suffix array finds longer-than-L
+    matches cheaper per byte, but cannot shard on a shuffle key the
+    way an n-gram hash join does — this shape is the one that runs on
+    1000 executors unchanged.
+    """
+    L = window_chars
+    eligible = ensure_parallel(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= L)
+    hashes = F.expr(
+        f"transform(sequence(1, length(__t) - {L - 1}), "
+        f"i -> cast(conv(substring(md5(substring(__t, i, {L})), 1, 8), "
+        f"16, 10) as bigint))"
+    )
+    windows = eligible.select(
+        "id", F.posexplode(hashes).alias("__p", "hh")
+    ).select("id", (F.col("__p") + 1).alias("s"), "hh")
+    shared = (
+        windows.groupBy("hh")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("hh")
+    )
+    flagged = windows.join(shared, "hh").select("id", "s")
+    w_ord = Window.partitionBy("id").orderBy("s")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = flagged.withColumn(
+        "__brk",
+        F.when(
+            F.col("s") - F.coalesce(F.lag("s").over(w_ord), F.col("s")) > L,
+            1,
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__brk").over(w_run))
+    return (
+        seg.groupBy("id", "__island")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(L - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
     )

@@ -115,6 +115,7 @@ _FRONT = (
     "text_chunk_documents",
     "etl_cap_per_domain",
     "func_explode_outer",
+    "dedup_substring_spans",
 )
 
 

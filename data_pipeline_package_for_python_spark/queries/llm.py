@@ -1870,3 +1870,59 @@ def text_chunk_documents(spark, sf_dir):
         load(spark, sf_dir, "documents"), "doc_id", "text",
         chunk_tokens=64, stride=48,
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40
+    ),
+    w AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS s
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || substring(md5(substring(text, s, 40)), 1, 8))
+                  AS BIGINT) AS hh
+      FROM w
+    ),
+    shared AS (
+      SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    f AS (SELECT doc_id, s FROM h JOIN shared USING (hh)),
+    s1 AS (
+      SELECT doc_id, s,
+             CASE WHEN s - COALESCE(lag(s) OVER (
+                    PARTITION BY doc_id ORDER BY s), s) > 40
+                  THEN 1 ELSE 0 END AS brk
+      FROM f
+    ),
+    s2 AS (
+      SELECT doc_id, s,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM s1
+    )
+    SELECT doc_id AS id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(s) + 39 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM s2 GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al., ACL '22) as relational
+    algebra: every stride-1 40-char window hashed in one codegen
+    transform, windows shared by ≥ 2 docs flagged, flagged starts
+    merged into maximal spans by island detection — the ranges a
+    training pipeline would clip instead of dropping whole documents
+    (operators/dedup.py duplicated_substring_spans).  All shuffles are
+    hash-keyed (window hash, then doc id); a suffix array can't shard
+    like that."""
+    return D.duplicated_substring_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        window_chars=40,
+    )

@@ -523,3 +523,35 @@ def test_audio_energy_rejects_non_wav(spark):
     media = pack_media(df, "media_id", "payload", modality="audio")
     with _pytest.raises(Exception):
         audio_energy(media, window=64).collect()
+
+
+def test_substring_spans_planted_duplicate(spark):
+    """A 60-char block shared by two docs must surface as one maximal
+    span in each, covering exactly the duplicated region."""
+    from data_pipeline_package_for_python_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    shared = "X" * 10 + "the quick brown fox jumps over the lazy dog again" 
+    a = "aaaa-unique-prefix-aaaa " + shared + " tail-a-" + "q" * 30
+    b = "bbbb-other-prefix-bbbbbb " + shared + " tail-b-" + "z" * 30
+    c = "totally unrelated text " + "r" * 60
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "id long, text string"
+    )
+    out = duplicated_substring_spans(
+        docs, "id", "text", window_chars=40
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert 3 not in by_id
+    assert len(by_id[1]) == 1 and len(by_id[2]) == 1
+    s1, e1 = by_id[1][0]
+    # the span must cover the shared block inside doc 1
+    start_in_a = a.index(shared) + 1
+    assert s1 <= start_in_a and e1 >= start_in_a + len(shared) - 1
+    # and must not extend into the unique prefix/suffix beyond a window
+    assert s1 >= start_in_a - 40 and e1 <= start_in_a + len(shared) + 39

@@ -116,6 +116,7 @@ _FRONT = (
     "etl_cap_per_domain",
     "func_explode_outer",
     "dedup_substring_spans",
+    "func_bool_agg",
 )
 
 

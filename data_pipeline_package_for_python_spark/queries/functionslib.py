@@ -837,3 +837,29 @@ def func_explode_outer(spark, sf_dir):
     return o.select(
         "o_orderkey", F.explode_outer(parts).alias("part")
     )
+
+
+@query(
+    "func_bool_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(count(*) FILTER (WHERE o_orderpriority LIKE '1-%')
+                AS BIGINT) AS n_urgent,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def func_bool_agg(spark, sf_dir):
+    """Boolean/conditional aggregate family: every(), any_value-free
+    some(), and count_if — the predicate-rollup idioms (all rows
+    satisfy X / any row satisfies X / how many satisfy X) as single
+    codegen aggregates instead of CASE-sum workarounds."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -117,6 +117,7 @@ _FRONT = (
     "func_explode_outer",
     "dedup_substring_spans",
     "func_bool_agg",
+    "scan_csv_malformed",
 )
 
 

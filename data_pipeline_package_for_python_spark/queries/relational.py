@@ -1958,3 +1958,57 @@ def window_share_of_total(spark, sf_dir):
         "o_orderstatus",
         (cents.cast("double") / F.sum(cents).over(w)).alias("share"),
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                         ELSE o_orderkey END) AS BIGINT) AS good_key_sum
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scan_csv_malformed(spark, sf_dir):
+    """PERMISSIVE CSV ingestion with a corrupt-record column: every
+    7th line is deliberately unparseable (non-numeric price), the read
+    keeps good rows typed and quarantines bad ones into
+    `_corrupt_record` instead of failing the job — the
+    bad-rows-at-scale discipline (FAILFAST kills a 100 TB ingest on
+    one poisoned line; quarantine-and-audit doesn't, and the corrupt
+    count is the audit)."""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat_ws(",", F.col("o_orderkey"), F.lit("not-a-price")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("o_orderkey"), F.col("o_totalprice"))
+        )
+        .alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="dpp_csvbad_") + "/rows"
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.csv(
+        path,
+        schema="k BIGINT, price DOUBLE, _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias(
+            "n_good"
+        ),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("k")).otherwise(
+                0
+            )
+        ).alias("good_key_sum"),
+    )

@@ -118,6 +118,9 @@ _FRONT = (
     "dedup_substring_spans",
     "func_bool_agg",
     "scan_csv_malformed",
+    "join_exists_q4",
+    "agg_scalar_subquery_q17",
+    "agg_having_q18",
 )
 
 

@@ -2012,3 +2012,170 @@ def scan_csv_malformed(spark, sf_dir):
             )
         ).alias("good_key_sum"),
     )
+
+
+# ---------------------------------------------------------------------- #
+# §2.2.3/2.2.4 — decision-support subquery shapes (TPC-H Q4 / Q17 / Q18) #
+#                                                                        #
+# The reference's DSL has no subquery surface, but SURVEY §2.2's contract#
+# covers the relational-engine shapes users express THROUGH the facade:  #
+# correlated EXISTS, correlated scalar subqueries, and HAVING.  Each is  #
+# decorrelated by hand into the aggregation-below-join form Catalyst     #
+# itself targets, so the physical plan is one fact-keyed partial agg +   #
+# one join — never a per-row re-probe of the fact table.                 #
+# ---------------------------------------------------------------------- #
+
+
+@query(
+    "join_exists_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_exists_q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with an extra non-equi
+    predicate, decorrelated to aggregation-below-join.
+
+    ``EXISTS(l.l_orderkey = o.o_orderkey AND l.l_shipdate >
+    o.o_orderdate)`` holds iff ``max(l_shipdate) per l_orderkey >
+    o_orderdate``, so lineitem collapses to one (key, max) row per
+    order BEFORE the join: the fact-sized shuffle carries 16-byte
+    rows instead of full lineitems, and the non-equi half of the
+    predicate is evaluated post-join on the aggregate — the shape a
+    correlated-subquery rewrite should reach at 100 TB.  (The fixture
+    has no l_commitdate/l_receiptdate, so shipdate-vs-orderdate
+    carries the Q4 shape.)  Reference scope: dpp.py has no relational
+    surface; shape from TPC-H spec Q4."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li_max = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__max_ship"))
+    )
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li_max, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("__max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "agg_scalar_subquery_q17",
+    oracle="""
+    WITH brand AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+    ), avgq AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT))
+                   / 1000000.0 / COUNT(l_quantity) AS __avg_qty
+        FROM brand GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(FLOOR(b.l_extendedprice * 100 + 0.5) AS BIGINT))
+               / 100.0 / 7.0 AS avg_yearly
+    FROM brand b JOIN avgq a ON b.l_partkey = a.l_partkey
+    WHERE b.l_quantity < 0.2 * a.__avg_qty
+    """,
+)
+def agg_scalar_subquery_q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated to a grouped aggregate joined back.
+
+    Scale posture: the brand dim filter broadcasts FIRST so only the
+    ~1/|brands| fact slice reaches the two partkey shuffles (partial
+    agg + join-back); the per-part average uses the exact
+    scaled-integer mean (``davg``) so the 0.2×avg threshold compares
+    bit-identically on both engines.  No window over the unfiltered
+    fact, no per-row subquery re-execution."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    brand = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    avgq = brand.groupBy("l_partkey").agg(
+        davg("l_quantity").alias("__avg_qty")
+    )
+    joined = brand.withColumnRenamed("l_partkey", "__bk").join(
+        avgq, F.col("__bk") == F.col("l_partkey")
+    )
+    return joined.filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty")
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            )
+            / F.lit(100.0)
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "agg_having_q18",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+           > 200.0
+    """,
+)
+def agg_having_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — GROUP BY + HAVING above a
+    3-way join, with the HAVING pushed below the join.
+
+    ``sum(l_quantity) per order > 200`` only reads lineitem, so the
+    filter runs against the per-orderkey partial aggregate BEFORE
+    orders/customer join in: the join input shrinks from every order
+    to the rare heavy ones (survivor fraction falls with the
+    threshold), and AQE sizes the survivor side for a broadcast at
+    runtime when it fits.  Exact integer-unit quantity sums keep the
+    HAVING threshold engine-identical."""
+    heavy = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200.0)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        heavy.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "total_qty",
+        )
+    )

@@ -26,6 +26,8 @@ __all__ = [
     "LANG_MARKERS",
     "PII_PATTERNS",
     "TOKEN_REGEX",
+    "bigram_lm_scores",
+    "bpe_pair_counts",
     "build_vocab",
     "charset_quality",
     "decontaminate",
@@ -765,4 +767,111 @@ def chunk_documents(
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.size("__chunk").cast("long").alias("n_tokens"),
         F.concat_ws(" ", "__chunk").alias("chunk_text"),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style corpus-LM quality scoring: fit a bigram language
+    model ON the corpus itself, then score every document against it —
+    (id, n_bigrams, lm_score_ppm).  Documents whose word transitions
+    are unusual for the corpus (boilerplate, markup, shredded text)
+    score low and can be gated; the real CCNet uses a KenLM 5-gram, but
+    the *pipeline shape* — model-fit aggregation joined back to the
+    corpus it came from — is identical.
+
+    ``lm_score_ppm = Σ_bigram floor(1e6 · c(w1 w2) / c(w1 ·))`` over
+    the doc's bigram OCCURRENCES (not distinct): each term is the
+    conditional MLE probability P(w2|w1) in exact parts-per-million
+    (one IEEE divide then floor — engine-identical), summed as BIGINT.
+
+    Scale: two corpus aggregations (bigram counts, prefix counts) keyed
+    by the md5-derived int64 used across the dedup family — 8-byte
+    shuffle keys, model size is corpus-vocabulary-sized (zipf-bounded,
+    ≪ corpus), so AQE broadcasts the count tables when they fit and
+    shuffle-joins otherwise.  The doc-side probe is one explode; no
+    Python, no driver-side model state.
+    """
+    words = ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("__ws"),
+    )
+    bigrams = words.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(__ws) - 1, 1)),"
+                " i -> concat_ws(' ', slice(__ws, i, 2)))"
+            )
+        ).alias("shingle"),
+    ).filter(F.col("shingle").contains(" "))
+    keyed = bigrams.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__bg"),
+        F.conv(
+            F.substring(
+                F.md5(F.substring_index(F.col("shingle"), " ", 1)), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__pf"),
+    )
+    bg_counts = keyed.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c_bg"))
+    pf_counts = keyed.groupBy("__pf").agg(F.count(F.lit(1)).alias("__c_pf"))
+    scored = (
+        keyed.join(bg_counts, "__bg")
+        .join(pf_counts, "__pf")
+        .select(
+            "id",
+            F.floor(
+                F.lit(1000000.0) * F.col("__c_bg") / F.col("__c_pf")
+            ).alias("__ppm"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__ppm").alias("lm_score_ppm"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, *, top_k: int = 20
+) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide frequency
+    of adjacent character pairs inside words — (pair, n_pairs).  The
+    highest-count pair is the first merge a byte-pair encoder would
+    learn; iterating (merge, recount) yields the full vocabulary, and
+    each iteration is exactly this aggregation, so the one-step operator
+    is the scalable substrate.
+
+    Words are lowercase letter runs (``[a-z]+``); single-letter words
+    carry no pair.  The per-word pair expansion happens entirely inside
+    codegen (regexp_extract_all → transform/sequence/substring →
+    flatten) — one explode, one count shuffle on short-string keys,
+    then a deterministic top-k: ties broken by pair text, so the
+    result is a total order and LIMIT is well-defined on both engines.
+    """
+    pairs = ensure_parallel(df).select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"transform("
+                    f"  filter(regexp_extract_all(lower({text_col}),"
+                    f"         '[a-z]+', 0), w -> length(w) >= 2),"
+                    f"  w -> transform(sequence(1, length(w) - 1),"
+                    f"       i -> substring(w, i, 2)))"
+                )
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+        .limit(top_k)
     )

@@ -121,6 +121,8 @@ _FRONT = (
     "join_exists_q4",
     "agg_scalar_subquery_q17",
     "agg_having_q18",
+    "text_lm_bigram_score",
+    "text_bpe_pairs",
 )
 
 

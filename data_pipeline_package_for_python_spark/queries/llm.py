@@ -1926,3 +1926,76 @@ def dedup_substring_spans(spark, sf_dir):
         load(spark, sf_dir, "documents"), "doc_id", "text",
         window_chars=40,
     )
+
+
+@query(
+    "text_lm_bigram_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS id, string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT id,
+             unnest([ws[i] || ' ' || ws[i + 1]
+                     FOR i IN range(1, len(ws))]) AS shingle
+      FROM w
+      WHERE len(ws) >= 2
+    ),
+    keyed AS (
+      SELECT id,
+             CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)
+                 AS bgh,
+             CAST(('0x' || substring(md5(split_part(shingle, ' ', 1)),
+                                     1, 8)) AS BIGINT) AS pfh
+      FROM bg
+    ),
+    cb AS (SELECT bgh, count(*) AS c_bg FROM keyed GROUP BY bgh),
+    cp AS (SELECT pfh, count(*) AS c_pf FROM keyed GROUP BY pfh)
+    SELECT k.id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(1000000.0 * cb.c_bg / cp.c_pf) AS BIGINT))
+                AS BIGINT) AS lm_score_ppm
+    FROM keyed k JOIN cb USING (bgh) JOIN cp USING (pfh)
+    GROUP BY k.id
+    """,
+)
+def text_lm_bigram_score(spark, sf_dir):
+    """Corpus-fit bigram-LM quality scoring (CCNet-shaped): P(w2|w1)
+    MLE in exact parts-per-million, summed per document
+    (operators/text.py bigram_lm_scores).  Model-fit aggregations
+    joined back to the corpus they were fitted on — zipf-bounded count
+    tables, 8-byte join keys."""
+    return T.bigram_lm_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "text_bpe_pairs",
+    oracle="""
+    WITH wlist AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    p AS (
+      SELECT unnest([substring(w, i, 2)
+                     FOR i IN range(1, length(w))]) AS pair
+      FROM wlist
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY pair
+    ORDER BY n_pairs DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training substrate: corpus-wide adjacent
+    character-pair frequencies inside lowercase letter runs, top-20
+    with a total-order tie-break (operators/text.py bpe_pair_counts).
+    One explode + one short-string count shuffle; each BPE merge
+    iteration at scale is exactly this aggregation re-run."""
+    return T.bpe_pair_counts(
+        load(spark, sf_dir, "documents"), "text", top_k=20
+    )

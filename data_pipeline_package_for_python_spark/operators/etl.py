@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "cap_per_group",
     "compaction_bins",
+    "domain_mix_weights",
     "expectations_report",
     "hash_sample",
     "hash_split",
@@ -357,3 +358,46 @@ def cap_per_group(
         n,
     )
     return kept.drop("__hr")
+
+
+def domain_mix_weights(
+    df, group_col: str, *, max_weight_ppm: int = 3_000_000
+):
+    """Sampling weights that rebalance a corpus toward a uniform
+    group mixture: (group, n_docs, weight_ppm, weight_capped_ppm).
+
+    ``weight = target_share / actual_share = n_total / (k · n_group)``
+    in exact parts-per-million (one IEEE divide then floor, engine-
+    portable); ``weight_capped_ppm`` additionally clips upsampling at
+    ``max_weight_ppm`` — the standard guard against exploding a tiny
+    domain (DoReMi-style mixture tuning feeds on exactly this table).
+
+    Scale: one k-row aggregate off the corpus scan plus a broadcast of
+    the 1-row (n_total, k) frame — the weights table is dimension-sized
+    at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("__n_total"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    w = F.floor(
+        F.lit(1000000.0)
+        * F.col("__n_total")
+        / (F.col("__k") * F.col("n_docs"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "grp",
+            "n_docs",
+            w.alias("weight_ppm"),
+            F.least(w, F.lit(max_weight_ppm).cast("long")).alias(
+                "weight_capped_ppm"
+            ),
+        )
+    )

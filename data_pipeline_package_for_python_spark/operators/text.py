@@ -32,6 +32,7 @@ __all__ = [
     "charset_quality",
     "decontaminate",
     "doc_fingerprint",
+    "filter_funnel",
     "encode_as_vocab_ids",
     "language_id",
     "pack_sequences",
@@ -874,4 +875,69 @@ def bpe_pair_counts(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
         .limit(top_k)
+    )
+
+
+def filter_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    min_alpha_ratio: float = 0.6,
+    min_words: int = 5,
+    max_avg_word_len: float = 15.0,
+    max_dup_2gram: float = 0.5,
+) -> DataFrame:
+    """One-pass corpus-curation funnel report: per group (source/domain),
+    how many documents survive each successive quality gate —
+    (group, n_total, n_charset, n_length, n_final).
+
+    The gates are the fused single-projection forms of
+    ``charset_quality`` (alpha mass), ``quality_score`` (length and
+    word-shape), and ``repetition_stats`` (duplicate 2-gram fraction):
+    every pipeline publishes exactly this funnel to show where its
+    corpus went, and fusing the three gate expressions into one
+    projection means ONE scan and ONE k-row aggregate instead of three
+    operator passes joined on id — at 100 TB the difference between one
+    pass over the corpus and four.
+
+    Cumulative semantics: a document counts toward ``n_length`` only if
+    it also passed the charset gate, matching how the sequential filter
+    chain actually discards data.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    g_charset = (
+        n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+        >= F.lit(min_alpha_ratio)
+    )
+    ws = F.split(text, " ")
+    n_words = F.size(ws)
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    g_length = (n_words >= F.lit(min_words)) & (
+        avg_word_len <= F.lit(max_avg_word_len)
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 1,"
+        f" 1)), i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))"
+    )
+    n2 = F.size(grams)
+    d2 = F.size(F.array_distinct(grams))
+    dup_frac = F.when(
+        n_words < 2, F.lit(0.0)
+    ).otherwise((n2 - d2).cast("double") / n2)
+    g_rep = dup_frac <= F.lit(max_dup_2gram)
+    gated = df.select(
+        F.col(group_col).alias("grp"),
+        g_charset.cast("int").alias("__c1"),
+        (g_charset & g_length).cast("int").alias("__c2"),
+        (g_charset & g_length & g_rep).cast("int").alias("__c3"),
+    )
+    return gated.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("__c1").cast("long").alias("n_charset"),
+        F.sum("__c2").cast("long").alias("n_length"),
+        F.sum("__c3").cast("long").alias("n_final"),
     )

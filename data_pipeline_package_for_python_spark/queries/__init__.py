@@ -123,6 +123,9 @@ _FRONT = (
     "agg_having_q18",
     "text_lm_bigram_score",
     "text_bpe_pairs",
+    "text_filter_funnel",
+    "etl_domain_mix_weights",
+    "func_posexplode",
 )
 
 

@@ -863,3 +863,36 @@ def func_bool_agg(spark, sf_dir):
         F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "func_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+      FROM orders WHERE o_orderkey < 600
+    ),
+    u AS (
+      SELECT o_orderkey,
+             unnest([{'pos': i - 1, 'part': parts[i]}
+                     FOR i IN range(1, len(parts) + 1)]) AS e
+      FROM t
+    )
+    SELECT o_orderkey, CAST(e.pos AS INTEGER) AS pos, e.part AS part
+    FROM u
+    """,
+)
+def func_posexplode(spark, sf_dir):
+    """posexplode: element position travels with the exploded row —
+    required whenever array ORDER is data (token sequences, path
+    segments, frame indices); plain explode destroys it and no
+    downstream sort can recover per-parent positions.  Zero-based to
+    match Spark; the oracle rebuilds (pos, element) pairs with a
+    struct comprehension."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    return o.select(
+        "o_orderkey",
+        F.posexplode(F.split(F.col("o_orderpriority"), "-")).alias(
+            "pos", "part"
+        ),
+    )

@@ -1999,3 +1999,82 @@ def text_bpe_pairs(spark, sf_dir):
     return T.bpe_pair_counts(
         load(spark, sf_dir, "documents"), "text", top_k=20
     )
+
+
+@query(
+    "text_filter_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    gr AS (
+      SELECT source, n_chars, n_alpha, len(ws) AS n_words,
+             [array_to_string(ws[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(ws), 2))] AS grams
+      FROM base
+    ),
+    gates AS (
+      SELECT source,
+             (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) >= 0.6)
+                 AS g1,
+             (n_words >= 5 AND
+              CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 15.0)
+                 AS g2,
+             (CASE WHEN n_words < 2 THEN 0.0
+                   ELSE CAST(len(grams) - len(list_distinct(grams))
+                        AS DOUBLE) / len(grams) END <= 0.5) AS g3
+      FROM gr
+    )
+    SELECT source AS grp,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_charset,
+           CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_length,
+           CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_final
+    FROM gates GROUP BY source
+    """,
+)
+def text_filter_funnel(spark, sf_dir):
+    """Corpus-curation funnel report: cumulative survivor counts per
+    source through charset → length → repetition gates, fused into one
+    scan + one k-row aggregate (operators/text.py filter_funnel)."""
+    return T.filter_funnel(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
+@query(
+    "etl_domain_mix_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    totals AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS k
+      FROM counts
+    )
+    SELECT c.grp, c.n_docs,
+           CAST(FLOOR(1000000.0 * t.n_total / (t.k * c.n_docs))
+                AS BIGINT) AS weight_ppm,
+           least(CAST(FLOOR(1000000.0 * t.n_total / (t.k * c.n_docs))
+                      AS BIGINT), 3000000) AS weight_capped_ppm
+    FROM counts c CROSS JOIN totals t
+    """,
+)
+def etl_domain_mix_weights(spark, sf_dir):
+    """Uniform-target corpus mixture weights in exact ppm with an
+    upsampling cap (operators/etl.py domain_mix_weights) — the mixture
+    table DoReMi-style domain reweighting consumes."""
+    from ..operators.etl import domain_mix_weights
+
+    return domain_mix_weights(
+        load(spark, sf_dir, "documents"), "source"
+    )

@@ -353,3 +353,43 @@ def test_cap_per_domain_two_phase_no_global_sort(spark, sf_dir):
     assert "Sort [" not in r.text.split("Window")[0] or True
     # two window phases -> at most 3 exchanges (salt, group, output)
     assert r.n_shuffles <= 3
+
+
+def test_filter_funnel_single_scan_no_joins(spark, sf_dir):
+    # The funnel fuses three gate expressions into one projection: the
+    # plan must be scan → project → hash-agg with a single shuffle of
+    # k-row partials and NO join of per-gate operator outputs.
+    r = rep("text_filter_funnel", spark, sf_dir)
+    assert not r.joins
+    assert r.n_shuffles == 1
+    # Column pruning: only (text, source) leave the documents scan.
+    assert r.scan_width("source") is not None and r.scan_width("source") <= 2
+
+
+def test_q17_brand_filter_broadcast_before_fact_shuffles(spark, sf_dir):
+    # The decorrelated scalar subquery must broadcast the filtered part
+    # dim into the fact scan BEFORE the two partkey shuffles (partial
+    # avg + join-back) — never shuffle unfiltered lineitem.
+    r = rep("agg_scalar_subquery_q17", spark, sf_dir)
+    assert r.n_broadcasts >= 1
+    assert not r.has_cartesian
+    flat = ";".join(f for fs in r.pushed_filters for f in fs)
+    assert "p_brand" in flat  # dim filter reached the part scan
+
+
+def test_q4_exists_decorrelated_to_agg_below_join(spark, sf_dir):
+    # EXISTS must become max-per-orderkey BELOW the join: the lineitem
+    # scan reads only (l_orderkey, l_shipdate) and there is no
+    # nested-loop re-probe.
+    r = rep("join_exists_q4", spark, sf_dir)
+    assert not r.has_cartesian
+    assert r.scan_width("l_") is not None and r.scan_width("l_") <= 2
+
+
+def test_bigram_lm_no_cartesian_narrow_keys(spark, sf_dir):
+    # The LM count tables join back on 8-byte hash keys; the plan must
+    # stay equality-join-only (no cartesian fallback) and prune the
+    # documents scan to (doc_id, text).
+    r = rep("text_lm_bigram_score", spark, sf_dir)
+    assert not r.has_cartesian
+    assert r.scan_width("doc_id") is not None and r.scan_width("doc_id") <= 2

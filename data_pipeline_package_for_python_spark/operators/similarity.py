@@ -44,6 +44,7 @@ __all__ = [
     "kmeans_embeddings",
     "l2_norm",
     "random_hyperplanes",
+    "random_projection",
     "sign_buckets",
 ]
 
@@ -697,3 +698,43 @@ def cosine_cross_set_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("corpus_id", "ref_id", "cosine")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: embeddings → ``out_dim``
+    coarse coordinates, map-only — (id, proj) with
+    ``proj[k] = vec · plane_k`` over the same deterministic integer
+    planes as the sign-LSH family (:func:`random_hyperplanes`, its own
+    seed).  JL says pairwise geometry survives the projection up to
+    (1 ± ε) with out_dim = O(log n / ε²), which is what makes cheap
+    downstream passes honest: coarse clustering, dedup blocking, or an
+    ANN shortlist can run on out_dim doubles instead of the full
+    vector, cutting candidate-scoring FLOPs and shuffle width by
+    dim/out_dim (8× here) before exact re-ranking on the full column.
+
+    Scale: out_dim × dim multiply-adds per row inside whole-stage
+    codegen (the planes are folded as integer literals — no stored
+    model, no broadcast, nothing to version); the projection never
+    shuffles, so at 100 TB it composes with any downstream consumer's
+    own partitioning.
+    """
+    planes = random_hyperplanes(dim, out_dim, seed)
+    comps = []
+    for k, plane in enumerate(planes):
+        arr = "array(" + ",".join(str(c) for c in plane) + ")"
+        comps.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {arr}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias(f"proj_{k}")
+        )
+    return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))

@@ -126,6 +126,7 @@ _FRONT = (
     "text_filter_funnel",
     "etl_domain_mix_weights",
     "func_posexplode",
+    "embed_random_projection",
 )
 
 

@@ -2078,3 +2078,46 @@ def etl_domain_mix_weights(spark, sf_dir):
     return domain_mix_weights(
         load(spark, sf_dir, "documents"), "source"
     )
+
+
+def _rp_planes_sql() -> str:
+    """DuckDB twin of the JL projection: identical integer plane
+    literals, identical left-to-right double folds, components floored
+    to BIGINTs for the hash comparison."""
+    planes = S.random_hyperplanes(dim=64, n_bits=8, seed=7)
+    comps = []
+    for k, plane in enumerate(planes):
+        arr = "[" + ",".join(str(c) for c in plane) + "]"
+        dot_k = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(embedding::DOUBLE[], {arr}), "
+            f"p -> p[1] * p[2])), (a, b) -> a + b)"
+        )
+        comps.append(f"CAST(FLOOR({dot_k}) AS BIGINT) AS p{k}")
+    return ",\n           ".join(comps)
+
+
+@query(
+    "embed_random_projection",
+    oracle=f"""
+    SELECT vec_id AS id,
+           {_rp_planes_sql()}
+    FROM embeddings
+    """,
+)
+def embed_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss projection 64 → 8 dims, map-only codegen
+    folds over deterministic integer planes (operators/similarity.py
+    random_projection).  Components floored to BIGINT for the driver
+    hash (raw arrays crash the driver canonicalizer; the operator
+    itself returns the double array)."""
+    proj = S.random_projection(
+        load(spark, sf_dir, "embeddings"), dim=64, out_dim=8, seed=7
+    )
+    return proj.select(
+        "id",
+        *[
+            F.floor(F.col("proj")[k]).alias(f"p{k}")
+            for k in range(8)
+        ],
+    )

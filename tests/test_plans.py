@@ -393,3 +393,11 @@ def test_bigram_lm_no_cartesian_narrow_keys(spark, sf_dir):
     r = rep("text_lm_bigram_score", spark, sf_dir)
     assert not r.has_cartesian
     assert r.scan_width("doc_id") is not None and r.scan_width("doc_id") <= 2
+
+
+def test_random_projection_map_only(spark, sf_dir):
+    # JL projection must be a pure projection over the scan: no
+    # shuffle, no join, no broadcast — it composes with any downstream
+    # partitioning for free.
+    r = rep("embed_random_projection", spark, sf_dir)
+    assert r.n_shuffles == 0 and not r.joins and r.n_broadcasts == 0

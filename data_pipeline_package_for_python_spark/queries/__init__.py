@@ -127,6 +127,7 @@ _FRONT = (
     "etl_domain_mix_weights",
     "func_posexplode",
     "embed_random_projection",
+    "stream_window_cascade",
 )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..streaming import (
     prepare_events_stream_dir,
+    cascade_agg,
     read_events_stream,
     run_available_now,
     running_user_counters,
@@ -355,3 +356,28 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"n": F.count("*")},
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_window_cascade",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+    SELECT date_trunc('day', ts) AS w_start,
+           event_type,
+           count(*) AS cnt,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS value_sum
+    FROM events, wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregation (Spark multiple-stateful-operators):
+    hourly tumbling windows re-aggregated into daily windows inside ONE
+    streaming query via window(window_time(w), '1 day'), exact integer
+    units across both stages (streaming/__init__.py cascade_agg).
+    Append-mode emission == batch GROUP BY restricted to
+    day_end <= max(ts) - watermark, which is the oracle."""
+    casc = cascade_agg(_stream(spark, sf_dir))
+    return run_available_now(casc, output_mode="append")

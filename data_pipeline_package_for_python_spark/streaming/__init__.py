@@ -42,6 +42,7 @@ __all__ = [
     "prepare_events_stream_dir",
     "read_events_stream",
     "tumbling_agg",
+    "cascade_agg",
     "sliding_agg",
     "session_agg",
     "batch_sessionize",
@@ -481,4 +482,54 @@ def running_user_counters(stream: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def cascade_agg(
+    stream: DataFrame,
+    *,
+    small: str = "1 hour",
+    large: str = "1 day",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Chained stateful window-on-window rollup in ONE streaming query
+    (Spark's multiple-stateful-operators support): small tumbling
+    windows aggregate first, their finalized partials re-aggregate into
+    large windows via ``window(window_time(w), large)`` — the streaming
+    twin of the batch hourly→daily cascade (operators/timeseries.py).
+
+    Why it matters at scale: the large-window state holds one row per
+    (small-window, keys) partial instead of one per event — a day of
+    state per key is 24 rows, not millions of events — and the small
+    windows drop out of the store as the watermark passes them.  Value
+    sums stay in exact integer units across BOTH stateful stages (the
+    associativity requirement: double partials would re-order), divided
+    once at emission.
+
+    Emission contract (append mode, the only mode chained stateful
+    aggregation supports): a large window emits when the final
+    watermark passes its end, so the drained result equals the batch
+    GROUP BY restricted to ``large_end <= max(ts) - watermark`` — the
+    differential oracle used by the correctness harness.
+    """
+    small_agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", small).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            ).alias("__units"),
+        )
+    )
+    return (
+        small_agg.groupBy(
+            F.window(F.window_time("w"), large).alias("d"), *keys
+        )
+        .agg(
+            F.sum("__cnt").alias("cnt"),
+            (F.sum("__units") / F.lit(100.0)).alias("value_sum"),
+        )
+        .select(F.col("d.start").alias("w_start"), *keys, "cnt", "value_sum")
     )

@@ -353,3 +353,31 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tables, tmp_path):
     # ONLY the new file is processed — restart did not replay run 1
     assert n_run2 == second.count()
     assert n_run1 + n_run2 == ev.count()
+
+
+def test_window_cascade_two_stateful_operators(spark, sf_dir):
+    # The hourly→daily cascade must run BOTH aggregations inside one
+    # streaming query (Spark multiple-stateful-operators), and the
+    # daily state must hold per-hour partials, not per-event rows.
+    from data_pipeline_package_for_python_spark.streaming import (
+        cascade_agg,
+        prepare_events_stream_dir,
+        read_events_stream,
+        run_available_now,
+    )
+
+    path = prepare_events_stream_dir(spark, sf_dir)
+    casc = cascade_agg(read_events_stream(spark, path))
+    progress: list = []
+    out = run_available_now(
+        casc, output_mode="append", progress_out=progress
+    )
+    assert out.count() > 0
+    ops = progress[-1]["stateOperators"]
+    assert len(ops) == 2, f"expected 2 stateful operators, got {len(ops)}"
+    # State boundedness: watermark eviction actually removed rows from
+    # the small-window store during the run.
+    removed = sum(
+        so["numRowsRemoved"] for p in progress for so in p["stateOperators"]
+    )
+    assert removed > 0

@@ -301,3 +301,60 @@ def test_golden_retrieval_prep_round3(spark, sf_dir):
     )
     # committed digest pins exact end-to-end results on sf0.001
     assert digest(chunks) == "966c9119645b40d1"
+
+
+def test_golden_lm_mixture_round3(spark, sf_dir):
+    """This round's operators composed through the DSL: corpus-fit
+    bigram-LM fluency gate → domain mixture weights on the survivors,
+    with a branch auditing the SAME corpus through the fused filter
+    funnel and another deriving the BPE merge table from the gated
+    text.  Pins that model-fit-join-back operators (LM scoring) and
+    k-row audit/model outputs (weights, merges, funnel) compose in the
+    §2.1 algebra."""
+    from data_pipeline_package_for_python_spark.operators import etl as E
+    from data_pipeline_package_for_python_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+
+    def lm_gate(df):
+        scored = T.bigram_lm_scores(df, "doc_id", "text")
+        # fluent = average transition probability over 5% (50k ppm);
+        # exact integer arithmetic so the gate is engine-deterministic.
+        fluent = scored.filter(
+            F.col("lm_score_ppm") >= F.col("n_bigrams") * 50000
+        ).select("id")
+        return df.join(fluent, df["doc_id"] == fluent["id"], "left_semi")
+
+    with Pipeline(documents=docs) as p:
+        p.branch(
+            p.documents
+            >> (
+                lambda df: T.filter_funnel(
+                    df, "doc_id", "text", "source"
+                )
+            )
+            >> p.audit,
+            p.documents >> lm_gate >> p.fluent,
+        )
+        p.sequence(
+            p.fluent
+            >> (lambda df: E.domain_mix_weights(df, "source"))
+            >> p.weights,
+        )
+        p.sequence(
+            p.fluent
+            >> (lambda df: T.bpe_pair_counts(df, "text", top_k=10))
+            >> p.merges,
+        )
+    # structural invariants
+    n_sources = p.weights.count()
+    assert 0 < n_sources <= 20
+    assert p.merges.count() == 10
+    audit = {r["grp"]: r for r in p.audit.collect()}
+    assert all(
+        r["n_total"] >= r["n_charset"] >= r["n_length"] >= r["n_final"]
+        for r in audit.values()
+    )
+    # committed digests pin exact end-to-end results on sf0.001
+    assert digest(p.weights) == "f8275abfa4c3a89f"
+    assert digest(p.merges) == "d51782de91678eeb"

@@ -128,6 +128,7 @@ _FRONT = (
     "func_posexplode",
     "embed_random_projection",
     "stream_window_cascade",
+    "sketch_cms_freq",
 )
 
 

@@ -2179,3 +2179,55 @@ def agg_having_q18(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@query(
+    "sketch_cms_freq",
+    oracle="""
+    WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    rows_h AS (
+      SELECT d, CAST(('0x' || substring(md5(CAST(l_suppkey AS VARCHAR)
+                 || ':' || d), 1, 8)) AS BIGINT) % 256 AS b
+      FROM lineitem, ds
+    ),
+    sk AS (SELECT d, b, count(*) AS c FROM rows_h GROUP BY d, b),
+    probes AS (
+      SELECT s_suppkey AS key, d,
+             CAST(('0x' || substring(md5(CAST(s_suppkey AS VARCHAR)
+                 || ':' || d), 1, 8)) AS BIGINT) % 256 AS b
+      FROM supplier, ds
+    ),
+    est AS (
+      SELECT key, MIN(COALESCE(c, 0)) AS est
+      FROM probes LEFT JOIN sk USING (d, b) GROUP BY key
+    ),
+    exact AS (
+      SELECT l_suppkey AS key, count(*) AS exact_n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT e.key, CAST(e.est AS BIGINT) AS est,
+           CAST(COALESCE(x.exact_n, 0) AS BIGINT) AS exact_n
+    FROM est e LEFT JOIN exact x USING (key)
+    """,
+)
+def sketch_cms_freq(spark, sf_dir):
+    """Count-Min Sketch frequency estimates for every supplier key over
+    lineitem (operators/sketches.py): one-pass depth×width build whose
+    shuffle carries ≤ d·w partials per task, broadcast-probe estimate,
+    exact counts alongside to exhibit the ≥-overestimate contract.
+    The md5-derived hashes make the whole sketch engine-deterministic,
+    so the oracle replays build+probe bit-for-bit."""
+    from ..operators import sketches as K
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    sk = K.cms_build(li, "l_suppkey", depth=4, width=256)
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey")
+    est = K.cms_estimate(sk, sup, "s_suppkey", depth=4, width=256)
+    exact = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return est.join(exact, "key", "left").select(
+        "key",
+        F.col("est").cast("long").alias("est"),
+        F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+    )

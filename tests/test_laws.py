@@ -230,3 +230,48 @@ def test_charset_quality_laws(spark):
     assert not out[3].is_ascii  # é/ö outside printable ASCII
     assert out[4].n_alpha == 0 and not out[4].keep  # empty: safe ratio
     assert all(0.0 <= r.alpha_ratio <= 1.0 for r in out.values())
+
+
+def test_cms_laws(spark, sf_dir):
+    """CMS contracts: (1) estimate >= exact for every key (collisions
+    only ADD); (2) merge losslessness — per-half sketches summed equal
+    the whole-corpus sketch exactly, the mergeable-rollup law."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_package_for_python_spark.operators import (
+        sketches as K,
+    )
+    from data_pipeline_package_for_python_spark.queries._registry import (
+        load,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    sk = K.cms_build(li, "l_suppkey", depth=4, width=64)
+    keys = li.select(F.col("l_suppkey").alias("k")).distinct()
+    est = K.cms_estimate(sk, keys, "k", depth=4, width=64)
+    exact = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bad = (
+        est.join(exact, "key")
+        .filter(F.col("est") < F.col("n"))
+        .count()
+    )
+    assert bad == 0  # never underestimates
+
+    a = li.filter(F.col("l_suppkey") % 2 == 0)
+    b = li.filter(F.col("l_suppkey") % 2 == 1)
+    merged = K.cms_merge(
+        K.cms_build(a, "l_suppkey", depth=4, width=64),
+        K.cms_build(b, "l_suppkey", depth=4, width=64),
+    )
+    diff = (
+        merged.withColumnRenamed("c", "cm")
+        .join(sk, ["d", "b"], "full")
+        .filter(
+            F.coalesce(F.col("cm"), F.lit(0))
+            != F.coalesce(F.col("c"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0  # merge == rebuild, exactly

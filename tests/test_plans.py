@@ -401,3 +401,42 @@ def test_random_projection_map_only(spark, sf_dir):
     # partitioning for free.
     r = rep("embed_random_projection", spark, sf_dir)
     assert r.n_shuffles == 0 and not r.joins and r.n_broadcasts == 0
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime row-level Bloom filter: a selective dim-side
+    filter injects bloom_filter_agg/might_contain onto the fact scan,
+    pruning probe rows BEFORE the join shuffle.  Thresholds are lowered
+    only because the sf fixture is tiny — at the 100 TB design point the
+    default 10 GB application-side gate passes on its own and this is
+    the plan a selective fact⋈filtered-dim join gets for free."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            QUERIES["scan_parquet_count"]  # noqa: F841 (session warm)
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 450000
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        r = plans.plan_report(j)
+        assert "bloom_filter_agg" in r.text and "might_contain" in r.text
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

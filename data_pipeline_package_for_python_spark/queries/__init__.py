@@ -129,6 +129,7 @@ _FRONT = (
     "embed_random_projection",
     "stream_window_cascade",
     "sketch_cms_freq",
+    "func_inline_map_entries",
 )
 
 

@@ -896,3 +896,51 @@ def func_posexplode(spark, sf_dir):
             "pos", "part"
         ),
     )
+
+
+@query(
+    "func_inline_map_entries",
+    oracle="""
+    SELECT o_orderkey, u.k AS key, u.v AS value FROM (
+      SELECT o_orderkey,
+             unnest([
+               {'k': 'st', 'v': o_orderstatus},
+               {'k': 'pr', 'v': split_part(o_orderpriority, '-', 1)},
+               {'k': 'tier', 'v': CASE WHEN o_totalprice > 250000
+                                       THEN 'high' ELSE 'low' END}
+             ]) AS u
+      FROM orders WHERE o_orderkey < 500
+    )
+    """,
+)
+def func_inline_map_entries(spark, sf_dir):
+    """The remaining §2.2.7 struct/map rows in one query:
+    map_from_entries (struct array → map), map_concat (merge), and the
+    inline generator (struct array → rows-and-columns, the struct twin
+    of explode).  One row per map entry, scalar columns out — maps
+    never reach the driver canonicalizer."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    base = F.map_from_entries(
+        F.array(
+            F.struct(
+                F.lit("st").alias("key"),
+                F.col("o_orderstatus").alias("value"),
+            ),
+            F.struct(
+                F.lit("pr").alias("key"),
+                F.split(F.col("o_orderpriority"), "-")[0].alias("value"),
+            ),
+        )
+    )
+    merged = F.map_concat(
+        base,
+        F.create_map(
+            F.lit("tier"),
+            F.when(F.col("o_totalprice") > 250000, F.lit("high")).otherwise(
+                F.lit("low")
+            ),
+        ),
+    )
+    return o.select(
+        "o_orderkey", F.inline(F.map_entries(merged))
+    ).withColumnsRenamed({"key": "key", "value": "value"})

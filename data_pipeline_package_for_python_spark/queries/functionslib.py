@@ -941,6 +941,4 @@ def func_inline_map_entries(spark, sf_dir):
             ),
         ),
     )
-    return o.select(
-        "o_orderkey", F.inline(F.map_entries(merged))
-    ).withColumnsRenamed({"key": "key", "value": "value"})
+    return o.select("o_orderkey", F.inline(F.map_entries(merged)))

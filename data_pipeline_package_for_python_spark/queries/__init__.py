@@ -130,6 +130,7 @@ _FRONT = (
     "stream_window_cascade",
     "sketch_cms_freq",
     "func_inline_map_entries",
+    "etl_scd2_asof_lookup",
 )
 
 

@@ -643,3 +643,65 @@ def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_bins(
         manifest, "n_rows", "file_id", target=40
     ).select("file_id", "n_rows", "cum_before", "bin")
+
+
+@query(
+    "etl_scd2_asof_lookup",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS version_id, ts AS valid_from,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, v.version_id,
+           epoch_us(p.ts) AS ts_us
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.valid_from <= p.ts
+     AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    """,
+)
+def etl_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of snapshot) lookup against SCD-2 history: each
+    purchase resolves to the version row valid AT its event time
+    (half-open [valid_from, valid_to) containment).  The temporal-join
+    idiom every warehouse uses to reconstruct 'what did we believe about
+    this key when X happened'.
+
+    Scale: equality-keyed join on user_id with the interval containment
+    as a residual predicate — per-key version chains are short, so the
+    residual filters a few candidate versions per probe row; never a
+    time-cross-join."""
+    from ..operators.etl import scd2_from_changes
+
+    ev = load(spark, sf_dir, "events")
+    versions = scd2_from_changes(
+        ev.filter(F.col("event_type") == "signup"),
+        keys=["user_id"], ts_col="ts",
+        attr_cols=["event_id"], tie_break=["event_id"],
+    ).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("version_id"),
+        "valid_from", "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.join(
+            versions,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id", "user_id", "version_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )

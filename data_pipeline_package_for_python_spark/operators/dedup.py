@@ -39,6 +39,7 @@ __all__ = [
     "duplicated_substring_spans",
     "exact_dedup",
     "incremental_dedup",
+    "containment_pairs",
     "jaccard_similar_pairs",
     "lsh_candidate_pairs",
     "minhash_coefficients",
@@ -868,4 +869,55 @@ def duplicated_substring_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("id", "span_start", "span_end", "n_windows")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: (id_a, id_b, n_common, n_a, n_b,
+    containment) with ``containment = |A∩B| / min(|A|, |B|)`` ≥
+    ``threshold`` and id_a < id_b.
+
+    Containment is the asymmetric cousin of Jaccard and the right
+    near-dup signal for EXCERPTS: a quote or doc-in-doc inclusion has
+    tiny Jaccard (the container dilutes the union) but containment ≈ 1
+    on the smaller side — which is why dedup pipelines (Lee et al. ACL
+    '22 §4.2 discuss the distinction) run both.  Same scale posture as
+    :func:`jaccard_similar_pairs`: shingle self-join bounded by
+    ``max_shingle_freq`` stop-shingle capping; for full corpora use LSH
+    candidates and verify containment on the pairs.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_w = Window.partitionBy("shingle")
+        sh = sh.withColumn("__f", F.count(F.lit(1)).over(freq_w)).filter(
+            F.col("__f") <= max_shingle_freq
+        ).drop("__f")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
     )

@@ -705,3 +705,38 @@ def etl_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
         )
     )
+
+
+@query(
+    "etl_partition_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_n,
+           CAST(min(n) AS BIGINT) AS min_n,
+           median(n) AS median_n,
+           CAST(max(n) AS DOUBLE) / median(n) AS skew_ratio
+    FROM counts
+    """,
+)
+def etl_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: per-key row counts rolled into
+    (n_keys, max, min, median, max/median ratio) — the report you run
+    BEFORE keying a 100 TB shuffle to decide whether the salted
+    operators are needed.  Two aggregates, the second over key-count
+    rows only; median via the engine-identical midpoint-interpolation
+    percentile."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+        F.median("n").alias("median_n"),
+        (F.max("n").cast("double") / F.median("n")).alias("skew_ratio"),
+    )

@@ -2121,3 +2121,87 @@ def embed_random_projection(spark, sf_dir):
             for k in range(8)
         ],
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+               AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Containment near-dup pairs — |A∩B| / min(|A|,|B|): the
+    asymmetric signal that catches EXCERPTS and doc-in-doc inclusion,
+    which Jaccard dilutes (operators/dedup.py containment_pairs)."""
+    return D.containment_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.5,
+    )
+
+
+@query(
+    "text_top_tfidf_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents),
+    scored AS (
+      SELECT id, term, tf, (tf * n_docs) / df AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY tfidf DESC, term
+      ) AS rk
+      FROM scored
+    )
+    SELECT id, CAST(rk AS INTEGER) AS rk, term, tf, tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_top_tfidf_terms(spark, sf_dir):
+    """Keyword extraction: top-3 TF-IDF terms per document — the
+    existing tf_idf operator capped per group with a total-order
+    tie-break (tfidf values are exact rationals, so the ranking is
+    engine-identical).  The per-doc keyword table a retrieval or
+    labeling pipeline feeds on."""
+    from pyspark.sql import Window
+
+    scored = T.tf_idf(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_tf=1
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("id", "rk", "term", "tf", "tfidf")
+    )

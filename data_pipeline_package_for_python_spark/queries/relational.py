@@ -2231,3 +2231,49 @@ def sketch_cms_freq(spark, sf_dir):
         F.col("est").cast("long").alias("est"),
         F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
     )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY n DESC, o_orderpriority
+      ) AS rk
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rk = 1
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Deterministic grouped MODE (most frequent value per group).
+
+    Built as count-then-rank with a total-order tie-break instead of
+    the engines' native ``mode()`` — whose tie choice is
+    implementation-defined and engine-divergent.  Two narrow shuffles
+    (count keys, then per-group top-1 over group-count rows only);
+    the second input is |groups × values|, dimension-sized at any fact
+    scale."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

@@ -440,3 +440,39 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# Queries whose plan INTENTIONALLY contains a cartesian/nested-loop:
+# join_cross is the §2.2.3 cross-join row itself; the others cross-join
+# a broadcast ONE-ROW aggregate (corpus totals / fences / thresholds)
+# into a map-side projection — a 1×N broadcast nested loop, not an N×M
+# blowup.  Anything else showing a cartesian is a planning bug.
+_INTENTIONAL_CROSS = {
+    "join_cross",
+}
+
+# Excluded from the sweep: streaming queries EXECUTE their stream during
+# construction (run_available_now) and sink/binary queries write or
+# stage files — the sweep would turn into a full run.  Their join
+# surfaces are covered by their own tests; stream-stream joins are
+# additionally restricted by Spark to equality+interval form.
+_SWEEP_EXCLUDE_PREFIXES = ("stream_", "sink_", "scan_binary", "multimodal_")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        for n in QUERIES
+        if not n.startswith(_SWEEP_EXCLUDE_PREFIXES)
+        and n not in _INTENTIONAL_CROSS
+    ],
+)
+def test_registry_no_unintended_cartesian(name, spark, sf_dir):
+    r = rep(name, spark, sf_dir)
+    if r.has_cartesian:
+        # A BroadcastNestedLoopJoin is tolerable ONLY when one side is a
+        # broadcast single-row aggregate (corpus totals / quantile
+        # fences); a CartesianProduct never is.
+        assert "CartesianProduct" not in ";".join(r.joins), r.joins
+        assert "BroadcastExchange" in r.text, r.joins

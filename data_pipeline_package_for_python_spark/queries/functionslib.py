@@ -942,3 +942,33 @@ def func_inline_map_entries(spark, sf_dir):
         ),
     )
     return o.select("o_orderkey", F.inline(F.map_entries(merged)))
+
+
+@query(
+    "func_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS toggled,
+           bit_count(o_orderkey) AS popcount,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def func_bitwise(spark, sf_dir):
+    """Bitwise family: and/or/xor, popcount, shifts — the integer bit
+    plumbing flag-pack/bucket-id/bloom code relies on; all codegen
+    column ops with engine-identical two's-complement semantics."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )

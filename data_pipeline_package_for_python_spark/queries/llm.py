@@ -2205,3 +2205,52 @@ def text_top_tfidf_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("id", "rk", "term", "tf", "tfidf")
     )
+
+
+@query(
+    "dedup_pair_graph_degrees",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM pairs
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS id FROM edges
+        UNION ALL SELECT id_b AS id FROM edges
+      ) GROUP BY id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def dedup_pair_graph_degrees(spark, sf_dir):
+    """Near-dup graph health check: degree histogram of the exact
+    Jaccard pair graph — the audit that catches a degenerate corpus
+    (one mega-cluster → a single high-degree spike) BEFORE connected
+    components is asked to resolve it.  Composition: jaccard pairs →
+    symmetric degree count → histogram; at scale the input is the
+    pair list, never the corpus."""
+    pairs = D.jaccard_similar_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.5,
+    ).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

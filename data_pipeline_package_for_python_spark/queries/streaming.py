@@ -381,3 +381,57 @@ def stream_window_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_end <= max(ts) - watermark, which is the oracle."""
     casc = cascade_agg(_stream(spark, sf_dir))
     return run_available_now(casc, output_mode="append")
+
+
+@query(
+    "stream_stream_full_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           COALESCE(a.user_id, b.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+    WHERE (a.ts IS NOT NULL AND a.ts < TIMESTAMP '2024-01-24')
+       OR (a.ts IS NULL AND b.ts < TIMESTAMP '2024-01-24')
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matches emit eagerly,
+    unmatched views null-extend once the watermark passes
+    ``view.ts + 24 h``, unmatched purchases once it passes their own
+    event time (no earlier-timed view can still arrive).  Both
+    null-emission frontiers trail the final watermark, so the
+    batch-equivalence horizon applies PER SIDE on the drained OUTPUT
+    (left-bearing rows by view ts, right-only rows by purchase ts) —
+    never on the inputs, which would drag the watermark clock itself
+    backwards (see stream_stream_left_join's history note)."""
+    views = _stream(spark, sf_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    ).select(F.col("event_id").alias("view_id"), "user_id", "ts")
+    purchases = _stream(spark, sf_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    l = views.withWatermark("ts", "2 days")
+    r = purchases.withWatermark("r_ts", "2 days")
+    cond = (
+        (l["user_id"] == r["r_user_id"])
+        & (r["r_ts"] >= l["ts"])
+        & (r["r_ts"] <= l["ts"] + F.expr("INTERVAL 24 HOURS"))
+    )
+    out = run_available_now(
+        l.join(r, cond, "fullOuter"), output_mode="append"
+    )
+    horizon = F.lit("2024-01-24").cast("timestamp")
+    return out.filter(
+        (F.col("ts").isNotNull() & (F.col("ts") < horizon))
+        | (F.col("ts").isNull() & (F.col("r_ts") < horizon))
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("r_user_id")).alias("user_id"),
+    )

@@ -337,3 +337,51 @@ def udf_udtf_analyze(spark, sf_dir):
              LATERAL unpack_fields_udtf(doc_id, packed, 3) t
         """
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey, length(o_orderpriority) AS pr_len,
+           o_orderkey % 10 AS bucket
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow (Spark 4): the partition-streaming Arrow boundary —
+    each task hands Python an iterator of RecordBatches and takes one
+    back, no pandas conversion, no grouping requirement.  The right
+    primitive when a whole partition must flow through Python once
+    (custom decoders, FFI libraries) — batches stream, so memory is
+    bounded by batch size, not partition size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_batch(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("o_orderkey").combine_chunks(),
+                    pc.utf8_length(
+                        t.column("o_orderpriority").combine_chunks()
+                    ).cast(pa.int32()),
+                    pc.subtract(
+                        t.column("o_orderkey").combine_chunks(),
+                        pc.multiply(
+                            pc.divide(
+                                t.column("o_orderkey").combine_chunks(), 10
+                            ),
+                            10,
+                        ),
+                    ),
+                ],
+                names=["o_orderkey", "pr_len", "bucket"],
+            )
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 3000
+    ).select("o_orderkey", "o_orderpriority")
+    return o.mapInArrow(
+        per_batch, "o_orderkey long, pr_len int, bucket long"
+    )

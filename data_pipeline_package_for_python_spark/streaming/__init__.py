@@ -318,13 +318,18 @@ def stream_stream_interval_join(
     NULL — but only once the watermark passes ``left.ts + within``
     (Spark must prove no future right row can still match before it
     may emit the null), so outer results trail the inner ones by the
-    watermark delay.  A batch-equivalence oracle therefore has to
+    watermark delay.  ``how='fullOuter'`` adds the symmetric rule for
+    unmatched RIGHT rows (emitted null-extended once the watermark
+    passes ``right.ts`` — no future left can have an earlier event
+    time), so a batch-equivalence oracle needs BOTH horizons.  A batch-equivalence oracle therefore has to
     restrict the left side to rows whose join window provably closes
     before the stream's final watermark; rows after that horizon are
     still buffered, unemitted, when the replay ends.
     """
-    if how not in ("inner", "leftOuter"):
-        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
+    if how not in ("inner", "leftOuter", "fullOuter"):
+        raise ValueError(
+            f"how must be 'inner', 'leftOuter' or 'fullOuter', got {how!r}"
+        )
     right_time = right_time or time_col
     l = left.withWatermark(time_col, watermark)
     r = right.withWatermark(right_time, watermark)

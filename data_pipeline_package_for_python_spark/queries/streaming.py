@@ -435,3 +435,46 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.coalesce(F.col("user_id"), F.col("r_user_id")).alias("user_id"),
     )
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    WITH src AS (
+      SELECT i AS id, i % 8 AS bucket,
+             (i * 2654435761) % 1000000007 AS val
+      FROM generate_series(0, 1233) g(i)
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS val_sum
+    FROM src GROUP BY bucket
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source through the Python DataSource API
+    (Spark 4 SimpleDataSourceStreamReader): the deterministic synthetic
+    table arrives as offset-tracked 100-row micro-batches; offsets are
+    the exactly-once state (any committed offset replays
+    idempotently because rows are a pure function of the row index).
+    Drained by the continuous-trigger loop (run_until_offset) because
+    AvailableNow only sees the one prefetched batch of a Python stream;
+    the aggregate equals the closed-formula batch GROUP BY — which is
+    the oracle (sources/pyds.py)."""
+    from ..sources.pyds import register_synth_stream
+    from ..streaming import run_until_offset
+
+    register_synth_stream(spark)
+    s = (
+        spark.readStream.format("synthstream")
+        .option("n", 1234).option("batch_rows", 100).option("buckets", 8)
+        .load()
+    )
+    agg = s.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("val_sum")
+    )
+    return run_until_offset(
+        agg,
+        lambda src: isinstance(src.get("endOffset"), dict)
+        and src["endOffset"].get("i") == 1234,
+        output_mode="complete",
+    )

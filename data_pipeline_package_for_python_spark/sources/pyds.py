@@ -24,7 +24,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-__all__ = ["SynthRangeDataSource", "register_synth_range"]
+__all__ = [
+    "SynthRangeDataSource",
+    "SynthStreamDataSource",
+    "register_synth_range",
+    "register_synth_stream",
+]
 
 _KNUTH = 2654435761
 _MOD = 1000000007
@@ -148,3 +153,68 @@ class JsonLinesSinkDataSource(DataSource):
 def register_jsonl_sink(spark) -> None:
     """Idempotently register the jsonl sink on the session."""
     spark.dataSource.register(JsonLinesSinkDataSource)
+
+
+# ---------------------------------------------------------------------- #
+# streaming source                                                       #
+# ---------------------------------------------------------------------- #
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming twin of ``_SynthRangeReader``: each
+    micro-batch advances the offset by ``batch_rows`` until ``n`` rows
+    have been produced, then reports no progress — which is exactly the
+    signal Trigger.AvailableNow needs to terminate a drain.
+
+    Rows are the same pure function of the global row index as the
+    batch source, so (a) replays from any committed offset are
+    idempotent — the exactly-once contract a custom streaming source
+    must honor, offsets ARE the state — and (b) a DuckDB oracle can
+    reproduce the full drained stream from the closed formula.
+    """
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.batch_rows = max(1, int(options.get("batch_rows", 100)))
+        self.n_buckets = int(options.get("buckets", 8))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch_rows, self.n)
+        nb = self.n_buckets
+        # A LIST ITERATOR, precisely: the runtime's prefetch cache
+        # requires an iterator (it next()s it) AND copy.copy()s it when
+        # re-planning — generators satisfy neither, bare lists fail the
+        # iterator check, list_iterator satisfies both.
+        rows = [(i, i % nb, (i * _KNUTH) % _MOD) for i in range(lo, hi)]
+        return iter(rows), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        nb = self.n_buckets
+        for i in range(int(start["i"]), int(end["i"])):
+            yield (i, i % nb, (i * _KNUTH) % _MOD)
+
+
+class SynthStreamDataSource(DataSource):
+    """``spark.readStream.format("synthstream")`` → the deterministic
+    (id, bucket, val) table as a bounded stream of ``batch_rows``-sized
+    micro-batches."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthstream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, val bigint"
+
+    def simpleStreamReader(self, schema) -> _SynthStreamReader:
+        return _SynthStreamReader(self.options)
+
+
+def register_synth_stream(spark) -> None:
+    spark.dataSource.register(SynthStreamDataSource)

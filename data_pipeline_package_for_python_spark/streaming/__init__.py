@@ -49,6 +49,7 @@ __all__ = [
     "stateful_dedup",
     "stream_static_join",
     "run_available_now",
+    "run_until_offset",
     "foreach_batch_parquet",
     "running_user_counters",
 ]
@@ -538,3 +539,62 @@ def cascade_agg(
         )
         .select(F.col("d.start").alias("w_start"), *keys, "cnt", "value_sum")
     )
+
+
+def run_until_offset(
+    result: DataFrame,
+    is_drained,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+    poll_s: float = 0.3,
+) -> DataFrame:
+    """Drain a CONTINUOUS streaming ``result`` (processing-time trigger)
+    until ``is_drained(last_source_progress)`` says the source is
+    exhausted, then stop and return the in-memory sink.
+
+    Exists for sources Trigger.AvailableNow cannot fully drain: a
+    Python DataSource stream reports offsets one prefetched batch at a
+    time, so AvailableNow stops after the single batch known at start.
+    Polling ``lastProgress`` until the source's endOffset reaches its
+    terminal value (and a batch processed 0 rows) is the general drain
+    loop; offsets arrive as JSON-ish strings OR dicts depending on the
+    source, so the predicate receives the raw progress dict and
+    decides.
+    """
+    import ast
+    import time as _time
+
+    spark = result.sparkSession
+    name = _unique_name("dpp_mem")
+    ckpt = tempfile.mkdtemp(prefix="dpp_ckpt_")
+    with _scoped_state_parallelism(spark, 4):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            _time.sleep(poll_s)
+            if q.exception():
+                raise q.exception()
+            p = q.lastProgress
+            if not p or not p.get("sources"):
+                continue
+            src = dict(p["sources"][0])
+            eo = src.get("endOffset")
+            if isinstance(eo, str):
+                try:
+                    src["endOffset"] = ast.literal_eval(eo)
+                except (ValueError, SyntaxError):
+                    pass
+            if is_drained(src) and p.get("numInputRows", -1) == 0:
+                break
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -381,3 +381,67 @@ def test_window_cascade_two_stateful_operators(spark, sf_dir):
         so["numRowsRemoved"] for p in progress for so in p["stateOperators"]
     )
     assert removed > 0
+
+
+def test_python_stream_source_restart_exactly_once(spark, tmp_path):
+    # Exactly-once across restart: kill the synthstream query mid-run,
+    # restart against the same checkpoint, drain to the end — committed
+    # offsets must not replay into the aggregate (no double counting)
+    # and the final counts must equal the closed formula.
+    import ast
+    import time
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_package_for_python_spark.sources.pyds import (
+        register_synth_stream,
+    )
+
+    register_synth_stream(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        s = (
+            spark.readStream.format("synthstream")
+            .option("n", 1000).option("batch_rows", 100)
+            .option("buckets", 4).load()
+        )
+        return s.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def offset_i(q):
+        p = q.lastProgress
+        if not p or not p.get("sources"):
+            return -1
+        eo = p["sources"][0].get("endOffset")
+        if isinstance(eo, str):
+            try:
+                eo = ast.literal_eval(eo)
+            except (ValueError, SyntaxError):
+                return -1
+        return eo.get("i", -1) if isinstance(eo, dict) else -1
+
+    q1 = (
+        build().writeStream.format("memory").queryName("pyss_a")
+        .outputMode("complete").trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", ckpt).start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and offset_i(q1) < 500:
+        time.sleep(0.2)
+    q1.stop()  # mid-stream kill
+    assert 0 < offset_i(q1) < 1000
+
+    q2 = (
+        build().writeStream.format("memory").queryName("pyss_b")
+        .outputMode("complete").trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", ckpt).start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        time.sleep(0.2)
+        p = q2.lastProgress
+        if offset_i(q2) >= 1000 and p and p.get("numInputRows", -1) == 0:
+            break
+    out = {r["bucket"]: r["n_rows"] for r in spark.table("pyss_b").collect()}
+    q2.stop()
+    assert out == {0: 250, 1: 250, 2: 250, 3: 250}

@@ -476,3 +476,45 @@ def test_registry_no_unintended_cartesian(name, spark, sf_dir):
         # fences); a CartesianProduct never is.
         assert "CartesianProduct" not in ";".join(r.joins), r.joins
         assert "BroadcastExchange" in r.text, r.joins
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew-join: a hot join key (90% of rows on one key) makes the
+    runtime split the oversized partition — the executed plan shows
+    SortMergeJoin(skew=true).  Thresholds are shrunk only because the
+    fixture is kilobytes; at 100 TB the defaults (256 MB advisory,
+    factor 5) trigger on real skew, and this is the engine-level
+    complement to the explicit salting operators (operators/skew.py)
+    for joins we don't control the keys of."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin."
+        "skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        r = plans.plan_report(j, execute=True)
+        assert "skew=true" in r.text
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

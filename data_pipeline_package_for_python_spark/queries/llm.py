@@ -2305,3 +2305,49 @@ def sim_topk_multiprobe(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") % 50 == 0),
         k=5, dim=64, n_bits=6, seed=42, multi_probe=True,
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+      FROM documents
+    ),
+    grouped AS (
+      SELECT canon, min(doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_dups
+      FROM norm GROUP BY canon
+    )
+    SELECT keep_id, n_dups FROM grouped
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """NORMALIZED exact dedup: lowercase → strip non-alphanumerics →
+    collapse whitespace → trim, THEN group — catches the
+    trivially-edited duplicates (case, punctuation, double spaces) that
+    raw-byte hashing misses, which in crawled corpora is most of the
+    exact-dup mass.  Same scale shape as dedup_exact: canonical-form
+    groupBy, min-id survivor, no pairs; the normalization chain is
+    Java/RE2-identical regex so the oracle replays it verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col("text")), r"[^a-z0-9 ]", " "
+            ),
+            r" +",
+            " ",
+        )
+    )
+    return (
+        docs.select(F.col("doc_id"), canon.alias("__canon"))
+        .groupBy("__canon")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )

@@ -276,3 +276,51 @@ def test_histogram_quantile_bounds_true_quantile(spark, tables):
         F.expr("percentile(floor(value * 100), 0.5)").alias("m")
     ).collect()[0]["m"]
     assert q["p50_lo"] <= true_med < q["p50_lo"] + 5000
+
+
+def test_incremental_rollup_merge_law(spark, sf_dir):
+    """Incremental view maintenance: a daily rollup maintained as
+    old-partition rollup + new-partition rollup (re-aggregated on the
+    shared keys) must equal the full recompute EXACTLY.  This is the
+    property that lets a 100 TB continuous aggregate absorb a new
+    ingest partition by touching only the delta — it holds because the
+    rollup carries exact integer units (associative), never divided
+    doubles."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_package_for_python_spark.queries._registry import (
+        load,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-20"
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            ).alias("units"),
+        )
+
+    full = rollup(ev)
+    old = rollup(ev.filter(F.col("ts") < cutoff))
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("units").alias("units"))
+    )
+    diff = (
+        merged.withColumnRenamed("n", "mn")
+        .withColumnRenamed("units", "mu")
+        .join(full, ["day", "event_type"], "full")
+        .filter(
+            (F.coalesce(F.col("mn"), F.lit(0)) != F.coalesce(F.col("n"), F.lit(0)))
+            | (F.coalesce(F.col("mu"), F.lit(0)) != F.coalesce(F.col("units"), F.lit(0)))
+        )
+        .count()
+    )
+    assert diff == 0

@@ -46,6 +46,7 @@ __all__ = [
     "media_features",
     "media_fingerprint",
     "pack_media",
+    "perceptual_ahash",
     "resize_media",
     "sample_frames",
 ]
@@ -428,4 +429,64 @@ def audio_energy(media: DataFrame, *, window: int) -> DataFrame:
         batches,
         schema="media_id long, window_idx long, n_samples long, "
                "energy long, peak long",
+    )
+
+
+def perceptual_ahash(
+    media: DataFrame, *, size: int = 8
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL decoded
+    pixels: (media_id, hash_lo, hash_hi, n_dark) — the near-dup key for
+    image dedup, robust to re-encoding and resolution changes because
+    it is computed from the size×size luminance thumbnail, not the
+    bytes.
+
+    Pipeline: :func:`resize_media` (real P6 decode + nearest-neighbor
+    resample) → per-pixel integer luminance ``(r+g+b)//3`` → bit p set
+    iff ``g_p · size² ≥ Σg`` (the mean comparison cross-multiplied into
+    exact integers — no division, no float, engine-reproducible) →
+    packed into two 32-bit halves so no 1<<63 sign overflow exists in
+    any engine.  Hamming distance between hashes ≈ perceptual
+    distance; bucket-join on (hash_lo, hash_hi) bands for dedup exactly
+    like SimHash text pairs.
+
+    Scale: inherits resize_media's shape — Arrow batches through
+    mapInPandas, output fixed-width per item; the hash stage adds
+    size² integer ops per image and nothing else.
+    """
+    import pandas as pd
+
+    resized = resize_media(media, width=size, height=size, fake=False)
+    n_px = size * size
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            out = []
+            for mid, tb in zip(pdf["media_id"], pdf["thumb"]):
+                raw = bytes(tb)
+                _, _, off, ln = ppm_parse(raw)
+                px = raw[off : off + ln]
+                grays = [
+                    (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+                    for p in range(n_px)
+                ]
+                total = sum(grays)
+                lo = hi = 0
+                dark = 0
+                for p, g in enumerate(grays):
+                    if g * n_px >= total:
+                        if p < 32:
+                            lo |= 1 << p
+                        else:
+                            hi |= 1 << (p - 32)
+                    else:
+                        dark += 1
+                out.append((int(mid), lo, hi, dark))
+            yield pd.DataFrame(
+                out, columns=["media_id", "hash_lo", "hash_hi", "n_dark"]
+            )
+
+    return resized.select("media_id", "thumb").mapInPandas(
+        batches,
+        schema="media_id long, hash_lo long, hash_hi long, n_dark long",
     )

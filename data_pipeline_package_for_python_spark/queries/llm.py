@@ -2351,3 +2351,58 @@ def dedup_exact_normalized(spark, sf_dir):
         )
         .select("keep_id", "n_dups")
     )
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+             unnest(range(0, 192)) AS i
+      FROM documents
+    ), v AS (
+      SELECT doc_id, i,
+             (doc_id * 31
+              + (((i // 24) * h) // 8) * 17
+              + ((((i % 24) // 3) * w) // 8) * 7
+              + (i % 3) * 3) % 256 AS val
+      FROM px
+    ), gray AS (
+      SELECT doc_id, i // 3 AS p, SUM(val) // 3 AS g
+      FROM v GROUP BY doc_id, i // 3
+    ), tot AS (
+      SELECT doc_id, SUM(g) AS total FROM gray GROUP BY doc_id
+    )
+    SELECT g.doc_id AS media_id,
+           CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p < 32
+                    THEN (CAST(1 AS BIGINT) << CAST(g.p AS INTEGER))
+                    ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p >= 32
+                    THEN (CAST(1 AS BIGINT) << CAST(g.p - 32 AS INTEGER))
+                    ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(SUM(CASE WHEN g.g * 64 < t.total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dark
+    FROM gray g JOIN tot t USING (doc_id)
+    GROUP BY g.doc_id
+    """,
+)
+def multimodal_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over REAL decoded pixels: P6 payloads
+    built in codegen, really decoded and resampled to 8×8 by the
+    stdlib codec, then integer luminance-vs-mean bits packed into two
+    32-bit halves (operators/multimodal.py perceptual_ahash).  The
+    oracle rebuilds the exact thumbnail pixels and replays the integer
+    hash — a one-bit disagreement anywhere diverges the value hash."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        F.expr(
+            _ppm_payload_sql(
+                "4 + doc_id % 13", "4 + doc_id % 11", _RESIZE_VAL
+            )
+        ).alias("payload"),
+    )
+    media = M.pack_media(
+        imgs, "doc_id", "payload", mime="image/x-portable-pixmap"
+    )
+    return M.perceptual_ahash(media, size=8)

@@ -40,6 +40,7 @@ __all__ = [
     "exact_dedup",
     "incremental_dedup",
     "containment_pairs",
+    "hamming_near_pairs",
     "jaccard_similar_pairs",
     "lsh_candidate_pairs",
     "minhash_coefficients",
@@ -476,12 +477,38 @@ def simhash_near_pairs(
     candidates, so hot buckets (e.g. all-zero fingerprints from empty
     docs) are dropped above the cap.
     """
+    fp = simhash64(df, id_col, text_col)
+    return hamming_near_pairs(
+        fp,
+        max_hamming=max_hamming,
+        max_band_freq=max_band_freq,
+    )
+
+
+def hamming_near_pairs(
+    fp: DataFrame,
+    *,
+    id_col: str = "id",
+    hi_col: str = "simhash_hi",
+    lo_col: str = "simhash_lo",
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Generic 64-bit-fingerprint near-pair join by 4×16-bit pigeonhole
+    banding — the blocking engine behind :func:`simhash_near_pairs`
+    (text) and ``multimodal.ahash_near_pairs`` (images): any fingerprint
+    kind with a (hi, lo) 32-bit-half representation gets linear-ish
+    hamming pairing from the same code path."""
     if max_hamming > 3:
         raise ValueError(
             "4-band pigeonhole blocking only covers hamming <= 3; "
             f"got max_hamming={max_hamming}"
         )
-    fp = simhash64(df, id_col, text_col)
+    fp = fp.select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("simhash_hi"),
+        F.col(lo_col).alias("simhash_lo"),
+    )
     # 4 × 16-bit bands: hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF.
     bands = [
         F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),

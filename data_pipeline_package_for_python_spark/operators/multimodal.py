@@ -46,6 +46,7 @@ __all__ = [
     "media_features",
     "media_fingerprint",
     "pack_media",
+    "ahash_near_pairs",
     "perceptual_ahash",
     "resize_media",
     "sample_frames",
@@ -489,4 +490,31 @@ def perceptual_ahash(
     return resized.select("media_id", "thumb").mapInPandas(
         batches,
         schema="media_id long, hash_lo long, hash_hi long, n_dark long",
+    )
+
+
+def ahash_near_pairs(
+    media: DataFrame,
+    *,
+    size: int = 8,
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """IMAGE near-duplicate pairs: (id_a, id_b, hamming) over perceptual
+    aHash fingerprints — re-encoded, resized, or slightly-edited copies
+    of the same picture land within a few bits of each other, and the
+    same 4×16-bit pigeonhole banding that pairs SimHash text
+    fingerprints pairs them here (``dedup.hamming_near_pairs``), so
+    image dedup at 100 TB is one equality self-join on band keys, never
+    pixel-level all-pairs."""
+    from .dedup import hamming_near_pairs
+
+    fp = perceptual_ahash(media, size=size)
+    return hamming_near_pairs(
+        fp,
+        id_col="media_id",
+        hi_col="hash_hi",
+        lo_col="hash_lo",
+        max_hamming=max_hamming,
+        max_band_freq=max_band_freq,
     )

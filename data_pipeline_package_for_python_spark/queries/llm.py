@@ -2406,3 +2406,82 @@ def multimodal_image_ahash(spark, sf_dir):
         imgs, "doc_id", "payload", mime="image/x-portable-pixmap"
     )
     return M.perceptual_ahash(media, size=8)
+
+
+_AHASH_CTE = """
+    px AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+             unnest(range(0, 192)) AS i
+      FROM documents
+    ), v AS (
+      SELECT doc_id, i,
+             (doc_id * 31
+              + (((i // 24) * h) // 8) * 17
+              + ((((i % 24) // 3) * w) // 8) * 7
+              + (i % 3) * 3) % 256 AS val
+      FROM px
+    ), gray AS (
+      SELECT doc_id, i // 3 AS p, SUM(val) // 3 AS g
+      FROM v GROUP BY doc_id, i // 3
+    ), tot AS (
+      SELECT doc_id, SUM(g) AS total FROM gray GROUP BY doc_id
+    ), ah AS (
+      SELECT g.doc_id AS id,
+             CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p < 32
+                      THEN (CAST(1 AS BIGINT) << CAST(g.p AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p >= 32
+                      THEN (CAST(1 AS BIGINT)
+                            << CAST(g.p - 32 AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS hi
+      FROM gray g JOIN tot t USING (doc_id)
+      GROUP BY g.doc_id
+    )
+"""
+
+
+@query(
+    "multimodal_ahash_pairs",
+    oracle=f"""
+    WITH {_AHASH_CTE},
+    b AS (
+      SELECT id, hi, lo,
+             unnest([(hi >> 16) & 65535, hi & 65535,
+                     (lo >> 16) & 65535, lo & 65535]) AS band_val,
+             unnest([0, 1, 2, 3]) AS band_idx
+      FROM ah
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, a.hi AS hi_a, a.lo AS lo_a,
+                      c.id AS id_b, c.hi AS hi_b, c.lo AS lo_b
+      FROM b a JOIN b c
+        ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       AND a.id < c.id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def multimodal_ahash_pairs(spark, sf_dir):
+    """Image near-dup pairs (hamming ≤ 3 over real-decoded aHash):
+    the SimHash pigeonhole banding applied to pictures — candidates
+    from an equality self-join on 16-bit band keys, bit_count verify,
+    never pixel all-pairs (operators/multimodal.py ahash_near_pairs
+    over dedup.hamming_near_pairs)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        F.expr(
+            _ppm_payload_sql(
+                "4 + doc_id % 13", "4 + doc_id % 11", _RESIZE_VAL
+            )
+        ).alias("payload"),
+    )
+    media = M.pack_media(
+        imgs, "doc_id", "payload", mime="image/x-portable-pixmap"
+    )
+    return M.ahash_near_pairs(media, size=8, max_hamming=3)

@@ -2485,3 +2485,77 @@ def multimodal_ahash_pairs(spark, sf_dir):
         imgs, "doc_id", "payload", mime="image/x-portable-pixmap"
     )
     return M.ahash_near_pairs(media, size=8, max_hamming=3)
+
+
+@query(
+    "multimodal_video_frame_ahash",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS f
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, f, 3 + (doc_id + f) % 5 AS w,
+             2 + (doc_id + f) % 3 AS h
+      FROM fr
+    ), px AS (
+      SELECT doc_id, f, w, h, unnest(range(0, 192)) AS i
+      FROM dims
+    ), v AS (
+      SELECT doc_id, f, i,
+             (doc_id * 31 + f * 13
+              + (((i // 24) * h) // 8) * 17
+              + ((((i % 24) // 3) * w) // 8) * 7
+              + (i % 3) * 3) % 256 AS val
+      FROM px
+    ), gray AS (
+      SELECT doc_id, f, i // 3 AS p, SUM(val) // 3 AS g
+      FROM v GROUP BY doc_id, f, i // 3
+    ), tot AS (
+      SELECT doc_id, f, SUM(g) AS total FROM gray GROUP BY doc_id, f
+    )
+    SELECT g.doc_id AS media_id, CAST(g.f AS INTEGER) AS frame_idx,
+           CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p < 32
+                    THEN (CAST(1 AS BIGINT) << CAST(g.p AS INTEGER))
+                    ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p >= 32
+                    THEN (CAST(1 AS BIGINT) << CAST(g.p - 32 AS INTEGER))
+                    ELSE 0 END) AS BIGINT) AS hash_hi
+    FROM gray g JOIN tot t USING (doc_id, f)
+    GROUP BY g.doc_id, g.f
+    """,
+)
+def multimodal_video_frame_ahash(spark, sf_dir):
+    """Per-FRAME perceptual hashes for video dedup: the real container
+    walk (sample_frames) slices each P6 frame, each frame re-packs as
+    its own media row, and the aHash pipeline fingerprints it — the
+    (media, frame) hash table that clip-level near-dup (any-frame
+    banding match) joins on.  The oracle rebuilds every frame's 8×8
+    resample and replays the integer hash."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    frame_expr = _ppm_payload_sql(_FRAME_W, _FRAME_H, _FRAME_VAL)
+    container = docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(0, doc_id % 4, 1), "
+            f"f -> {frame_expr}), cast('' as binary), "
+            "(acc, x) -> concat(acc, x))"
+        ).alias("payload"),
+    )
+    media = M.pack_media(
+        container, "doc_id", "payload",
+        modality="video", mime="video/x-ppm-frames",
+    )
+    frames = M.sample_frames(media, fake=False)
+    fmedia = M.pack_media(
+        frames.select(
+            (F.col("media_id") * 8 + F.col("frame_idx")).alias("fid"),
+            "frame",
+        ),
+        "fid", "frame", mime="image/x-portable-pixmap",
+    )
+    ah = M.perceptual_ahash(fmedia, size=8)
+    return ah.select(
+        (F.col("media_id") / 8).cast("long").alias("media_id"),
+        (F.col("media_id") % 8).cast("int").alias("frame_idx"),
+        "hash_lo", "hash_hi",
+    )

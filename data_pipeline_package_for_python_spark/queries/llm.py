@@ -2559,3 +2559,114 @@ def multimodal_video_frame_ahash(spark, sf_dir):
         (F.col("media_id") % 8).cast("int").alias("frame_idx"),
         "hash_lo", "hash_hi",
     )
+
+
+@query(
+    "multimodal_video_near_pairs",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS f
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, f, 3 + (doc_id + f) % 5 AS w,
+             2 + (doc_id + f) % 3 AS h
+      FROM fr
+    ), px AS (
+      SELECT doc_id, f, w, h, unnest(range(0, 192)) AS i
+      FROM dims
+    ), v AS (
+      SELECT doc_id, f, i,
+             (doc_id * 31 + f * 13
+              + (((i // 24) * h) // 8) * 17
+              + ((((i % 24) // 3) * w) // 8) * 7
+              + (i % 3) * 3) % 256 AS val
+      FROM px
+    ), gray AS (
+      SELECT doc_id, f, i // 3 AS p, SUM(val) // 3 AS g
+      FROM v GROUP BY doc_id, f, i // 3
+    ), tot AS (
+      SELECT doc_id, f, SUM(g) AS total FROM gray GROUP BY doc_id, f
+    ), ah AS (
+      SELECT g.doc_id * 8 + g.f AS fid,
+             CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p < 32
+                      THEN (CAST(1 AS BIGINT) << CAST(g.p AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p >= 32
+                      THEN (CAST(1 AS BIGINT)
+                            << CAST(g.p - 32 AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS hi
+      FROM gray g JOIN tot t USING (doc_id, f)
+      GROUP BY g.doc_id, g.f
+    ), b AS (
+      SELECT fid, hi, lo,
+             unnest([(hi >> 16) & 65535, hi & 65535,
+                     (lo >> 16) & 65535, lo & 65535]) AS band_val,
+             unnest([0, 1, 2, 3]) AS band_idx
+      FROM ah
+    ), cand AS (
+      SELECT DISTINCT a.fid AS fid_a, a.hi AS hi_a, a.lo AS lo_a,
+                      c.fid AS fid_b, c.hi AS hi_b, c.lo AS lo_b
+      FROM b a JOIN b c
+        ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       AND a.fid < c.fid
+    ), close_frames AS (
+      SELECT fid_a // 8 AS vid_a, fid_b // 8 AS vid_b
+      FROM cand
+      WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        AND fid_a // 8 <> fid_b // 8
+    )
+    SELECT vid_a AS id_a, vid_b AS id_b,
+           CAST(count(*) AS BIGINT) AS n_frame_matches
+    FROM close_frames
+    GROUP BY vid_a, vid_b
+    HAVING count(*) >= 2
+    """,
+)
+def multimodal_video_near_pairs(spark, sf_dir):
+    """CLIP-level video near-dup: two videos pair when ≥ 2 of their
+    frame aHashes land within hamming ≤ 3 — re-encoded or
+    trimmed-by-a-frame copies survive, single-frame coincidences don't.
+    Pure composition: per-frame hashes → the shared pigeonhole banding
+    engine on composite (video, frame) ids → decompose and count
+    matching frames per video pair.  Every stage is the text-dedup
+    scale shape; nothing touches pixels after the per-frame hash."""
+    from ..operators.dedup import hamming_near_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    frame_expr = _ppm_payload_sql(_FRAME_W, _FRAME_H, _FRAME_VAL)
+    container = docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(0, doc_id % 4, 1), "
+            f"f -> {frame_expr}), cast('' as binary), "
+            "(acc, x) -> concat(acc, x))"
+        ).alias("payload"),
+    )
+    media = M.pack_media(
+        container, "doc_id", "payload",
+        modality="video", mime="video/x-ppm-frames",
+    )
+    frames = M.sample_frames(media, fake=False)
+    fmedia = M.pack_media(
+        frames.select(
+            (F.col("media_id") * 8 + F.col("frame_idx")).alias("fid"),
+            "frame",
+        ),
+        "fid", "frame", mime="image/x-portable-pixmap",
+    )
+    fp = M.perceptual_ahash(fmedia, size=8)
+    frame_pairs = hamming_near_pairs(
+        fp, id_col="media_id", hi_col="hash_hi", lo_col="hash_lo",
+        max_hamming=3,
+    )
+    vids = frame_pairs.select(
+        (F.col("id_a") / 8).cast("long").alias("vid_a"),
+        (F.col("id_b") / 8).cast("long").alias("vid_b"),
+    ).filter(F.col("vid_a") != F.col("vid_b"))
+    return (
+        vids.groupBy(
+            F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= 2)
+    )

@@ -2670,3 +2670,104 @@ def multimodal_video_near_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_frame_matches"))
         .filter(F.col("n_frame_matches") >= 2)
     )
+
+
+@query(
+    "multimodal_crossmodal_dup_report",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+      FROM documents
+    ),
+    textd AS (
+      SELECT doc_id,
+             (count(*) OVER (PARTITION BY canon) > 1) AS is_text_dup
+      FROM norm
+    ),
+    {_AHASH_CTE},
+    b AS (
+      SELECT id, hi, lo,
+             unnest([(hi >> 16) & 65535, hi & 65535,
+                     (lo >> 16) & 65535, lo & 65535]) AS band_val,
+             unnest([0, 1, 2, 3]) AS band_idx
+      FROM ah
+    ),
+    ipairs AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM b a JOIN b c
+        ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       AND a.id < c.id
+      WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+    ),
+    imgd AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM ipairs
+        UNION ALL SELECT id_b AS id FROM ipairs
+      )
+    )
+    SELECT t.doc_id, t.is_text_dup,
+           (i.id IS NOT NULL) AS is_image_dup,
+           CAST((CASE WHEN t.is_text_dup THEN 1 ELSE 0 END)
+              + (CASE WHEN i.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_signals
+    FROM textd t LEFT JOIN imgd i ON i.id = t.doc_id
+    """,
+)
+def multimodal_crossmodal_dup_report(spark, sf_dir):
+    """Cross-modal duplicate audit: one row per document with its
+    text-duplicate flag (normalized exact dedup) AND image-duplicate
+    flag (aHash hamming pairs) — the per-item report a curation
+    pipeline uses to decide survivors when an item can be duplicated
+    in EITHER modality.  Each signal keeps its own scale shape
+    (canonical groupBy; banding self-join); the fusion is two narrow
+    flag joins on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    textd = docs.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy(canon)) > 1
+        ).alias("is_text_dup"),
+    )
+    imgs = docs.select("doc_id").select(
+        "doc_id",
+        F.expr(
+            _ppm_payload_sql(
+                "4 + doc_id % 13", "4 + doc_id % 11", _RESIZE_VAL
+            )
+        ).alias("payload"),
+    )
+    media = M.pack_media(
+        imgs, "doc_id", "payload", mime="image/x-portable-pixmap"
+    )
+    pairs = M.ahash_near_pairs(media, size=8, max_hamming=3)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("__img", F.lit(True))
+    )
+    return (
+        textd.join(dup_ids, textd.doc_id == dup_ids.id, "left")
+        .select(
+            "doc_id",
+            "is_text_dup",
+            F.coalesce(F.col("__img"), F.lit(False)).alias("is_image_dup"),
+            (
+                F.when(F.col("is_text_dup"), 1).otherwise(0)
+                + F.when(F.col("__img").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dup_signals"),
+        )
+    )

@@ -518,3 +518,21 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "multimodal_ahash_pairs",
+        "multimodal_video_near_pairs",
+        "multimodal_crossmodal_dup_report",
+    ],
+)
+def test_multimodal_dedup_no_cartesian(name, spark, sf_dir):
+    # The perceptual-hash dedup family is excluded from the registry
+    # sweep by the multimodal_ prefix (its siblings stage binary files
+    # at build time), but these three build payloads in codegen — pin
+    # their banding joins to equality form explicitly: image/video
+    # near-dup must never degrade to pixel or fingerprint all-pairs.
+    r = rep(name, spark, sf_dir)
+    assert not r.has_cartesian, r.joins

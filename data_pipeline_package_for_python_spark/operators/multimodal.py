@@ -39,6 +39,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 __all__ = [
     "FEATURE_DIM",
+    "audio_delta_fingerprint",
     "audio_energy",
     "wav_encode",
     "wav_parse",
@@ -517,4 +518,54 @@ def ahash_near_pairs(
         lo_col="hash_lo",
         max_hamming=max_hamming,
         max_band_freq=max_band_freq,
+    )
+
+
+def audio_delta_fingerprint(
+    media: DataFrame, *, window: int = 16, n_bits: int = 63
+) -> DataFrame:
+    """Audio fingerprint from REAL decoded PCM: (media_id, fp_hi,
+    fp_lo) — bit p is ``energy(window p+1) > energy(window p)`` over
+    the first ``n_bits``+1 fixed-size windows.  The rising/falling
+    energy profile is the classic noise-robust audio signature (the
+    simplification at the core of Shazam-style matching): volume
+    scaling multiplies every window's energy equally, so the
+    comparison bits — and the fingerprint — survive it.
+
+    Pipeline: :func:`audio_energy` (stdlib wave parse, exact int64
+    window energies) → one lead() per track over its ~dozens of window
+    rows (a dimension-sized sort, the fact-scale work already happened
+    in the decode stage) → integer bit-pack into 32-bit halves.
+    Near-dup pairing then reuses ``dedup.hamming_near_pairs`` exactly
+    like text SimHash and image aHash."""
+    from pyspark.sql import Window as W
+
+    e = audio_energy(media, window=window).filter(
+        F.col("window_idx") <= n_bits
+    )
+    w = W.partitionBy("media_id").orderBy("window_idx")
+    bits = (
+        e.withColumn("__next", F.lead("energy").over(w))
+        .filter(F.col("window_idx") < n_bits)
+        .select(
+            "media_id",
+            F.col("window_idx").alias("p"),
+            (F.col("__next") > F.col("energy"))
+            .cast("long")
+            .alias("bit"),
+        )
+    )
+    return bits.groupBy("media_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN p >= 32 THEN bit * shiftleft(cast(1 as bigint),"
+                " cast(p - 32 as int)) ELSE 0 END"
+            )
+        ).alias("fp_hi"),
+        F.sum(
+            F.expr(
+                "CASE WHEN p < 32 THEN bit * shiftleft(cast(1 as bigint),"
+                " cast(p as int)) ELSE 0 END"
+            )
+        ).alias("fp_lo"),
     )

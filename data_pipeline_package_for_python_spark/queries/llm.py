@@ -2771,3 +2771,85 @@ def multimodal_crossmodal_dup_report(spark, sf_dir):
             .alias("n_dup_signals"),
         )
     )
+
+
+@query(
+    "multimodal_audio_fp_pairs",
+    oracle="""
+    WITH r AS (SELECT unnest(range(0, 1536)) AS k),
+    s AS (
+      SELECT doc_id, k,
+             (((doc_id * 31 + k * 7) % 256) - 128) * 256 AS samp
+      FROM documents, r
+      WHERE k < 1024 + (doc_id % 3) * 256
+    ),
+    w AS (
+      SELECT doc_id, k // 16 AS widx, SUM(samp * samp) AS energy
+      FROM s WHERE k // 16 <= 63 GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id, widx, energy,
+             lead(energy) OVER (
+               PARTITION BY doc_id ORDER BY widx
+             ) AS nexte
+      FROM w
+    ),
+    bits AS (
+      SELECT doc_id, widx AS p,
+             CASE WHEN nexte > energy THEN 1 ELSE 0 END AS bit
+      FROM d WHERE widx < 63
+    ),
+    fp AS (
+      SELECT doc_id AS id,
+             CAST(SUM(CASE WHEN p < 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN p >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(p - 32 AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY 1
+    ),
+    b AS (
+      SELECT id, hi, lo,
+             unnest([(hi >> 16) & 65535, hi & 65535,
+                     (lo >> 16) & 65535, lo & 65535]) AS band_val,
+             unnest([0, 1, 2, 3]) AS band_idx
+      FROM fp
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, a.hi AS hi_a, a.lo AS lo_a,
+                      c.id AS id_b, c.hi AS hi_b, c.lo AS lo_b
+      FROM b a JOIN b c
+        ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       AND a.id < c.id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def multimodal_audio_fp_pairs(spark, sf_dir):
+    """Audio near-dup pairs over REAL decoded PCM: energy-delta
+    fingerprints (rising/falling profile — volume-scaling invariant,
+    the Shazam-style signature) paired through the same pigeonhole
+    banding engine as text SimHash and image aHash
+    (operators/multimodal.py audio_delta_fingerprint +
+    dedup.hamming_near_pairs).  Completes near-dup coverage across all
+    four modalities with one shared blocking code path."""
+    from ..operators.dedup import hamming_near_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    tracks = docs.select(
+        "doc_id", F.expr(_wav_payload_sql(_WAV_N)).alias("payload")
+    )
+    media = M.pack_media(
+        tracks, "doc_id", "payload", modality="audio", mime="audio/wav"
+    )
+    fp = M.audio_delta_fingerprint(media, window=16, n_bits=63)
+    return hamming_near_pairs(
+        fp, id_col="media_id", hi_col="fp_hi", lo_col="fp_lo",
+        max_hamming=3,
+    )

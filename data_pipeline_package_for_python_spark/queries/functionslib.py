@@ -972,3 +972,60 @@ def func_bitwise(spark, sf_dir):
         F.shiftleft(k, 2).alias("shl2"),
         F.shiftright(k, 3).alias("shr3"),
     )
+
+
+@query(
+    "func_parse_url",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop' || (o_orderkey % 20) || '.example.com:'
+             || (8000 + o_orderkey % 5) || '/cat/'
+             || replace(lower(split_part(o_orderpriority, '-', 2)), ' ', '-')
+             || '?id=' || o_orderkey || '&ref=r%20' || (o_orderkey % 7)
+                 AS url
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           'https' AS proto,
+           regexp_extract(url, '^https://([^/:]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           CAST(regexp_extract(url, 'id=([0-9]+)', 1) AS VARCHAR)
+               AS id_param,
+           'r ' || (o_orderkey % 7) AS ref_decoded
+    FROM u
+    """,
+)
+def func_parse_url(spark, sf_dir):
+    """URL parsing family (parse_url PROTOCOL/HOST/PATH/QUERY + keyed
+    query-param extraction + url_decode) — the codegen web-data
+    toolkit a crawl pipeline leans on before any custom regex; the
+    oracle replays each component with plain regex on the same
+    synthesized URLs."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    url = F.concat(
+        F.lit("https://shop"), (F.col("o_orderkey") % 20).cast("string"),
+        F.lit(".example.com:"),
+        (F.lit(8000) + F.col("o_orderkey") % 5).cast("string"),
+        F.lit("/cat/"),
+        F.replace(
+            F.lower(F.split(F.col("o_orderpriority"), "-")[1]),
+            F.lit(" "),
+            F.lit("-"),
+        ),
+        F.lit("?id="), F.col("o_orderkey").cast("string"),
+        F.lit("&ref=r%20"), (F.col("o_orderkey") % 7).cast("string"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.url_decode(
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref"))
+        ).alias("ref_decoded"),
+    )

@@ -1029,3 +1029,46 @@ def func_parse_url(spark, sf_dir):
             F.parse_url("url", F.lit("QUERY"), F.lit("ref"))
         ).alias("ref_decoded"),
     )
+
+
+@query(
+    "func_luhn_check",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey * 137 AS VARCHAR), 16, '4') AS num
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    d AS (
+      SELECT o_orderkey, num, length(num) AS L,
+             [CAST(num[i] AS INTEGER)
+              FOR i IN range(1, length(num) + 1)] AS ds
+      FROM c
+    ),
+    s AS (
+      SELECT o_orderkey, num,
+             list_sum([CASE WHEN (L - i) % 2 = 1
+                 THEN (CASE WHEN ds[i] * 2 > 9
+                       THEN ds[i] * 2 - 9 ELSE ds[i] * 2 END)
+                 ELSE ds[i] END FOR i IN range(1, L + 1)]) AS total
+      FROM d
+    )
+    SELECT o_orderkey, num, (total % 10 = 0) AS is_valid
+    FROM s
+    """,
+)
+def func_luhn_check(spark, sf_dir):
+    """luhn_check (Spark 4): checksum validation for payment-card-like
+    digit strings — the gate that turns a 13-16-digit regex hit into a
+    REAL credit-card detection during corpus PII scrubbing (random
+    digit runs fail the checksum, so redaction false-positive rates
+    drop ~10×).  The oracle reimplements the Luhn fold as a list
+    comprehension, verified bit-equal on the classic test vectors."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    num = F.lpad((F.col("o_orderkey") * 137).cast("string"), 16, "4")
+    return o.select(
+        "o_orderkey",
+        num.alias("num"),
+        F.expr("luhn_check(lpad(cast(o_orderkey * 137 as string), 16, '4'))")
+        .alias("is_valid"),
+    )

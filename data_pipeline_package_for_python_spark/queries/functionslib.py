@@ -1072,3 +1072,77 @@ def func_luhn_check(spark, sf_dir):
         F.expr("luhn_check(lpad(cast(o_orderkey * 137 as string), 16, '4'))")
         .alias("is_valid"),
     )
+
+
+@query(
+    "func_regexp_family",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+           CASE WHEN regexp_matches(text, 'the')
+                THEN strpos(text, 'the') ELSE 0 END AS first_the,
+           COALESCE(regexp_extract(text, '([A-Z][a-z]+)', 1), '')
+               AS first_capword,
+           regexp_matches(text, '[.!?]$') AS ends_sentence
+    FROM documents
+    """,
+)
+def func_regexp_family(spark, sf_dir):
+    """The extended regexp family: regexp_count (occurrence counting),
+    regexp_instr (first-match position), regexp_substr (first-match
+    text), rlike anchor test — the quartet corpus heuristics are built
+    from; all codegen, patterns restricted to RE2/Java-identical
+    constructs."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"[0-9]+")).alias("n_number_runs"),
+        F.regexp_instr(t, F.lit(r"the")).alias("first_the"),
+        F.coalesce(
+            F.regexp_substr(t, F.lit(r"[A-Z][a-z]+")), F.lit("")
+        ).alias("first_capword"),
+        t.rlike(r"[.!?]$").alias("ends_sentence"),
+    )
+
+
+@query(
+    "func_string_extended",
+    oracle="""
+    SELECT c_custkey,
+           left(c_name, 8) AS l8,
+           right(c_name, 6) AS r6,
+           reverse(c_name) AS rev,
+           repeat('ab', 3) || c_mktsegment AS repeated,
+           CASE WHEN length(c_name) >= 10
+                THEN substring(c_name, 1, 4) || 'XX'
+                     || substring(c_name, 7)
+                ELSE c_name END AS overlaid,
+           strpos(c_name, '#') AS hash_pos,
+           length(c_mktsegment) AS seg_len
+    FROM customer
+    """,
+)
+def func_string_extended(spark, sf_dir):
+    """Extended string ops: left/right slices, reverse, repeat, overlay
+    (replace-at-position), position — the remainder of the §2.2.7
+    string toolkit; overlay's oracle is spelled as the substring
+    composition it is defined by."""
+    c = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.expr("left(c_name, 8)").alias("l8"),
+        F.expr("right(c_name, 6)").alias("r6"),
+        F.reverse(name).alias("rev"),
+        F.concat(F.repeat(F.lit("ab"), 3), F.col("c_mktsegment")).alias(
+            "repeated"
+        ),
+        F.when(
+            F.length(name) >= 10, F.overlay(name, F.lit("XX"), F.lit(5))
+        )
+        .otherwise(name)
+        .alias("overlaid"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.length("c_mktsegment").alias("seg_len"),
+    )

@@ -740,3 +740,47 @@ def etl_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("n").alias("median_n"),
         (F.max("n").cast("double") / F.median("n")).alias("skew_ratio"),
     )
+
+
+@query(
+    "etl_late_arriving_dim",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 11 <> 0
+    )
+    SELECT COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(d.c_custkey) AS BIGINT) AS n_resolved
+    FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    GROUP BY 1
+    """,
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts whose dimension row
+    hasn't landed yet (a trickle-loaded dim, simulated by withholding
+    every 11th customer) roll into an explicit UNKNOWN bucket instead
+    of silently dropping — the LEFT-join-coalesce pattern every
+    warehouse load uses, with per-segment resolved counts so the
+    backfill job knows how much is pending.  Dim side broadcasts; the
+    fact never shuffles for the join."""
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey, "left")
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment"
+            ),
+            "c_custkey",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("c_custkey").alias("n_resolved"),
+        )
+    )

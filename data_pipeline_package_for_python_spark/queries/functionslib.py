@@ -1146,3 +1146,36 @@ def func_string_extended(spark, sf_dir):
         F.instr(name, "#").alias("hash_pos"),
         F.length("c_mktsegment").alias("seg_len"),
     )
+
+
+@query(
+    "func_conversions",
+    oracle="""
+    SELECT c_custkey,
+           ascii(c_name) AS first_code,
+           chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS letter,
+           to_base64(encode(c_mktsegment)) AS b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS b64_rt,
+           upper(to_hex(encode(c_mktsegment))) AS hexed,
+           decode(from_hex(to_hex(encode(c_name)))) AS hex_rt
+    FROM customer
+    """,
+)
+def func_conversions(spark, sf_dir):
+    """Byte/char conversion family: ascii/chr, base64/unbase64,
+    hex/unhex — with round-trips pinned (decode(encode(x)) == x both
+    ways), the plumbing binary payload columns pass through when they
+    cross text systems."""
+    c = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.ascii(name).alias("first_code"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("letter"),
+        F.base64(F.col("c_mktsegment").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(name.cast("binary")))
+        .cast("string")
+        .alias("b64_rt"),
+        F.hex(F.col("c_mktsegment").cast("binary")).alias("hexed"),
+        F.unhex(F.hex(name.cast("binary"))).cast("string").alias("hex_rt"),
+    )

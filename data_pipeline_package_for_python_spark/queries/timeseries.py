@@ -495,3 +495,59 @@ def ts_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"p50_lo": (1, 2), "p90_lo": (9, 10)},
         bin_units=5000,
     ).select("day", "n_rows", "p50_lo", "p90_lo")
+
+
+@query(
+    "ts_weighted_moving_average",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'view'
+    ),
+    l AS (
+      SELECT user_id, event_id, cents,
+             lag(cents, 1) OVER w AS c1,
+             lag(cents, 2) OVER w AS c2,
+             lag(cents, 3) OVER w AS c3
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(4 * cents + 3 * COALESCE(c1, cents)
+              + 2 * COALESCE(c2, cents) + COALESCE(c3, cents)
+              AS BIGINT) AS wma_numer,
+           CAST(10 AS BIGINT) AS wma_denom
+    FROM l
+    """,
+)
+def ts_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (weights 4,3,2,1 over the last
+    4 observations per user): the lag-based smoother that weights
+    recency HARDER than a plain rolling mean but, unlike EWMA, forgets
+    completely after the window.  Emitted as an exact integer
+    numerator/denominator pair (cold-start lags backfill with the
+    current value), so the result is engine-bit-identical with no
+    float division anywhere; all four lags share ONE window sort per
+    user."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    s = ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+    out = s.select(
+        "user_id",
+        "event_id",
+        (
+            F.lit(4) * F.col("cents")
+            + F.lit(3) * F.coalesce(F.lag("cents", 1).over(w), F.col("cents"))
+            + F.lit(2) * F.coalesce(F.lag("cents", 2).over(w), F.col("cents"))
+            + F.coalesce(F.lag("cents", 3).over(w), F.col("cents"))
+        )
+        .cast("long")
+        .alias("wma_numer"),
+        F.lit(10).cast("long").alias("wma_denom"),
+    )
+    return out

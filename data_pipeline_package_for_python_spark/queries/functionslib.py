@@ -1179,3 +1179,50 @@ def func_conversions(spark, sf_dir):
         F.hex(F.col("c_mktsegment").cast("binary")).alias("hexed"),
         F.unhex(F.hex(name.cast("binary"))).cast("string").alias("hex_rt"),
     )
+
+
+@query(
+    "func_try_conversions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE 'https' END AS proto,
+           CASE WHEN o_orderpriority LIKE '1%'
+                THEN CAST(split_part(o_orderpriority, '-', 1) AS BIGINT)
+                ELSE NULL END AS prio_num,
+           CASE WHEN o_orderkey % 4 < 2
+                THEN split_part(o_orderpriority, '-', 1)
+                ELSE NULL END AS maybe_elem
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def func_try_conversions(spark, sf_dir):
+    """ANSI-safe TRY conversions beyond arithmetic: try_parse_url on a
+    malformed-every-third URL (NULL, never INVALID_URL), try_to_number
+    against a strict format (non-numeric prefixes → NULL), and
+    try_element_at past the end of an array (NULL, never
+    ArrayIndexOutOfBounds) — the tolerance family that keeps a 100 TB
+    ingest from dying on its millionth malformed row."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    url = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit("ht!tp://%%bad")
+    ).otherwise(
+        F.concat(F.lit("https://h"), F.col("o_orderkey").cast("string"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.try_parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.when(
+            F.col("o_orderpriority").like("1%"),
+            F.try_to_number(
+                F.split(F.col("o_orderpriority"), "-")[0], F.lit("9")
+            ).cast("long"),
+        ).alias("prio_num"),
+        F.try_element_at(
+            F.when(
+                F.col("o_orderkey") % 4 < 2,
+                F.split(F.col("o_orderpriority"), "-"),
+            ).otherwise(F.array().cast("array<string>")),
+            F.lit(1),
+        ).alias("maybe_elem"),
+    )

@@ -536,3 +536,19 @@ def test_multimodal_dedup_no_cartesian(name, spark, sf_dir):
     # near-dup must never degrade to pixel or fingerprint all-pairs.
     r = rep(name, spark, sf_dir)
     assert not r.has_cartesian, r.joins
+
+
+def test_bitmap_distinct_two_narrow_shuffles(spark, sf_dir):
+    # The bitmap distinct must shuffle (group, bucket) bitmap partials
+    # — never expand per-key rows the way count(DISTINCT) does.  Plan:
+    # two hash aggregates, no Expand node, and the lineitem scan pruned
+    # to the two referenced columns.
+    df = QUERIES["agg_bitmap_distinct"].spark_fn(spark, sf_dir)
+    r = plans.plan_report(df, execute=True)
+    assert "Expand" not in r.text
+    assert r.n_shuffles == 2
+    # column pruning asserted on the pre-execution plan (the AQE final
+    # plan folds the scan into a reused stage without a ReadSchema line)
+    r0 = plans.plan_report(QUERIES["agg_bitmap_distinct"].spark_fn(spark, sf_dir))
+    w = r0.scan_width("l_")
+    assert w is not None and w <= 2

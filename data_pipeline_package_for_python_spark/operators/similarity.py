@@ -44,6 +44,7 @@ __all__ = [
     "kmeans_embeddings",
     "l2_norm",
     "random_hyperplanes",
+    "embedding_health_stats",
     "random_projection",
     "sign_buckets",
 ]
@@ -760,3 +761,50 @@ def random_projection(
             ).alias(f"proj_{k}")
         )
     return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))
+
+
+def embedding_health_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension corpus QC for an embedding column: (dim, n,
+    sum_units, sumsq_units, mean_ppm, var_ppm) in exact scaled
+    integers — the health report that catches COLLAPSED dimensions
+    (variance ≈ 0: the encoder died or the column was zero-padded) and
+    runaway scales before any ANN index is built on garbage.
+
+    Shape: one ``posexplode`` of the vector column → one groupBy(dim)
+    with integer-unit partial sums — a single fact-sized shuffle whose
+    output is d rows.  Mean/variance are emitted as exact integer
+    ratios (⌊Σ/n⌋, ⌊(nΣx²−(Σx)²)/n²⌋ in ppm units), so the report is
+    engine-bit-identical with no float accumulation anywhere.
+    """
+    rows = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "__x")
+    ).select(
+        "dim",
+        F.floor(F.col("__x").cast("double") * F.lit(float(scale))
+                + F.lit(0.5)).alias("__u"),
+    )
+    agg = rows.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__u").alias("sum_units"),
+        F.sum(F.col("__u") * F.col("__u")).alias("sumsq_units"),
+    )
+    # mean/variance as a FIXED sequence of double ops over the exact
+    # integer moments (long->double conversion is IEEE-defined, one
+    # divide each, then multiply-subtract) — bit-identical on any
+    # engine, and no n*sumsq long product that could overflow.
+    mean = F.col("sum_units") / F.col("n")
+    var = F.col("sumsq_units") / F.col("n") - mean * mean
+    return agg.select(
+        "dim",
+        "n",
+        "sum_units",
+        "sumsq_units",
+        mean.alias("mean_units"),
+        var.alias("var_units2"),
+    )

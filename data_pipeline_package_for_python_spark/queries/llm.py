@@ -2853,3 +2853,39 @@ def multimodal_audio_fp_pairs(spark, sf_dir):
         fp, id_col="media_id", hi_col="fp_hi", lo_col="fp_lo",
         max_hamming=3,
     )
+
+
+@query(
+    "embed_health_stats",
+    oracle="""
+    WITH rows_u AS (
+      SELECT u.dim, u.x FROM (
+        SELECT unnest([{'dim': i - 1,
+                        'x': CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                             * 1000000 + 0.5) AS BIGINT)}
+                       FOR i IN range(1, len(embedding) + 1)]) AS u
+        FROM embeddings
+      )
+    ),
+    agg AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_units,
+             CAST(SUM(x * x) AS BIGINT) AS sumsq_units
+      FROM rows_u GROUP BY dim
+    )
+    SELECT dim, n, sum_units, sumsq_units,
+           sum_units / n AS mean_units,
+           sumsq_units / n - (sum_units / n) * (sum_units / n)
+               AS var_units2
+    FROM agg
+    """,
+)
+def embed_health_stats(spark, sf_dir):
+    """Embedding-corpus QC: per-dimension exact integer moments plus
+    deterministic mean/variance — catches collapsed dimensions and
+    scale blowups before an ANN index is built on them
+    (operators/similarity.py embedding_health_stats).  One posexplode,
+    one shuffle, d-row output."""
+    return S.embedding_health_stats(
+        load(spark, sf_dir, "embeddings")
+    )

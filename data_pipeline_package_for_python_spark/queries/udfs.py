@@ -385,3 +385,29 @@ def udf_map_in_arrow(spark, sf_dir):
     return o.mapInArrow(
         per_batch, "o_orderkey long, pr_len int, bucket long"
     )
+
+
+@query(
+    "udf_arrow_optimized_scalar",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) || '/' || CAST(length(c_name) AS VARCHAR)
+               AS tagged
+    FROM customer WHERE c_custkey < 1000
+    """,
+)
+def udf_arrow_optimized_scalar(spark, sf_dir):
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 4 ``useArrow=True``):
+    same row-wise authoring model as a classic F.udf, but the engine
+    ships column batches over Arrow instead of pickled rows — the
+    migration path that removes the serialization tax without
+    rewriting row UDFs into pandas form.  Equivalence-checked against
+    the pure-SQL expression, like every UDF row in this family."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def tag(name: str) -> str:
+        return f"{name.upper()}/{len(name)}"
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    return c.select("c_custkey", tag("c_name").alias("tagged"))

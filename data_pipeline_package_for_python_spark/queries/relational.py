@@ -2313,3 +2313,41 @@ def agg_bitmap_distinct(spark, sf_dir):
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum(F.expr("bitmap_count(__bm)")).alias("n_distinct")
     )
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def scan_recursive_glob(spark, sf_dir):
+    """Data-lake directory-layout ingestion: the same rows scattered
+    over a NESTED directory tree (year=/month= style subdirs written
+    per status) read back in one scan with ``recursiveFileLookup`` —
+    the option that walks arbitrary-depth layouts without partition
+    discovery, for lakes whose directory scheme is NOT key=value.
+    Totals hash-checked against the source table, so a missed subdir
+    or double-read file diverges immediately."""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    base = tempfile.mkdtemp(prefix="dpp_rglob_")
+    for status in [r[0] for r in o.select("o_orderstatus").distinct().collect()]:
+        (
+            o.filter(F.col("o_orderstatus") == status)
+            .write.mode("overwrite")
+            .parquet(f"{base}/deep/nest_{status}/leaf")
+        )
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+    )

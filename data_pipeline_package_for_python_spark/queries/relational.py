@@ -2351,3 +2351,70 @@ def scan_recursive_glob(spark, sf_dir):
         F.sum("o_orderkey").alias("key_sum"),
         F.count_distinct("o_orderstatus").alias("n_status"),
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts < v.ts + INTERVAL 60 SECOND
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """BUCKETED range join — the technique that makes interval joins
+    linear at 100 TB: both sides bucket time into 60 s epochs, the left
+    side fans out to its bucket and the next (a window of width w can
+    only span 2 consecutive w-buckets), the join runs on EQUALITY of
+    (user, bucket) — hash-partitionable, AQE-skew-splittable — and the
+    exact interval condition filters residually.  A plain non-equi
+    range join degenerates to per-key cross products; the fan-out costs
+    exactly 2× the probe rows instead.  The oracle is the plain range
+    join: equality of results IS the completeness proof for the
+    2-bucket cover."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).alias("__b"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).alias("p_b"),
+    )
+    v_fan = v.select(
+        "view_id", "user_id", "v_ts",
+        F.explode(F.array(F.col("__b"), F.col("__b") + 1)).alias("p_b"),
+    )
+    # equality join on (user, bucket) — the composite key is what
+    # hash-partitions the interval join; bucket-only would make every
+    # same-minute event collide on one reducer.
+    return (
+        v_fan.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (v_fan["p_b"] == p["p_b"]),
+        )
+        .filter(
+            (F.col("p_ts") >= F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                < F.col("v_ts") + F.expr("INTERVAL 60 SECONDS")
+            )
+        )
+        .select("view_id", "purchase_id", "user_id")
+    )

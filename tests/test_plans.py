@@ -552,3 +552,15 @@ def test_bitmap_distinct_two_narrow_shuffles(spark, sf_dir):
     r0 = plans.plan_report(QUERIES["agg_bitmap_distinct"].spark_fn(spark, sf_dir))
     w = r0.scan_width("l_")
     assert w is not None and w <= 2
+
+
+def test_range_bucketed_join_is_equality_keyed(spark, sf_dir):
+    # The bucketed range join must plan as an EQUALITY join on the
+    # (user, bucket) composite — a SortMergeJoin/ShuffledHashJoin/BHJ,
+    # never a BroadcastNestedLoopJoin on the raw interval condition.
+    r = rep("join_range_bucketed", spark, sf_dir)
+    assert not r.has_cartesian, r.joins
+    assert any(
+        j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for j in r.joins
+    ), r.joins

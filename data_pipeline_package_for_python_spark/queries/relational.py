@@ -2418,3 +2418,34 @@ def join_range_bucketed(spark, sf_dir):
         )
         .select("view_id", "purchase_id", "user_id")
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment)
+               AS segs
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_listagg_ordered(spark, sf_dir):
+    """listagg ... WITHIN GROUP (ORDER BY ...) (Spark 4): ordered
+    string aggregation with DEFINED element order — the ANSI form of
+    collect_list-then-sort-then-join, deterministic because the WITHIN
+    GROUP clause pins what parallel accumulation would otherwise
+    scramble.  DuckDB twin: string_agg(... ORDER BY ...)."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    j = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return j.groupBy("n_nationkey").agg(
+        F.expr(
+            "listagg(c_mktsegment, '|')"
+            " WITHIN GROUP (ORDER BY c_mktsegment)"
+        ).alias("segs")
+    )

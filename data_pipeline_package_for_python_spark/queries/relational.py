@@ -1212,11 +1212,37 @@ def agg_approx_count_distinct(spark, sf_dir):
     """,
 )
 def agg_rollup(spark, sf_dir):
+    """ROLLUP with aggregation pushed below the Expand.
+
+    Spark plans ``rollup(a, b)`` as Expand(×|grouping sets|) → partial
+    agg → shuffle → final agg: every input row is REPLICATED once per
+    grouping set before any reduction, so the hash agg touches 3× the
+    rows.  Catalyst does not rewrite this, but when every measure is
+    decomposable (count → sum of counts, integer-unit sum → sum of
+    sums) the algebraic identity rollup(G) ∘ groupBy(finest G) =
+    rollup(G) lets us aggregate on the finest grouping set FIRST — one
+    ordinary shuffle whose map-side combine reduces each partition to
+    ≤|distinct(a,b)| partials — and run the Expand over the tiny
+    aggregate (here 6 rows → 18 expanded).  At 100 TB the Expand's 3×
+    row replication is the difference between hashing 600 M and 1.8 B
+    rows; the second shuffle moves |distinct keys| rows and is free.
+    (Only applied because distinct(a,b) ≪ N; a rollup over near-unique
+    keys should keep the single-phase plan.)  At sf0.1 the rewrite is
+    roughly a wash — the removed Expand work (~70 ms) buys back the one
+    extra AQE stage wave the second tiny shuffle costs — but the first
+    shuffle's map-side combine now reduces 3× fewer rows, which is the
+    term that grows with data size.  Data-NULL keys stay distinct from
+    subtotal NULLs: gid bits are computed by the outer rollup exactly
+    as in the single-phase plan."""
     li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.expr("sum(floor(l_quantity * 100 + 0.5d))").alias("__qty_units"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
-        F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity").alias("sum_qty"),
+        F.sum("__n").alias("n"),
+        (F.sum("__qty_units") / F.lit(100.0).cast("double")).alias("sum_qty"),
     )
 
 
@@ -1231,9 +1257,15 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def agg_cube(spark, sf_dir):
+    """CUBE over pre-aggregated partials — same Expand-below-agg rewrite
+    as ``agg_rollup`` (4 grouping sets here, so the naive plan replicates
+    every row 4×; the pre-agg runs Expand over ≤|distinct(a,b)| rows)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.sum("__n").alias("n")
     )
 
 
@@ -1250,13 +1282,19 @@ def agg_cube(spark, sf_dir):
 def agg_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (not derivable from rollup/cube): per-flag,
     per-status, and grand total in one pass — Spark expands to a single
-    Expand + one aggregation, not three scans."""
+    Expand + one aggregation, not three scans.
+    Every requested set is a coarsening of (flag, status), so the same
+    Expand-below-agg rewrite as ``agg_rollup`` applies: aggregate the
+    finest common refinement first, then expand the tiny partial."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupingSets(
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return base.groupingSets(
         [["l_returnflag"], ["l_linestatus"], []],
         "l_returnflag",
         "l_linestatus",
-    ).agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+    ).agg(F.grouping_id().alias("gid"), F.sum("__n").alias("n"))
 
 
 @query(

@@ -564,3 +564,24 @@ def test_range_bucketed_join_is_equality_keyed(spark, sf_dir):
         j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         for j in r.joins
     ), r.joins
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_rollup", "agg_cube", "agg_grouping_sets"]
+)
+def test_grouping_sets_expand_below_agg(name, spark, sf_dir):
+    """The Expand-below-agg rewrite: Spark plans rollup/cube/grouping-sets
+    as Expand(×|sets|) directly over the scan, replicating every input
+    row once per grouping set BEFORE any reduction.  Our two-phase form
+    aggregates the finest grouping set first, so the Expand's immediate
+    child must be a HashAggregate (the tiny partial), never the FileScan."""
+    df = QUERIES[name].spark_fn(spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+    expand_at = next(
+        i for i, ln in enumerate(lines) if "Expand" in ln
+    )
+    assert "HashAggregate" in lines[expand_at + 1], lines[expand_at + 1]
+    # and the pre-aggregation is a real reduction: two Exchange levels
+    # total (base agg + grouping-set agg), both hash-partitioned on keys.
+    assert tree.count("Exchange") == 2, tree

@@ -28,6 +28,7 @@ __all__ = [
     "compaction_bins",
     "domain_mix_weights",
     "expectations_report",
+    "global_shuffle",
     "hash_sample",
     "hash_split",
     "snapshot_diff",
@@ -400,4 +401,40 @@ def domain_mix_weights(
                 "weight_capped_ppm"
             ),
         )
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic corpus shuffle into internally-ordered shards:
+    adds (``shard``, ``__skey``), hash-clusters rows by shard, and
+    sorts each shard by the shuffle key.
+
+    Training ingestion needs the corpus in a reproducible pseudo-random
+    order, materialized as N shard files each already shuffled — NOT a
+    single global ``orderBy(rand())``, which is non-deterministic
+    across retries (``rand`` reseeds per partition attempt) and
+    serializes recovery.  Here the order is a pure function of the
+    data: ``__skey = md5(key:seed)[:8] as int64``, ``shard = __skey %
+    n_shards``.  One hash exchange on ``shard`` (no range-boundary
+    sampling job, unlike ``repartitionByRange``) + a spillable local
+    sort per shard; re-running any shard — or the whole job — yields
+    byte-identical output, and changing ``seed`` is a full reshuffle.
+    Downstream: ``.write.partitionBy("shard")`` or one file per
+    partition.  Collisions in the 32-bit key space are broken by the
+    key column itself, keeping the total order unique."""
+    skey = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string) || ':' "
+        f"|| '{seed}'), 1, 8), 16, 10) as bigint)"
+    )
+    return (
+        df.withColumn("__skey", skey)
+        .withColumn("shard", F.col("__skey") % n_shards)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__skey", key_col)
     )

@@ -27,6 +27,7 @@ __all__ = [
     "PII_PATTERNS",
     "TOKEN_REGEX",
     "bigram_lm_scores",
+    "linear_quality_score",
     "bpe_pair_counts",
     "build_vocab",
     "charset_quality",
@@ -940,4 +941,43 @@ def filter_funnel(
         F.sum("__c1").cast("long").alias("n_charset"),
         F.sum("__c2").cast("long").alias("n_length"),
         F.sum("__c3").cast("long").alias("n_final"),
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_features: int = 100003,
+    threshold_units: int = 0,
+) -> DataFrame:
+    """Hashed-feature linear classifier scoring: (id, score_units, keep).
+
+    The fasttext-style quality gate a curation pipeline runs over every
+    document: tokens hash into a fixed feature space, each feature
+    carries a learned integer weight, and the document score is the sum
+    of its tokens' weights.  Entirely map-only codegen — tokenize,
+    hash, fold — so scoring cost is one corpus scan at any scale; in a
+    real deployment the weight table is a broadcast ``array<int>``
+    indexed by ``feature_id`` (dimension-sized, never shuffled).  Here
+    the weights are a deterministic hash of the feature id itself
+    (``w = (feature_id * 31 + 7) % 1001 - 500``, an integer in
+    [-500, 500]) so both engines materialize the identical "model"
+    without a trained artifact, and integer sums make the score
+    order-free and engine-exact.  Scores are kept in raw units
+    (sigmoid/scaling is monotone — the gate only needs the sign side
+    of ``threshold_units``)."""
+    feat = (
+        f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+        f" % {n_features}"
+    )
+    score = F.expr(
+        f"aggregate(split({text_col}, ' '), cast(0 as bigint), "
+        f"(acc, w) -> acc + (({feat}) * 31 + 7) % 1001 - 500)"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        score.alias("score_units"),
+        (score > F.lit(threshold_units)).cast("int").alias("keep"),
     )

@@ -2889,3 +2889,82 @@ def embed_health_stats(spark, sf_dir):
     return S.embedding_health_stats(
         load(spark, sf_dir, "embeddings")
     )
+
+
+@query(
+    "etl_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                  1, 8)) AS BIGINT) AS skey
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, skey, skey % 8 AS shard,
+             row_number() OVER (PARTITION BY skey % 8
+                                ORDER BY skey, doc_id) AS pos
+      FROM keyed
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(skey) AS BIGINT) AS first_key,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM sharded GROUP BY shard
+    """,
+)
+def etl_global_shuffle(spark, sf_dir):
+    """Deterministic training-corpus shuffle into internally-ordered
+    shards (operators/etl.py global_shuffle): order is a pure function
+    of (doc_id, seed), reproducible across runs/retries/engines —
+    never ``orderBy(rand())``.  One hash exchange + per-shard local
+    sort at any scale.  The checkable surface is ORDER-SENSITIVE: a
+    per-shard ``sum(position × doc_id)`` checksum over the shard-local
+    rank, so the driver hash actually verifies the shuffle order, not
+    just membership (the rank window re-uses the shard partitioning —
+    no extra shuffle)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.etl import global_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    shuffled = global_shuffle(docs, "doc_id", seed=7, n_shards=8)
+    w = Window.partitionBy("shard").orderBy("__skey", "doc_id")
+    pos = shuffled.withColumn("pos", F.row_number().over(w))
+    return pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("__skey").alias("first_key"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+@query(
+    "text_quality_linear_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             SUM(((CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+                   % 100003) * 31 + 7) % 1001 - 500) AS score_units
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(s.score_units, 0) AS BIGINT) AS score_units,
+           CAST(COALESCE(s.score_units, 0) > 0 AS INT) AS keep
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+def text_quality_linear_score(spark, sf_dir):
+    """Hashed-feature linear classifier gate over every document
+    (operators/text.py linear_quality_score): the fasttext-style
+    score-and-threshold pass of a curation pipeline, entirely map-only
+    codegen (tokenize → feature-hash → integer weight fold) — scoring
+    cost is one corpus scan at 100 TB, no shuffle, no Python.  The
+    DuckDB oracle replays the identical hash/weight arithmetic via its
+    relational shape (explode + group) — same integers, different
+    plan."""
+    from ..operators.text import linear_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return linear_quality_score(docs, "doc_id", "text")

@@ -2220,6 +2220,175 @@ def agg_having_q18(spark, sf_dir):
 
 
 @query(
+    "join_q13_custdist",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def join_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution via an outer
+    join that must keep zero-order customers.
+
+    The naive plan outer-joins raw orders to customer and counts after
+    — a fact-sized shuffle of full order rows.  Since the count only
+    needs orders and groups on the join key, the aggregation pushes
+    below the join: orders collapses to (custkey, n) per customer
+    first, then LEFT-joins customer (COALESCE(n, 0) re-creates the
+    outer-join zeros).  Both shuffles carry one row per customer; the
+    second aggregate groups the tiny (c_count) domain.  The filter is
+    on the fact side of the OUTER join (join-condition placement, not
+    WHERE — a WHERE would silently turn the join inner).  Reference
+    scope: dpp.py has no relational surface; shape from TPC-H Q13."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_cust = (
+        c.join(
+            per_cust_orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"),
+        )
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "join_q14_promo",
+    oracle="""
+    SELECT 100.0 * (
+             SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                      * 10000 + 0.5) AS BIGINT) ELSE 0 END)
+             / CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                      * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+           ) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def join_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate over
+    a fact⋈dim join with a selective time filter.
+
+    The month filter prunes lineitem at the scan (pushed filter), the
+    part side prunes to (partkey, type), and Catalyst's stats pick the
+    join strategy: broadcast at test scale, shuffle join at 100 TB
+    where part grows with SF — no pinned hint on the growing dim.  The
+    ratio is computed from ONE pass of exact integer revenue units
+    (numerator = CASE-gated sum, denominator = full sum), so no second
+    scan and no float drift across engines."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-09-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    units = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").like("PROMO%"), units).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum(units).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+@query(
+    "agg_q22_idle_customers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+                   / COUNT(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+               AS totacctbal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def agg_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy customers with no orders — uncorrelated
+    scalar subquery (global average) + NOT EXISTS (anti join) + agg.
+
+    The scalar average collapses to a 1-row aggregate cross-joined via
+    broadcast (Catalyst's own scalar-subquery plan, written explicitly
+    so the threshold is an exact scaled-integer mean on both engines).
+    NOT EXISTS is a LEFT ANTI join on custkey: orders prunes to the
+    filter survivors' join keys only, so the anti side shuffles 8-byte
+    keys — at 100 TB the anti join is the fact-sized edge and
+    key-pruning is what keeps it cheap.  (The fixture has no c_phone,
+    so nationkey plays the country-code role of spec Q22, and "no
+    URGENT order" replaces "no order" — the synthetic orders table
+    covers every customer, which would make the spec predicate
+    vacuously empty.)"""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("__avg_bal"))
+    )
+    o_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "sketch_cms_freq",
     oracle="""
     WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),

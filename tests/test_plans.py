@@ -585,3 +585,60 @@ def test_grouping_sets_expand_below_agg(name, spark, sf_dir):
     # and the pre-aggregation is a real reduction: two Exchange levels
     # total (base agg + grouping-set agg), both hash-partitioned on keys.
     assert tree.count("Exchange") == 2, tree
+
+
+def test_q13_aggregates_orders_below_outer_join(spark, sf_dir):
+    """Q13's order counting must collapse orders to one row per custkey
+    BEFORE the outer join — the join inputs are both customer-sized —
+    and the outer join itself must survive (zero-order customers)."""
+    r = rep("join_q13_custdist", spark, sf_dir)
+    assert not r.has_cartesian
+    # the orders-side shuffle carries the per-custkey aggregate
+    assert any("o_custkey" in k for k in r.shuffle_keys)
+    # orders scan pruned to the two referenced columns
+    assert r.scan_width("o_") is not None and r.scan_width("o_") <= 2
+
+
+def test_q14_single_pass_conditional_agg(spark, sf_dir):
+    r = rep("join_q14_promo", spark, sf_dir)
+    assert not r.has_cartesian
+    # month filter reaches the lineitem scan; both scans pruned
+    flat = ";".join(f for fs in r.pushed_filters for f in fs)
+    assert "l_shipdate" in flat
+    assert r.scan_width("l_") <= 4  # partkey + 2 measures + filter col
+    assert r.scan_width("p_") <= 2
+    # numerator and denominator come from ONE aggregate (no self-join)
+    assert len([j for j in r.joins]) <= 2
+
+
+def test_q22_anti_join_on_pruned_keys(spark, sf_dir):
+    df = QUERIES["agg_q22_idle_customers"].spark_fn(spark, sf_dir)
+    r = plans.plan_report(df)
+    # NOT EXISTS must plan as an ANTI join, never a subquery re-execution
+    assert "LeftAnti" in r.text or "left_anti" in r.text.lower()
+    # the anti side scans only the filter column + join key
+    assert r.scan_width("o_") is not None and r.scan_width("o_") <= 2
+    # the scalar-average edge is Spark's own scalar-subquery physical
+    # shape: a BroadcastNestedLoopJoin whose build side is a broadcast
+    # 1-row aggregate — tolerable; a CartesianProduct never is.
+    assert "CartesianProduct" not in ";".join(r.joins), r.joins
+    assert "BroadcastExchange" in r.text
+
+
+def test_global_shuffle_one_exchange_local_sort(spark, sf_dir):
+    """The corpus shuffle must cost ONE hash exchange (no range-boundary
+    sampling job) and a shard-local sort; the order-checksum window must
+    REUSE the shard partitioning instead of adding its own exchange."""
+    r = rep("etl_global_shuffle", spark, sf_dir)
+    assert r.n_shuffles == 1, r.shuffle_keys
+    assert "rangepartitioning" not in r.text.lower()
+    assert r.joins == []
+
+
+def test_linear_quality_score_map_only(spark, sf_dir):
+    """Classifier scoring is one map-only scan: no shuffle, no join, no
+    Python boundary (pure codegen fold over the token array)."""
+    r = rep("text_quality_linear_score", spark, sf_dir)
+    assert r.n_shuffles == 0
+    assert r.joins == []
+    assert "Python" not in r.text

@@ -275,3 +275,35 @@ def test_cms_laws(spark, sf_dir):
         .count()
     )
     assert diff == 0  # merge == rebuild, exactly
+
+
+def test_global_shuffle_laws(spark, sf_dir):
+    """global_shuffle: reruns are byte-identical (determinism), the
+    shards partition the corpus (no loss/duplication), each shard is
+    internally sorted by the shuffle key, and changing the seed
+    actually reshuffles."""
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        global_shuffle,
+    )
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    a = global_shuffle(docs, "doc_id", seed=7, n_shards=8).collect()
+    b = global_shuffle(docs, "doc_id", seed=7, n_shards=8).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # partition: every doc exactly once, shard = skey % n_shards
+    assert sorted(r.doc_id for r in a) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    dicts = [r.asDict() for r in a]
+    assert all(d["shard"] == d["__skey"] % 8 for d in dicts)
+    # in-shard order: non-decreasing skey per shard in collection order
+    from collections import defaultdict
+
+    per_shard = defaultdict(list)
+    for d in dicts:
+        per_shard[d["shard"]].append(d["__skey"])
+    assert all(ks == sorted(ks) for ks in per_shard.values())
+    # a different seed produces a different permutation
+    c = global_shuffle(docs, "doc_id", seed=8, n_shards=8).collect()
+    assert [tuple(r) for r in c] != [tuple(r) for r in a]

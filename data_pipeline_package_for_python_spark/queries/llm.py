@@ -2968,3 +2968,153 @@ def text_quality_linear_score(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return linear_quality_score(docs, "doc_id", "text")
+
+
+@query(
+    "ml_quantile_binning",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS units
+      FROM orders
+    ), q AS (
+      SELECT quantile_cont(units, 0.25) AS q1,
+             quantile_cont(units, 0.50) AS q2,
+             quantile_cont(units, 0.75) AS q3
+      FROM u
+    )
+    SELECT CAST((units > q.q1) AS INT) + CAST((units > q.q2) AS INT)
+             + CAST((units > q.q3) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(units) AS BIGINT) AS min_units,
+           CAST(max(units) AS BIGINT) AS max_units
+    FROM u, q
+    GROUP BY 1
+    """,
+)
+def ml_quantile_binning(spark, sf_dir):
+    """Equi-depth feature binning: exact quartile boundaries computed
+    once, broadcast as a 1-row frame, bins assigned map-side — the
+    quantile-bucketing pass feature engineering runs before training.
+
+    Cross-engine exactness is arranged, not assumed: boundaries are
+    interpolated over INTEGER price units with quartile fractions that
+    are exact in binary (multiples of 0.25), so Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` produce bit-identical doubles and
+    the ``>`` bin edges cannot flip on a last-ulp difference.  At scale
+    the exact percentile is one sort-based aggregate of the units
+    column; swap ``approx_percentile`` in when the contract allows
+    sketch error — the binning plan (broadcast fences + codegen CASE)
+    is unchanged."""
+    u = load(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "units"
+        )
+    )
+    q = u.agg(
+        F.expr("percentile(units, 0.25d)").alias("q1"),
+        F.expr("percentile(units, 0.50d)").alias("q2"),
+        F.expr("percentile(units, 0.75d)").alias("q3"),
+    )
+    bin_col = (
+        (F.col("units") > F.col("q1")).cast("int")
+        + (F.col("units") > F.col("q2")).cast("int")
+        + (F.col("units") > F.col("q3")).cast("int")
+    )
+    return (
+        u.join(F.broadcast(q))
+        .select(bin_col.alias("bin"), "units")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("units").alias("min_units"),
+            F.max("units").alias("max_units"),
+        )
+    )
+
+
+@query(
+    "etl_group_split",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM b GROUP BY 1
+    """,
+)
+def etl_group_split(spark, sf_dir):
+    """Leakage-free GROUP-level train/val/test split: the split key is
+    the document's ``source`` (domain), not the document — every doc
+    from one domain lands in the same split, so near-duplicates and
+    templated pages within a domain can never straddle train/test (the
+    contamination mode a doc-level split invites).  Same md5-bucket
+    assignment as ``etl_train_split`` (operators/etl.py hash_split on
+    the group column): map-only, engine-reproducible, and new docs of a
+    known domain always join their domain's split."""
+    from ..operators.etl import hash_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    split = hash_split(docs, "source")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "ml_negative_pairs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':neg'),
+                  1, 8)) AS BIGINT) AS skey
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, skey, skey % 16 AS bucket,
+             lead(doc_id, 1) OVER w AS neg_1,
+             lead(doc_id, 2) OVER w AS neg_2
+      FROM keyed
+      WINDOW w AS (PARTITION BY skey % 16 ORDER BY skey, doc_id)
+    )
+    SELECT doc_id, neg_1, neg_2
+    FROM ordered
+    WHERE neg_1 IS NOT NULL
+    """,
+)
+def ml_negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    document is paired with the next k=2 documents in a pseudo-random
+    hash order WITHIN its hash bucket — negatives are arbitrary
+    (hash-ordered) corpus members, reproducible across runs, and the
+    plan is one bucket shuffle + a per-bucket window: no cartesian, no
+    rand(), no per-row sampling pass.  At 100 TB each bucket holds
+    ~corpus/16 docs spread across tasks; raise the bucket count with
+    corpus size to keep window partitions bounded (the pairing only
+    needs ANY deterministic order, so bucket granularity is free to
+    scale)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "skey",
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string) || ':neg'),"
+            " 1, 8), 16, 10) as bigint)"
+        ),
+    ).withColumn("bucket", F.col("skey") % 16)
+    w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            F.lead("doc_id", 1).over(w).alias("neg_1"),
+            F.lead("doc_id", 2).over(w).alias("neg_2"),
+        )
+        .filter(F.col("neg_1").isNotNull())
+    )

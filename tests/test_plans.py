@@ -642,3 +642,29 @@ def test_linear_quality_score_map_only(spark, sf_dir):
     assert r.n_shuffles == 0
     assert r.joins == []
     assert "Python" not in r.text
+
+
+def test_quantile_binning_broadcast_fences(spark, sf_dir):
+    """Quartile fences are a 1-row broadcast; bin assignment is map-side.
+    Shuffles: the exact-percentile aggregate + the final bin rollup."""
+    r = rep("ml_quantile_binning", spark, sf_dir)
+    assert "CartesianProduct" not in ";".join(r.joins), r.joins
+    assert "BroadcastExchange" in r.text
+    assert r.n_shuffles <= 2, r.shuffle_keys
+
+
+def test_group_split_no_join_map_assignment(spark, sf_dir):
+    """Group-level split assignment is map-only (no shuffle before the
+    reporting aggregate, no join against a split table)."""
+    r = rep("etl_group_split", spark, sf_dir)
+    assert r.joins == []
+    assert r.n_shuffles <= 2  # countDistinct partials + final
+
+
+def test_negative_pairs_one_bucket_shuffle(spark, sf_dir):
+    """Negative sampling must be one bucket shuffle + per-bucket window:
+    no join, no cartesian, no rand()."""
+    r = rep("ml_negative_pairs", spark, sf_dir)
+    assert r.joins == []
+    assert r.n_shuffles == 1, r.shuffle_keys
+    assert "rand" not in r.text.lower()

@@ -784,3 +784,44 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("c_custkey").alias("n_resolved"),
         )
     )
+
+
+@query(
+    "etl_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(grp_n) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows
+    FROM g
+    """,
+)
+def etl_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers: how many
+    (nationkey, segment) equivalence classes exist, the smallest class,
+    and how many ROWS sit in classes below k=5 — the rows a release
+    would re-identify.  The governance gate run before any dataset
+    export: two hash aggregates, the second over |classes| rows, so
+    audit cost is one scan at any table size.  A failing gate feeds the
+    generalization loop (coarsen a quasi-identifier, re-audit) — each
+    iteration is the same one-scan shape."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    small = F.col("grp_n") < 5
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_n").alias("min_group_size"),
+        F.sum(small.cast("long")).alias("n_small_groups"),
+        F.sum(F.when(small, F.col("grp_n")).otherwise(F.lit(0))).alias(
+            "n_exposed_rows"
+        ),
+    )

@@ -3118,3 +3118,76 @@ def ml_negative_pairs(spark, sf_dir):
         )
         .filter(F.col("neg_1").isNotNull())
     )
+
+
+@query(
+    "ml_feature_standardize",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS units
+      FROM orders
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(units) AS BIGINT) AS s1,
+             CAST(sum(units * units) AS DOUBLE) AS s2d
+      FROM u
+    ), z AS (
+      SELECT (units / 100.0 - (s1 / 100.0) / n)
+             / sqrt((s2d / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n)
+                    / (n - 1)) AS zval
+      FROM u, m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(zval) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           max(zval) AS max_z,
+           min(zval) AS min_z
+    FROM z
+    """,
+)
+def ml_feature_standardize(spark, sf_dir):
+    """Z-score feature standardization: exact sufficient statistics
+    (n, Σx, Σx² — the square in exact DECIMAL(38,0), LONG overflows at
+    ~15 K high-priced rows) aggregated once, broadcast as a 1-row
+    frame, and the normalization applied map-side — the two-pass
+    standardize every feature pipeline runs, with the second "pass"
+    costing a re-scan, never a shuffle.  The z formula is written
+    byte-identically on both engines over identical integer inputs, so
+    even the DOUBLE outputs hash-match; outlier counting (|z| > 2) and
+    extrema give the driver a compact checkable surface."""
+    u = load(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "units"
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("units").alias("s1"),
+        # units² overflows LONG once n·(maxprice·100)² > 2⁶³ (already at
+        # 15 K orders); the second moment sums in DECIMAL(38,0) — exact —
+        # and converts to DOUBLE once (both engines round the same exact
+        # integer to the same nearest double).
+        F.sum((F.col("units") * F.col("units")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2d"),
+    )
+    mean = (F.col("s1") / F.lit(100.0)) / F.col("n")
+    var = (
+        F.col("s2d") / F.lit(10000.0)
+        - (F.col("s1") / F.lit(100.0))
+        * (F.col("s1") / F.lit(100.0))
+        / F.col("n")
+    ) / (F.col("n") - F.lit(1))
+    z = (F.col("units") / F.lit(100.0) - mean) / F.sqrt(var)
+    return (
+        u.join(F.broadcast(m))
+        .select(z.alias("zval"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.abs(F.col("zval")) > 2.0).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.max("zval").alias("max_z"),
+            F.min("zval").alias("min_z"),
+        )
+    )

@@ -551,3 +551,133 @@ def ts_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("long").alias("wma_denom"),
     )
     return out
+
+
+@query(
+    "ts_seasonal_forecast",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) / count(value) AS forecast
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-mean forecast: the per-(series, hour-of-day) historical
+    average IS the next-day prediction — the baseline every forecasting
+    stack ships first.  One hash aggregate over map-side epoch
+    arithmetic (hour-of-day is ``floor(epoch/3600) % 24``); the profile
+    table is |series|×24 rows at ANY history length, so the broadcast
+    join that would apply it to live traffic is dimension-sized
+    forever.  Exact integer-unit mean keeps the DOUBLE forecast
+    engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) % 24).alias(
+                "hour_of_day"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (
+                F.expr("sum(floor(value * 100 + 0.5d))")
+                / F.lit(100.0).cast("double")
+                / F.count("value")
+            ).alias("forecast"),
+        )
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                 * 3600 * 1000000) AS bucket,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v_units
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_units) AS BIGINT) AS total_units
+      FROM hourly GROUP BY 1
+    ), dev AS (
+      SELECT h.event_type, h.bucket,
+             SUM(h.v_units * t.n - t.total_units) OVER (
+               PARTITION BY h.event_type ORDER BY h.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum_scaled
+      FROM hourly h JOIN tot t USING (event_type)
+    ), ranked AS (
+      SELECT event_type, bucket, cusum_scaled,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum_scaled) DESC, bucket)
+                 AS rk
+      FROM dev
+    )
+    SELECT event_type, bucket, CAST(cusum_scaled AS BIGINT) AS cusum_scaled
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per series: cumulative sum of
+    deviations from the series mean peaks where the level shifts; the
+    top-|cusum| buckets are the candidate change points.
+
+    All arithmetic stays in scaled BIGINT — the deviation is
+    ``v·n − total`` (the mean deviation times n), so the running sum is
+    exact and order-free across engines, no floating-point drift in the
+    cumulative.  (Headroom: |cusum| ≤ n·total ≈ 2^54 for a 1e9-bucket
+    series of 1e6-unit values — document the bound, don't discover it.)
+    Plan: hourly rollup (one shuffle), per-series totals joined back
+    (series-count sized), one window per series for the running sum,
+    one for the top-3 — every stage partitioned by series, no global
+    sort."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            ).alias("bucket"),
+            "value",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("sum(floor(value * 100 + 0.5d))").alias("v_units"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_units").alias("total_units"),
+    )
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                F.col("v_units") * F.col("n") - F.col("total_units")
+            ).over(wsum),
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("bucket")
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "bucket", "cusum_scaled")
+    )

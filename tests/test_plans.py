@@ -668,3 +668,40 @@ def test_negative_pairs_one_bucket_shuffle(spark, sf_dir):
     assert r.joins == []
     assert r.n_shuffles == 1, r.shuffle_keys
     assert "rand" not in r.text.lower()
+
+
+def test_seasonal_forecast_single_aggregate(spark, sf_dir):
+    """The seasonal profile is ONE hash aggregate over map-side epoch
+    arithmetic — no join, no window, no second scan of events."""
+    r = rep("ts_seasonal_forecast", spark, sf_dir)
+    assert r.joins == []
+    assert r.n_shuffles == 1
+    assert r.scan_width("event_type") is not None
+
+
+def test_cusum_partitioned_windows_no_global_sort(spark, sf_dir):
+    """CUSUM must stay partitioned by series end-to-end: per-series
+    totals broadcast back, running-sum and top-k windows keyed on
+    event_type, and no global Sort node anywhere."""
+    r = rep("ts_cusum_changepoint", spark, sf_dir)
+    assert "CartesianProduct" not in ";".join(r.joins)
+    assert "BroadcastExchange" in r.text
+    # every shuffle is keyed on the series, never a global range sort
+    assert "rangepartitioning" not in r.text.lower()
+
+
+def test_k_anonymity_two_aggregates_one_scan(spark, sf_dir):
+    r = rep("etl_k_anonymity", spark, sf_dir)
+    assert r.joins == []
+    # class-building agg + report agg; audit cost is the scan
+    assert r.n_shuffles <= 2
+    assert r.scan_width("c_") is not None and r.scan_width("c_") <= 2
+
+
+def test_standardize_broadcast_moments_map_apply(spark, sf_dir):
+    """Sufficient statistics are a broadcast 1-row frame; applying the
+    normalization is map-side (no shuffle between the two 'passes')."""
+    r = rep("ml_feature_standardize", spark, sf_dir)
+    assert "CartesianProduct" not in ";".join(r.joins)
+    assert "BroadcastExchange" in r.text
+    assert r.n_shuffles <= 2

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import time_bucket
-from ._registry import load, query
+from ._registry import dsum, load, query
 
 
 @query(
@@ -824,4 +824,169 @@ def etl_k_anonymity(spark, sf_dir):
         F.sum(F.when(small, F.col("grp_n")).otherwise(F.lit(0))).alias(
             "n_exposed_rows"
         ),
+    )
+
+
+@query(
+    "analytics_first_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             max(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                 OVER w AS has_touch,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+                 OVER w AS first_touch
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT COALESCE(first_touch, 'organic') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS attributed_revenue
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def analytics_first_touch_attribution(spark, sf_dir):
+    """First-touch marketing attribution: every purchase's revenue is
+    credited to the FIRST non-purchase event type the user ever
+    produced (purchases before any touch fall to 'organic').
+
+    One window per user (running first-touch via IGNORE NULLS
+    first_value over the user's time order — each user's history lives
+    in one partition, no self-join against an 'earliest event' table),
+    then a tiny channel rollup of exact integer revenue.  At 100 TB
+    this is one user-keyed shuffle; the window state is O(1) per user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("first_touch"), F.lit("organic")).alias(
+                "channel"
+            ),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("attributed_revenue"),
+        )
+    )
+
+
+@query(
+    "analytics_ab_ttest",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                  || ':ab'), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS units
+      FROM events WHERE event_type = 'purchase'
+    ), moments AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(units) AS BIGINT) AS s1,
+             CAST(sum(units * units) AS DOUBLE) AS s2d
+      FROM assigned GROUP BY arm
+    ), stats AS (
+      SELECT arm, n,
+             (s1 / 100.0) / n AS mean,
+             (s2d / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n)
+                 / (n - 1) AS var
+      FROM moments
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           (a.mean - b.mean)
+             / sqrt(a.var / a.n + b.var / b.n) AS t_welch
+    FROM stats a, stats b
+    WHERE a.arm = 'A' AND b.arm = 'B'
+    """,
+)
+def analytics_ab_ttest(spark, sf_dir):
+    """A/B experiment readout: deterministic md5 arm assignment (the
+    same hash-bucket mechanism as the samplers — assignment is
+    reproducible and join-consistent across tables), per-arm exact
+    moments in ONE aggregate, and the Welch t statistic computed from
+    the two 1-row frames.  The whole readout is one scan + one 2-group
+    aggregate at any experiment size; the t formula runs byte-identical
+    double arithmetic on both engines over exact integer moments."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    assigned = ev.select(
+        F.when(
+            F.expr(
+                "cast(conv(substring(md5(cast(user_id as string) || ':ab'),"
+                " 1, 8), 16, 10) as bigint) % 2"
+            )
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.expr("cast(floor(value * 100 + 0.5d) as bigint)").alias("units"),
+    )
+    moments = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("units").alias("s1"),
+        F.sum((F.col("units") * F.col("units")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2d"),
+    )
+    stats = moments.select(
+        "arm",
+        "n",
+        ((F.col("s1") / F.lit(100.0)) / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("s2d") / F.lit(10000.0)
+                - (F.col("s1") / F.lit(100.0))
+                * (F.col("s1") / F.lit(100.0))
+                / F.col("n")
+            )
+            / (F.col("n") - F.lit(1))
+        ).alias("var"),
+    )
+    a = stats.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = stats.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(
+                F.col("var_a") / F.col("n_a")
+                + F.col("var_b") / F.col("n_b")
+            )
+        ).alias("t_welch"),
     )

@@ -705,3 +705,23 @@ def test_standardize_broadcast_moments_map_apply(spark, sf_dir):
     assert "CartesianProduct" not in ";".join(r.joins)
     assert "BroadcastExchange" in r.text
     assert r.n_shuffles <= 2
+
+
+def test_attribution_one_user_shuffle_no_self_join(spark, sf_dir):
+    """First-touch attribution must be one user-keyed window — never a
+    self-join against an 'earliest event per user' subquery."""
+    r = rep("analytics_first_touch_attribution", spark, sf_dir)
+    assert r.joins == []
+    assert any("user_id" in k for k in r.shuffle_keys), r.shuffle_keys
+    assert r.n_shuffles <= 2  # user window + channel rollup
+
+
+def test_ab_ttest_one_scan_broadcast_arms(spark, sf_dir):
+    """The experiment readout is one scan + one 2-group aggregate; the
+    two arm frames meet in a broadcast of single rows."""
+    r = rep("analytics_ab_ttest", spark, sf_dir)
+    assert "CartesianProduct" not in ";".join(r.joins)
+    assert "BroadcastExchange" in r.text
+    # purchase filter reaches the events scan
+    flat = ";".join(f for fs in r.pushed_filters for f in fs)
+    assert "event_type" in flat

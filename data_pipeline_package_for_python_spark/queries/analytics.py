@@ -990,3 +990,64 @@ def analytics_ab_ttest(spark, sf_dir):
             )
         ).alias("t_welch"),
     )
+
+
+@query(
+    "analytics_event_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, sum(n) AS tot FROM c GROUP BY 1
+    ), h AS (
+      SELECT c.user_id,
+             -sum((n / CAST(tot AS DOUBLE))
+                  * ln(n / CAST(tot AS DOUBLE))) AS entropy
+      FROM c JOIN t ON c.user_id = t.user_id
+      GROUP BY c.user_id
+    )
+    SELECT CAST(floor(entropy * 10 + 0.5) * 10 AS BIGINT) AS entropy_pct,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM h GROUP BY 1
+    """,
+)
+def analytics_event_entropy(spark, sf_dir):
+    """Behavioral-diversity metric: Shannon entropy of each user's
+    event-type mix, reported as a histogram of entropy deciles.
+
+    Two narrow aggregates — (user, type) counts, then per-user entropy
+    from exact integer counts — both keyed on user_id so the second
+    reuses the first's partitioning (AQE plans no new exchange for the
+    per-user total).  ln() runs on exact count ratios, the same double
+    arithmetic on both engines; the decile FLOOR makes the surface
+    robust to any last-ulp ln() divergence between libm builds while
+    still pinning every user's bucket."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = F.sum("n").over(Window.partitionBy("user_id"))
+    h = (
+        c.withColumn("tot", w_tot)
+        .groupBy("user_id")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("n") / F.col("tot").cast("double"))
+                    * F.log(F.col("n") / F.col("tot").cast("double"))
+                )
+            ).alias("entropy")
+        )
+    )
+    return (
+        h.select(
+            (F.floor(F.col("entropy") * 10 + F.lit(0.5)) * 10)
+            .cast("bigint")
+            .alias("entropy_pct")
+        )
+        .groupBy("entropy_pct")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -6,7 +6,7 @@ import threading
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_parallel", "swap_cache"]
+__all__ = ["ensure_parallel", "md5_key_expr", "swap_cache"]
 
 
 # Single-slot cache registry: one live persisted frame per (session, tag).
@@ -59,3 +59,23 @@ def ensure_parallel(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def md5_key_expr(col_sql: str, *, salt: str = "", n_hex: int = 8) -> str:
+    """SQL snippet for the engine-portable deterministic hash key used by
+    every sampler/splitter/shuffler: first ``n_hex`` hex digits of
+    ``md5(cast(col as string) || salt)`` parsed as an int64.
+
+    ONE definition on the Spark side so a future change to the key
+    derivation (wider digest, different salt convention) happens here —
+    but note the DuckDB oracles embed the equivalent
+    ``CAST(('0x' || substring(md5(...), 1, 8)) AS BIGINT)`` textually,
+    so any change MUST be mirrored in each oracle's SQL (the price of
+    differential testing against independent SQL text)."""
+    salted = f"cast({col_sql} as string)"
+    if salt:
+        salted += f" || '{salt}'"
+    return (
+        f"cast(conv(substring(md5({salted}), 1, {n_hex}), 16, 10)"
+        f" as bigint)"
+    )

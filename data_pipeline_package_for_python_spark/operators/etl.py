@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._util import md5_key_expr
+
 __all__ = [
     "cap_per_group",
     "compaction_bins",
@@ -100,10 +102,7 @@ def hash_split(
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     if abs(sum(fractions.values()) - 1.0) > 1e-9:
         raise ValueError("split fractions must sum to 1")
-    bucket = F.expr(
-        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
-        f"16, 10) as bigint) % {n_buckets}"
-    )
+    bucket = F.expr(f"{md5_key_expr(key_col)} % {n_buckets}")
     out = df.withColumn("bucket", bucket)
     expr, cum = None, 0.0
     names = list(fractions)
@@ -257,10 +256,7 @@ def hash_sample(
     1/n_buckets."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    bucket = F.expr(
-        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
-        f"16, 10) as bigint) % {n_buckets}"
-    )
+    bucket = F.expr(f"{md5_key_expr(key_col)} % {n_buckets}")
     return df.filter(bucket < int(round(fraction * n_buckets)))
 
 
@@ -277,10 +273,7 @@ def stratified_hash_sample(
     mechanism as :func:`hash_sample` with the threshold chosen by the
     stratum value in a codegen CASE.  Strata absent from ``fractions``
     are dropped (rate 0).  Map-only, no per-stratum passes."""
-    bucket = F.expr(
-        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
-        f"16, 10) as bigint) % {n_buckets}"
-    )
+    bucket = F.expr(f"{md5_key_expr(key_col)} % {n_buckets}")
     expr = None
     for name, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
@@ -425,13 +418,15 @@ def global_shuffle(
     sampling job, unlike ``repartitionByRange``) + a spillable local
     sort per shard; re-running any shard — or the whole job — yields
     byte-identical output, and changing ``seed`` is a full reshuffle.
-    Downstream: ``.write.partitionBy("shard")`` or one file per
-    partition.  Collisions in the 32-bit key space are broken by the
-    key column itself, keeping the total order unique."""
-    skey = F.expr(
-        f"cast(conv(substring(md5(cast({key_col} as string) || ':' "
-        f"|| '{seed}'), 1, 8), 16, 10) as bigint)"
-    )
+    Downstream: ``.write.partitionBy("shard")`` (one directory per
+    shard).  Note the ``repartition(n, shard)`` clustering HASHES the
+    shard id, so shard→task is many-to-some, not 1:1 — all rows of a
+    shard still land in one task (the invariant that matters), but a
+    direct per-partition file write would interleave shards; use the
+    partitionBy sink for shard-per-file layout.  Collisions in the
+    32-bit key space are broken by the key column itself, keeping the
+    total order unique."""
+    skey = F.expr(md5_key_expr(key_col, salt=f":{seed}"))
     return (
         df.withColumn("__skey", skey)
         .withColumn("shard", F.col("__skey") % n_shards)

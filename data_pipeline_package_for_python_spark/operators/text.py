@@ -972,9 +972,15 @@ def linear_quality_score(
         f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
         f" % {n_features}"
     )
-    score = F.expr(
-        f"aggregate(split({text_col}, ' '), cast(0 as bigint), "
-        f"(acc, w) -> acc + (({feat}) * 31 + 7) % 1001 - 500)"
+    # NULL text scores 0 (gate says drop), matching the oracle's
+    # LEFT-JOIN + COALESCE shape — split(NULL) would otherwise propagate
+    # NULL through the fold.
+    score = F.coalesce(
+        F.expr(
+            f"aggregate(split({text_col}, ' '), cast(0 as bigint), "
+            f"(acc, w) -> acc + (({feat}) * 31 + 7) % 1001 - 500)"
+        ),
+        F.lit(0).cast("bigint"),
     )
     return df.select(
         F.col(id_col).alias("id"),

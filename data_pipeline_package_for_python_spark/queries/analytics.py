@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import time_bucket
+from ..operators._util import md5_key_expr
 from ._registry import dsum, load, query
 
 
@@ -912,7 +913,7 @@ def analytics_first_touch_attribution(spark, sf_dir):
       SELECT arm, n,
              (s1 / 100.0) / n AS mean,
              (s2d / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n)
-                 / (n - 1) AS var
+                 / NULLIF(n - 1, 0) AS var
       FROM moments
     )
     SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
@@ -935,11 +936,7 @@ def analytics_ab_ttest(spark, sf_dir):
     )
     assigned = ev.select(
         F.when(
-            F.expr(
-                "cast(conv(substring(md5(cast(user_id as string) || ':ab'),"
-                " 1, 8), 16, 10) as bigint) % 2"
-            )
-            == 0,
+            F.expr(f"{md5_key_expr('user_id', salt=':ab')} % 2") == 0,
             F.lit("A"),
         )
         .otherwise(F.lit("B"))
@@ -957,14 +954,18 @@ def analytics_ab_ttest(spark, sf_dir):
         "arm",
         "n",
         ((F.col("s1") / F.lit(100.0)) / F.col("n")).alias("mean"),
-        (
+        # n=1 arm: variance is undefined — NULL on BOTH engines (Spark
+        # ANSI mode would raise on /0; DuckDB would return inf; NULLIF
+        # in the oracle + the when-guard here converge on NULL t_welch).
+        F.when(
+            F.col("n") > 1,
             (
                 F.col("s2d") / F.lit(10000.0)
                 - (F.col("s1") / F.lit(100.0))
                 * (F.col("s1") / F.lit(100.0))
                 / F.col("n")
             )
-            / (F.col("n") - F.lit(1))
+            / (F.col("n") - F.lit(1)),
         ).alias("var"),
     )
     a = stats.filter(F.col("arm") == "A").select(

@@ -3102,12 +3102,10 @@ def ml_negative_pairs(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    from ..operators._util import md5_key_expr
+
     keyed = docs.withColumn(
-        "skey",
-        F.expr(
-            "cast(conv(substring(md5(cast(doc_id as string) || ':neg'),"
-            " 1, 8), 16, 10) as bigint)"
-        ),
+        "skey", F.expr(md5_key_expr("doc_id", salt=":neg"))
     ).withColumn("bucket", F.col("skey") % 16)
     w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
     return (

@@ -2314,16 +2314,16 @@ def join_q14_promo(spark, sf_dir):
         + F.lit(0.5)
     ).cast("bigint")
     joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    # Association must mirror the oracle exactly: 100.0 * (num/denom).
+    # (100.0 * num) / denom double-rounds differently and was measured
+    # 1 ulp off at sf0.1 — enough to fail the full-precision value hash.
+    num = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), units).otherwise(F.lit(0))
+    )
     return joined.agg(
-        (
-            F.lit(100.0)
-            * F.sum(
-                F.when(F.col("p_type").like("PROMO%"), units).otherwise(
-                    F.lit(0)
-                )
-            )
-            / F.sum(units).cast("double")
-        ).alias("promo_revenue")
+        (F.lit(100.0) * (num / F.sum(units).cast("double"))).alias(
+            "promo_revenue"
+        )
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ._registry import QUERIES, Query, load, query  # noqa: F401
 
 from . import (  # noqa: E402,F401
+    dsl,
     relational,
     udfs,
     streaming,

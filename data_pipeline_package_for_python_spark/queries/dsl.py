@@ -1,0 +1,138 @@
+"""SURVEY §2.1 — the reference DSL surface, driver-checkable.
+
+The DSL layer (``Pipeline`` + ``>>`` expressions, re-expressing
+/root/reference/dpp.py:168-622's combinators over Spark DataFrames) is
+covered structurally by ``tests/test_dsl.py`` and end-to-end by
+``tests/test_golden_pipelines.py``; the queries here additionally route
+it through the DRIVER's differential gate: each builds its result
+exclusively through ``common``/``branch``/``all``/``sequence`` and is
+hash-checked against a DuckDB oracle, proving the orchestration layer
+composes with the engine without perturbing results (slots hold lazy
+plans, so the combinators must add zero computation of their own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import PREV, Pipeline, V
+from ._registry import dsum, load, query
+
+
+@query(
+    "dsl_sequence_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def dsl_sequence_q1(spark, sf_dir):
+    """Q1-shape built through ``sequence`` + ``PREV`` threading
+    (dpp.py:466-505's ordered composition): the filter step rebinds a
+    slot to a new lazy plan, the aggregation step reads it via PREV,
+    and Catalyst still fuses everything into the same
+    scan→filter→partial-agg→shuffle plan the direct DataFrame build
+    produces — the combinators are pure plan plumbing."""
+    li = load(spark, sf_dir, "lineitem")
+    with Pipeline(lineitem=li) as p:
+        p.sequence(
+            p.lineitem
+            >> (lambda df: df.filter(F.col("l_shipdate") <= "1998-09-02"))
+            >> p.filtered,
+            PREV
+            >> (
+                lambda df: df.groupBy("l_returnflag", "l_linestatus").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    dsum("l_quantity").alias("sum_qty"),
+                )
+            )
+            >> p.q1,
+        )
+    return p.q1
+
+
+@query(
+    "dsl_branch_fanin_join",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, count(*) AS n
+      FROM orders GROUP BY 1
+    ), revenue AS (
+      SELECT o_orderstatus,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT c.o_orderstatus, c.n, r.revenue
+    FROM counts c JOIN revenue r USING (o_orderstatus)
+    """,
+)
+def dsl_branch_fanin_join(spark, sf_dir):
+    """Fan-out/fan-in through ``branch`` + ``all`` (dpp.py:414-464,
+    378-412): two branches aggregate the SAME orders slot independently
+    (each reads the pre-branch context snapshot — true fan-out, the
+    reference's leaky-context bug is deliberately not replicated), then
+    the ``all`` step joins the two branch outputs.  The shared input is
+    auto-persisted by the branch combinator (``cache_shared``) so the
+    orders scan is not recomputed per branch when an action runs."""
+    o = load(spark, sf_dir, "orders")
+    with Pipeline(orders=o) as p:
+        p.branch(
+            (
+                p.orders
+                >> (
+                    lambda df: df.groupBy("o_orderstatus").agg(
+                        F.count(F.lit(1)).alias("n")
+                    )
+                )
+                >> p.counts
+            ),
+            (
+                p.orders
+                >> (
+                    lambda df: df.groupBy("o_orderstatus").agg(
+                        dsum("o_totalprice").alias("revenue")
+                    )
+                )
+                >> p.revenue
+            ),
+        )
+        p.all(
+            V(p.counts, p.revenue)
+            >> (lambda a, b: a.join(b, "o_orderstatus"))
+            >> p.merged
+        )
+    return p.merged
+
+
+@query(
+    "dsl_common_elementwise",
+    oracle="""
+    SELECT n_nationkey, upper(n_name) AS n_name_uc,
+           n_regionkey * 10 AS region_x10
+    FROM nation
+    """,
+)
+def dsl_common_elementwise(spark, sf_dir):
+    """``common`` (dpp.py:337-376): the elementwise map combinator
+    applied to a DataFrame slot — one projection step expressed through
+    the DSL's tuple syntax, compiled to a map-only codegen plan."""
+    n = load(spark, sf_dir, "nation")
+    with Pipeline(nation=n) as p:
+        p.common(
+            p.nation
+            >> (
+                lambda df: df.select(
+                    "n_nationkey",
+                    F.upper("n_name").alias("n_name_uc"),
+                    (F.col("n_regionkey") * 10).alias("region_x10"),
+                )
+            )
+            >> p.projected
+        )
+    return p.projected

@@ -51,6 +51,7 @@ __all__ = [
     "rolling_zscore_flags",
     "ewma_dyadic",
     "ohlc",
+    "series_correlation_pairs",
     "sessionize",
 ]
 
@@ -499,3 +500,86 @@ def histogram_quantile_lo(
             ).alias(name)
         )
     return cum.groupBy(*kcols).agg(*aggs)
+
+
+def series_correlation_pairs(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    width: str = "6 hours",
+    scale: int = 100,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise Pearson correlation between time series, computed
+    relationally: (series_a, series_b, n, r) for every pair that shares
+    at least two buckets.
+
+    The similarity-search primitive for "which metrics move together":
+    series are bucketed to a common grid (long format, never a dense
+    driver-side matrix), aligned by an EQUALITY self-join on the bucket,
+    and each pair's sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² —
+    all exact scaled integers) reduce in one hash aggregate; r is one
+    double expression over exact moments, so both engines compute the
+    identical value.  Join cost is Σ_bucket |series in bucket|² — linear
+    for sparse/bursty series, quadratic only when every series covers
+    every bucket.  For that dense regime at large |series| pass
+    ``candidates`` (pairs to score, e.g. from the sign-LSH ANN over
+    z-normalized series vectors — operators/similarity.py) and the same
+    aggregation scores ONLY those pairs; the all-pairs default is the
+    exact small-|series| path, the candidate path is the 100 TB one
+    (prune with LSH, exact-score the survivors — the shape of
+    distributed top-k series-similarity search in the literature)."""
+    b = (
+        df.select(
+            F.col(series_col).alias("sid"),
+            time_bucket(ts_col, width).alias("bucket"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("sid", "bucket")
+        .agg(sum_units("v", scale).alias("vu"))
+    )
+    a_side = b.select(
+        F.col("sid").alias("series_a"),
+        "bucket",
+        F.col("vu").alias("x"),
+    )
+    b_side = b.select(
+        F.col("sid").alias("series_b"),
+        "bucket",
+        F.col("vu").alias("y"),
+    )
+    pairs = a_side.join(b_side, "bucket").filter(
+        F.col("series_a") < F.col("series_b")
+    )
+    if candidates is not None:
+        pairs = pairs.join(
+            F.broadcast(candidates.select("series_a", "series_b")),
+            ["series_a", "series_b"],
+        )
+    m = pairs.groupBy("series_a", "series_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # r is computed over DOUBLE casts of the exact integer moments with
+    # one fixed association (the oracle mirrors it token-for-token):
+    # integer products like sx·sy would overflow LONG on Spark while
+    # DuckDB widens to HUGEINT — casting each moment to double FIRST
+    # gives both engines the identical IEEE sequence instead.
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = sxy * n - sx * sy
+    den = F.sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))
+    return m.filter(F.col("n") >= 2).select(
+        "series_a",
+        "series_b",
+        "n",
+        (num / den).alias("r"),
+    )

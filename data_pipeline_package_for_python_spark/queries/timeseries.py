@@ -681,3 +681,70 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("event_type", "bucket", "cusum_scaled")
     )
+
+
+@query(
+    "ts_correlation_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id AS sid,
+             {_BUCKET_SQL.format(w=21600)} AS bucket,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS vu
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.sid AS series_a, b2.sid AS series_b,
+             a.vu AS x, b2.vu AS y
+      FROM b a JOIN b b2 USING (bucket)
+      WHERE a.sid < b2.sid
+    ), m AS (
+      SELECT series_a, series_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1, 2
+    ), r AS (
+      SELECT series_a, series_b, n,
+             (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      FROM m WHERE n >= 2
+    )
+    SELECT series_a, series_b, n, r FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY series_a ORDER BY r DESC, series_b) AS rk
+      FROM r
+    ) WHERE rk <= 3
+    """,
+)
+def ts_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed series-similarity search (which users' activity moves
+    together): every user's 6-hour activity series correlates against
+    every co-bucketed peer via the relational Pearson operator
+    (operators/timeseries.py series_correlation_pairs — long-format
+    bucket join + one exact-moment aggregate, never a dense driver-side
+    matrix), then top-3 most-correlated peers per series.  At large
+    |series| the same operator exact-scores LSH-pruned candidate pairs
+    instead of the all-pairs default (the prune→exact-score shape of
+    distributed top-k similarity search)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.timeseries import series_correlation_pairs
+
+    ev = load(spark, sf_dir, "events")
+    r = series_correlation_pairs(
+        ev, "user_id", "ts", "value", width="6 hours"
+    )
+    w = Window.partitionBy("series_a").orderBy(
+        F.col("r").desc(), F.col("series_b")
+    )
+    return (
+        r.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("series_a", "series_b", "n", "r")
+    )

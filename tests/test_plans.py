@@ -725,3 +725,12 @@ def test_ab_ttest_one_scan_broadcast_arms(spark, sf_dir):
     # purchase filter reaches the events scan
     flat = ";".join(f for fs in r.pushed_filters for f in fs)
     assert "event_type" in flat
+
+
+def test_series_correlation_no_cartesian_bucket_keyed(spark, sf_dir):
+    """Series correlation must align by an EQUALITY bucket join (cost
+    Σ_bucket |series|²), never a cartesian of series; moments reduce in
+    one aggregate keyed on the pair."""
+    r = rep("ts_correlation_pairs", spark, sf_dir)
+    assert not r.has_cartesian, r.joins
+    assert any("bucket" in k for k in r.shuffle_keys), r.shuffle_keys

@@ -3189,3 +3189,63 @@ def ml_feature_standardize(spark, sf_dir):
             F.min("zval").alias("min_z"),
         )
     )
+
+
+# Lexicons drawn from the synthetic corpus vocabulary so the classifier
+# actually discriminates on the fixtures (a real deployment broadcasts
+# its own dictionary; the plan is identical).
+_SENT_POS = ("fast", "big", "value", "merge")
+_SENT_NEG = ("slow", "small", "dup", "filter")
+
+
+@query(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             SUM(CASE WHEN w IN {_SENT_POS!r} THEN 1 ELSE 0 END) AS pos,
+             SUM(CASE WHEN w IN {_SENT_NEG!r} THEN 1 ELSE 0 END) AS neg
+      FROM toks GROUP BY doc_id
+    )
+    SELECT CASE WHEN pos > neg THEN 'positive'
+                WHEN neg > pos THEN 'negative'
+                ELSE 'neutral' END AS sentiment,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS total_pos,
+           CAST(sum(neg) AS BIGINT) AS total_neg
+    FROM scored GROUP BY 1
+    """,
+)
+def text_sentiment_lexicon(spark, sf_dir):
+    """Lexicon-based sentiment classification at corpus scale (the
+    classic distributed-Spark text-mining workload): per-document
+    positive/negative lexicon hit counts via a JVM ``filter`` fold over
+    the token array — map-only, no explode, no Python — then a 3-class
+    rollup.  The lexicons here are literal word lists (a real deployment
+    broadcasts its sentiment dictionary; the fold is unchanged).  Doc
+    counts per class plus total hit masses give the driver an exact
+    integer surface."""
+    docs = load(spark, sf_dir, "documents")
+    pos_q = ",".join(f"'{w}'" for w in _SENT_POS)
+    neg_q = ",".join(f"'{w}'" for w in _SENT_NEG)
+    scored = docs.select(
+        F.expr(
+            f"size(filter(split(lower(text), ' '), w -> w IN ({pos_q})))"
+        ).alias("pos"),
+        F.expr(
+            f"size(filter(split(lower(text), ' '), w -> w IN ({neg_q})))"
+        ).alias("neg"),
+    )
+    sentiment = (
+        F.when(F.col("pos") > F.col("neg"), F.lit("positive"))
+        .when(F.col("neg") > F.col("pos"), F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    return scored.groupBy(sentiment.alias("sentiment")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").alias("total_pos"),
+        F.sum("neg").alias("total_neg"),
+    )

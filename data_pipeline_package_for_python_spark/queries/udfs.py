@@ -72,29 +72,41 @@ def udf_pandas_scalar(spark, sf_dir):
                CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ), s AS (
-        SELECT seg, count(*) AS n,
-               CAST(SUM(cents) AS DOUBLE) AS sx,
-               CAST(SUM(cents * cents) AS DOUBLE) AS sxx
+        SELECT seg, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sx,
+               -- A = n*Sxx - Sx^2 stays EXACT (HUGEINT) before one cast
+               CAST(count(*) * SUM(cents * cents)
+                    - SUM(cents) * SUM(cents) AS DOUBLE) AS a_d
         FROM i GROUP BY seg
     )
     SELECT i.seg, i.o_orderkey,
-           ((CAST(i.cents AS DOUBLE) - s.sx / s.n)
-            / SQRT((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) AS zscore
+           (CAST(s.n * i.cents - s.sx AS DOUBLE) / s.n)
+             / SQRT(s.a_d / (CAST(s.n AS DOUBLE) * (s.n - 1))) AS zscore
     FROM i JOIN s ON i.seg = s.seg
     """,
 )
 def udf_grouped_map_zscore(spark, sf_dir):
     """applyInPandas grouped-map: per-segment z-score of order totals.
-    The mean/std are derived from exact int64 cent-sums with the identical
-    formula as the oracle, so pandas emits bit-identical doubles."""
+
+    Moments are EXACT arbitrary-precision ints and the variance uses the
+    cancellation-free form A = n·Σc² − (Σc)², mirrored token-for-token
+    by the oracle (DuckDB keeps A exact in HUGEINT; pandas keeps it
+    exact in Python ints; both convert to double once).  The naive
+    (Σc² − (Σc)²/n) float64 form lost all 53 bits at sf0.1 magnitudes
+    (Σc² ~ 4e20), went NEGATIVE, and Python's ``** 0.5`` then returned
+    a COMPLEX array that crashed Arrow with 'unsupported numpy type
+    15' — a scale bug invisible at the small fixtures.  int64 would
+    overflow on Σc² there too; exact ints are the only safe reduction
+    dtype for a grouped-map that must match a widening SQL engine."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = pdf["cents"].to_numpy()
-        n = float(len(cents))
-        sx = float(cents.sum())
-        sxx = float((cents * cents).sum())
-        std = ((sxx - sx * sx / n) / (n - 1.0)) ** 0.5
-        z = (cents.astype("float64") - sx / n) / std
+        n = len(cents)
+        sx = int(cents.sum())               # |Σc| < 2^53 — exact
+        sxx = sum(c * c for c in cents.tolist())   # exact Python ints
+        a = n * sxx - sx * sx               # ≥ 0, exact
+        den = (float(a) / (float(n) * (n - 1))) ** 0.5
+        z = ((n * cents - sx).astype("float64") / n) / den
         return pd.DataFrame(
             {"seg": pdf["seg"], "o_orderkey": pdf["o_orderkey"], "zscore": z}
         )

@@ -114,12 +114,39 @@ def prepare_events_stream_dir(
             "_bucket",
             F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
         )
+        # One contiguous time range per FILE, and lexicographic file
+        # order == time order: repartitionByRange maps the n_files
+        # bucket values monotonically onto n_files partitions, so
+        # part-00000 is the oldest slice.  (A plain repartition(col)
+        # HASHES the bucket id — at sf0.1 buckets 1 and 3 collided into
+        # part-00000, the replay delivered Jan-23 data before Jan-8
+        # data, and the advanced watermark silently dropped thousands
+        # of genuine interval-join matches.  FileStreamSource breaks
+        # equal-mtime ties by path, so partition index IS arrival
+        # order.)
         (
-            df.repartition("_bucket")
+            df.repartitionByRange(n_files, "_bucket")
+            .sortWithinPartitions("ts", "event_id")
             .drop("_bucket")
             .write.mode("overwrite")
             .parquet(out)
         )
+        # FileStreamSource orders ONLY by modification time — files
+        # written by one job share an mtime (to the µs) and then replay
+        # in arbitrary listing order (observed: file4 before file3,
+        # which advanced the watermark ~7 days early and silently
+        # dropped a third of the interval-join matches as late data).
+        # Strictly increasing mtimes in partition order make arrival
+        # order == event-time order, the property every oracle here
+        # assumes.
+        parts = sorted(
+            f for f in os.listdir(out)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        t0 = time.time() - 60.0
+        for i, fname in enumerate(parts):
+            fpath = os.path.join(out, fname)
+            os.utime(fpath, (t0 + 10.0 * i, t0 + 10.0 * i))
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -445,3 +445,29 @@ def test_python_stream_source_restart_exactly_once(spark, tmp_path):
     out = {r["bucket"]: r["n_rows"] for r in spark.table("pyss_b").collect()}
     q2.stop()
     assert out == {0: 250, 1: 250, 2: 250, 3: 250}
+
+
+def test_staged_files_replay_in_event_time_order(spark, stream_dir):
+    """Regression pin for the two sf0.1 replay-order bugs: each staged
+    part file must cover a CONTIGUOUS, NON-OVERLAPPING time range in
+    lexicographic file order (repartitionByRange, not hash), and the
+    mtimes FileStreamSource actually orders by must strictly increase
+    in that same order — otherwise the watermark advances early and
+    silently drops genuine matches as late data."""
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(stream_dir, "part-*.parquet")))
+    assert len(parts) >= 2
+    prev_max_ts = None
+    prev_mtime = None
+    for f in parts:
+        df = spark.read.parquet(f)
+        lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+        if prev_max_ts is not None:
+            assert lo > prev_max_ts, (f, lo, prev_max_ts)
+        prev_max_ts = hi
+        mt = os.path.getmtime(f)
+        if prev_mtime is not None:
+            assert mt > prev_mtime, (f, mt, prev_mtime)
+        prev_mtime = mt

@@ -157,6 +157,56 @@ def scan_xml_roundtrip(spark, sf_dir):
 
 
 @query(
+    "scan_jdbc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_jdbc_roundtrip(spark, sf_dir):
+    """LIVE JDBC round-trip (SURVEY §2.2.1 optional row) against the
+    Derby engine embedded in Spark's own distribution — no external
+    server, no extra jar: nation writes through the JDBC sink (batched
+    inserts) and reads back through the JDBC source as a PARTITIONED
+    parallel scan (3 range predicates on n_nationkey — the shape that
+    matters at scale, where an unpartitioned JDBC read funnels the
+    whole table through one connection).  The database is staged once
+    per (session, sf_dir) like the other round-trip fixtures."""
+    import os
+    import tempfile
+
+    from ..sources import read_jdbc, write_jdbc
+
+    key = ("jdbc_derby", sf_dir)
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = _JDBC_STAGE.get(key)
+    if url is None:
+        db = os.path.join(tempfile.mkdtemp(prefix="dpp_derby_"), "db")
+        url = f"jdbc:derby:{db};create=true"
+        write_jdbc(
+            load(spark, sf_dir, "nation"),
+            url,
+            "nation_t",
+            mode="overwrite",
+            properties=props,
+        )
+        _JDBC_STAGE[key] = url
+    back = read_jdbc(
+        spark,
+        url,
+        "nation_t",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=3,
+        properties=props,
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+_JDBC_STAGE: dict[tuple[str, str], str] = {}
+
+
+@query(
     "scan_python_datasource",
     oracle="""
     SELECT i AS id,

@@ -181,9 +181,10 @@ def read_jdbc(
     column so each range is a server-side index scan.  Catalyst pushes
     projected columns and filters into the generated SQL.
 
-    This environment ships no JDBC driver jar, so the facade is
-    exercised by ``tests/test_sources_jdbc.py`` only up to the
-    option-wiring boundary (the load itself is skipped there).
+    Exercised LIVE by ``tests/test_sources_jdbc.py`` and the
+    ``scan_jdbc_roundtrip`` registry query against the Derby engine
+    embedded in Spark's distribution (round-trip, partitioned parallel
+    read, append/overwrite) — no external server required.
     """
     reader = (
         spark.read.format("jdbc")

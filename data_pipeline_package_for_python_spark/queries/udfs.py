@@ -423,3 +423,77 @@ def udf_arrow_optimized_scalar(spark, sf_dir):
 
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
     return c.select("c_custkey", tag("c_name").alias("tagged"))
+
+
+@query(
+    "udf_cogroup_asof",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT v.user_id, v.view_id, p.purchase_id,
+             row_number() OVER (
+               PARTITION BY v.view_id
+               ORDER BY p.ts_s DESC, p.purchase_id DESC
+             ) AS rn
+      FROM v LEFT JOIN p
+        ON p.user_id = v.user_id AND p.ts_s <= v.ts_s
+    )
+    SELECT user_id, view_id, purchase_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def udf_cogroup_asof(spark, sf_dir):
+    """cogroup().applyInPandas — the two-frame grouped-map surface: each
+    user's views and purchases meet in ONE pandas function
+    (``pd.merge_asof`` backward: latest purchase at-or-before each
+    view), the canonical use Spark's own docs give the API.
+
+    Both sides shuffle once on the key and each group pair streams
+    through Arrow — per-group state is bounded by a user's own events,
+    never the table.  Times are compared at whole-second precision on
+    BOTH engines (the fixture stores ns, Spark reads µs — sub-second
+    comparisons would disagree at boundary collisions; the second floor
+    makes them identical) and merge_asof's last-in-sort-order tie rule
+    is pinned by sorting purchases on (ts_s, purchase_id) to mirror the
+    oracle's DESC/DESC ranking."""
+
+    def asof(views: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+        views = views.sort_values(["ts_s", "view_id"])
+        purchases = purchases.sort_values(["ts_s", "purchase_id"])
+        merged = pd.merge_asof(
+            views,
+            purchases.rename(columns={"user_id": "r_user_id"}),
+            on="ts_s",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": merged["user_id"],
+                "view_id": merged["view_id"],
+                "purchase_id": merged["purchase_id"].astype("Int64"),
+            }
+        )
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(asof, "user_id long, view_id long, purchase_id long")
+    )

@@ -1052,3 +1052,39 @@ def analytics_event_entropy(spark, sf_dir):
         .groupBy("entropy_pct")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "sql_lateral_topn_per_row",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    """,
+)
+def sql_lateral_topn_per_row(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 4 SQL): per outer row, an
+    ordered-and-limited dependent subquery — the top-2 customers by
+    balance for each nation.  Catalyst DECORRELATES the lateral into a
+    ranked window over the inner relation joined back on the
+    correlation key (DomainJoin rewrite), so execution is the same
+    partitioned top-k shape as ``window_topk_per_group``, never a
+    per-outer-row re-execution — the property that makes LATERAL
+    usable when the outer side has a billion rows."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("dpp_nation_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "dpp_customer_v"
+    )
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM dpp_nation_v n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM dpp_customer_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+    """)

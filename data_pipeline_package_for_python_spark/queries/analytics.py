@@ -1088,3 +1088,75 @@ def sql_lateral_topn_per_row(spark, sf_dir):
           ORDER BY c_acctbal DESC, c_name LIMIT 2
         ) t
     """)
+
+
+@query(
+    "sql_recursive_cte_tree_depth",
+    oracle="""
+    WITH RECURSIVE walk(node, anc, depth) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION ALL
+      SELECT node, CAST(FLOOR((anc - 1) / 2) AS BIGINT), depth + 1
+      FROM walk WHERE anc > 0
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_keysum
+    FROM (SELECT node, max(depth) AS depth FROM walk GROUP BY node) d
+    GROUP BY depth
+    """,
+)
+def sql_recursive_cte_tree_depth(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4): each nation key walks its implicit
+    binary-tree ancestry (parent = (k−1)/2) up to the root, yielding
+    per-node depth — the iterate-until-fixpoint SQL surface (org
+    hierarchies, BOM explosions, graph reachability) that previously
+    required driver-side loops.  Spark executes each recursion step as
+    a distributed UNION ALL batch, so a step's cost is one join/scan
+    over the frontier, and total depth bounds the step count — same
+    frontier-batch model as the operators/graph.py connected
+    components, but expressed in pure SQL."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("dpp_nation_r")
+    return spark.sql("""
+        WITH RECURSIVE walk(node, anc, depth) AS (
+          SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                 0 FROM dpp_nation_r
+          UNION ALL
+          SELECT node, CAST(FLOOR((anc - 1) / 2) AS BIGINT), depth + 1
+          FROM walk WHERE anc > 0
+        )
+        SELECT depth, count(*) AS n_nodes, sum(node) AS node_keysum
+        FROM (SELECT node, max(depth) AS depth FROM walk GROUP BY node) d
+        GROUP BY depth
+    """)
+
+
+@query(
+    "sql_parameterized_binding",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS revenue
+    FROM orders
+    WHERE o_totalprice > 1000.0 AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_parameterized_binding(spark, sf_dir):
+    """Parameterized SQL (named-marker binding, Spark 4): predicates
+    arrive as TYPED arguments, not string-spliced text — the
+    injection-safe front door an engine must offer callers that accept
+    user input.  The bound plan is identical to the literal one
+    (markers fold to literals at analysis), so pushdown and pruning are
+    unaffected."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dpp_orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5d) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS revenue
+        FROM dpp_orders_p
+        WHERE o_totalprice > :min_price AND o_orderdate < :cutoff
+        GROUP BY o_orderstatus
+        """,
+        args={"min_price": 1000.0, "cutoff": "1998-01-01 00:00:00"},
+    )

@@ -78,9 +78,11 @@ def zz_canary(spark, sf_dir):
 
 # Pulled to the very front of the rotation: queries whose round-3 work
 # is exactly what the driver should certify (real-codec multimodal
-# decode, binaryFile ingestion, boilerplate removal, and every operator
-# added this round) — cheap, and they must not fall past the ~50-entry
-# budget horizon.
+# decode, live-Derby JDBC, the DSL-built queries, WITH RECURSIVE /
+# LATERAL / parameterized SQL, cogroup as-of, series-similarity search,
+# and the rest of this round's additions) — cheap, and they must not
+# fall past the ~50-entry budget horizon.  Displaced-but-registered
+# names follow immediately in group 2.
 _FRONT = (
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -100,24 +102,24 @@ _FRONT = (
     "ts_anomaly_zscore",
     "text_ngram_novelty",
     "dedup_jaccard_prefix",
-    "agg_median",
-    "window_cume_nth",
-    "etl_compaction_plan",
+    "ts_correlation_pairs",
+    "sql_parameterized_binding",
+    "join_q13_custdist",
     "ts_quantile_histogram",
     "etl_rebalance_corpus",
     "dedup_quality_survivor",
     "stream_quantile_histogram",
     "sink_python_datasource",
     "udf_udtf_analyze",
-    "func_try_arithmetic",
-    "func_collation",
+    "scan_jdbc_roundtrip",
+    "dsl_sequence_q1",
     "sim_semantic_decontaminate",
-    "window_share_of_total",
+    "udf_cogroup_asof",
     "text_chunk_documents",
     "etl_cap_per_domain",
-    "func_explode_outer",
+    "dsl_branch_fanin_join",
     "dedup_substring_spans",
-    "func_bool_agg",
+    "dsl_common_elementwise",
     "scan_csv_malformed",
     "join_exists_q4",
     "agg_scalar_subquery_q17",
@@ -126,11 +128,11 @@ _FRONT = (
     "text_bpe_pairs",
     "text_filter_funnel",
     "etl_domain_mix_weights",
-    "func_posexplode",
+    "sql_recursive_cte_tree_depth",
     "embed_random_projection",
     "stream_window_cascade",
     "sketch_cms_freq",
-    "func_inline_map_entries",
+    "sql_lateral_topn_per_row",
     "etl_scd2_asof_lookup",
 )
 

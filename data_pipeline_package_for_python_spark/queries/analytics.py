@@ -1160,3 +1160,35 @@ def sql_parameterized_binding(spark, sf_dir):
         """,
         args={"min_price": 1000.0, "cutoff": "1998-01-01 00:00:00"},
     )
+
+
+@query(
+    "etl_column_masking",
+    oracle="""
+    SELECT 'CUST_' || substring(md5(c_name), 1, 12) AS masked_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c_custkey) AS BIGINT) AS min_key
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def etl_column_masking(spark, sf_dir):
+    """Deterministic column tokenization (pseudonymization): the PII
+    column is replaced by a keyed-format token derived from its md5 —
+    referentially CONSISTENT (the same name always maps to the same
+    token, so joins and group-bys over the masked column still line
+    up across tables and runs) yet irreversible without the original.
+    Map-only codegen; at 100 TB masking cost is the scan.  The
+    group-by here pins the consistency property: token cardinality ==
+    name cardinality."""
+    c = load(spark, sf_dir, "customer")
+    masked = c.select(
+        F.concat(
+            F.lit("CUST_"), F.substring(F.md5(F.col("c_name")), 1, 12)
+        ).alias("masked_name"),
+        "c_custkey",
+    )
+    return masked.groupBy("masked_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("min_key"),
+    )

@@ -2706,3 +2706,43 @@ def agg_listagg_ordered(spark, sf_dir):
             " WITHIN GROUP (ORDER BY c_mktsegment)"
         ).alias("segs")
     )
+
+
+@query(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(length(text)) AS BIGINT) AS min_len,
+           CAST(max(length(text)) AS BIGINT) AS max_len
+    FROM documents
+    """,
+)
+def scan_text_roundtrip(spark, sf_dir):
+    """Plain-text source/sink round-trip (`spark.read.text` — the
+    line-per-row format raw corpora arrive in before any schema
+    exists): documents write as newline-delimited text, read back as a
+    one-column frame, and the line census must match the original
+    table.  The fixture's documents are single-line by construction;
+    a corpus with embedded newlines takes the `wholetext`/custom-
+    delimiter options on the same reader."""
+    import tempfile
+
+    key = ("text_stage", sf_dir)
+    path = _TEXT_STAGE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dpp_text_")
+        load(spark, sf_dir, "documents").select("text").write.mode(
+            "overwrite"
+        ).text(path)
+        _TEXT_STAGE[key] = path
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+_TEXT_STAGE: dict[tuple[str, str], str] = {}

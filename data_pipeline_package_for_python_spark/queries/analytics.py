@@ -1192,3 +1192,120 @@ def etl_column_masking(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min("c_custkey").alias("min_key"),
     )
+
+
+@query(
+    "agg_boxplot_per_group",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS units
+      FROM orders
+    ), q AS (
+      SELECT o_orderstatus,
+             quantile_cont(units, 0.25) AS q1,
+             quantile_cont(units, 0.50) AS q2,
+             quantile_cont(units, 0.75) AS q3
+      FROM u GROUP BY 1
+    )
+    SELECT u.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           min(q.q1) AS q1, min(q.q2) AS median, min(q.q3) AS q3,
+           CAST(sum(CASE WHEN u.units > q.q3 + 1.5 * (q.q3 - q.q1)
+                           OR u.units < q.q1 - 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM u JOIN q USING (o_orderstatus)
+    GROUP BY 1
+    """,
+)
+def agg_boxplot_per_group(spark, sf_dir):
+    """Per-group boxplot statistics: exact quartiles per order status
+    plus the Tukey-fence outlier census (|x − fence| beyond 1.5·IQR).
+    Quartiles interpolate over INTEGER units with dyadic fractions, so
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` agree
+    bit-for-bit and the fence comparisons cannot flip on a ulp.  Two
+    aggregates: grouped quartiles (group-count sized), broadcast back
+    for the map-side fence test — the grouped profile analysts pull on
+    every numeric column, costed at one scan + one tiny join."""
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "units"
+        ),
+    )
+    q = u.groupBy("o_orderstatus").agg(
+        F.expr("percentile(units, 0.25d)").alias("q1"),
+        F.expr("percentile(units, 0.50d)").alias("q2"),
+        F.expr("percentile(units, 0.75d)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    outlier = (F.col("units") > F.col("q3") + 1.5 * iqr) | (
+        F.col("units") < F.col("q1") - 1.5 * iqr
+    )
+    return (
+        u.join(F.broadcast(q), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("q1").alias("q1"),
+            F.min("q2").alias("median"),
+            F.min("q3").alias("q3"),
+            F.sum(outlier.cast("long")).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "analytics_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN regexp_matches(s, 'v.*p')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN regexp_matches(s, 'e[^p]*$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_err_no_recovery,
+           CAST(sum(length(s)) AS BIGINT) AS total_events
+    FROM seq
+    """,
+)
+def analytics_sequence_pattern(spark, sf_dir):
+    """Sequence-pattern mining (MATCH_RECOGNIZE-lite): each user's
+    time-ordered event-type initials collapse to one string per user
+    and behavioral patterns become REGEXES — 'ever viewed then later
+    purchased' is ``v.*p``, 'errored and never purchased again' is
+    ``e[^p]*$``.  One user-keyed sort inside collect_list (array_join
+    after sort_array of (ts, id, initial) structs keeps the order
+    deterministic under parallel collection), then map-side regex —
+    a user's whole history lives in one task, pattern evaluation is
+    codegen, and the pattern library extends without re-shuffling."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s").rlike("v.*p").cast("long")).alias("n_converted"),
+        F.sum(F.col("s").rlike("e[^p]*$").cast("long")).alias(
+            "n_err_no_recovery"
+        ),
+        F.sum(F.length("s")).alias("total_events"),
+    )

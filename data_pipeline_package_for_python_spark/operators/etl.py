@@ -35,8 +35,10 @@ __all__ = [
     "hash_split",
     "snapshot_diff",
     "stratified_hash_sample",
+    "temperature_mix_weights",
     "upsert",
     "scd2_from_changes",
+    "weighted_priority_sample",
 ]
 
 
@@ -432,4 +434,99 @@ def global_shuffle(
         .withColumn("shard", F.col("__skey") % n_shards)
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "__skey", key_col)
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows without replacement
+    — sequential Poisson / priority sampling (Ohlsson '98; Duffield,
+    Lund & Thorup '07): each row draws a deterministic uniform
+    ``u = (h + 0.5) / 2^32`` from the md5-derived 32-bit key ``h`` and
+    races with priority ``q = w / u``; the ``k`` largest priorities
+    win, giving inclusion probability ≈ ``min(1, k·w/Σw)`` — the
+    quality-weighted corpus subsampling primitive (sample documents
+    proportional to a quality/length score, reproducibly).
+
+    Engine portability is the design constraint: ranking by ``q``
+    descending is ranking by ``u/w ∝ (2h+1)/w`` ascending — ONE
+    correctly-rounded IEEE divide of two exact integers (``h < 2^32``
+    and sensible weights are exactly representable as doubles), so the
+    order is bit-identical on any IEEE-754 engine.  The classic
+    Efraimidis–Spirakis key ``u^(1/w)`` is the same scheme family but
+    needs ``pow``/``ln``, whose last-ulp behavior is libm-specific —
+    unacceptable for differential testing.  Ties (impossible for
+    distinct ``h`` with equal weights, astronomically unlikely
+    otherwise) break on the key column for a unique total order.
+
+    Scale: the race key is a map-only projection;
+    ``orderBy(key).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition top-k heaps then one k-row merge, never a global
+    range sort [pinned: test_plans.py::test_weighted_sample_is_take_ordered].
+    Rows with non-positive weight are excluded (probability 0).
+    """
+    h = F.expr(md5_key_expr(key_col, salt=f":ws{seed}"))
+    race = (h * F.lit(2) + F.lit(1)).cast("double") / F.col(
+        weight_col
+    ).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", race)
+        .orderBy(F.col("__wkey").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    group_col: str,
+    *,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled corpus mixture: sampling shares proportional
+    to ``sqrt(n_group)`` — the multilingual rebalancing family
+    ``p_g ∝ n_g^α`` (XLM-R trains with α=0.3; α=1/2 is the
+    exact-arithmetic member) that upweights low-resource groups
+    without letting head groups dominate.  Output per group:
+    ``(grp, n_docs, share_ppm, quota_docs)`` where ``quota_docs``
+    allocates a fixed sampling ``budget`` across groups by share,
+    capped at the group's actual size.
+
+    Exactness: ``s = floor(sqrt(n))`` is exact for ``n < 2^52`` (IEEE
+    sqrt is correctly rounded, so it can only cross an integer
+    boundary at a perfect square, where it is exact), and shares /
+    quotas use BIGINT ``DIV`` — the whole table is integer-exact and
+    engine-portable, with no double accumulation whose order could
+    differ across engines.
+
+    Scale: one k-row aggregate off the corpus scan plus a broadcast of
+    the 1-row total — dimension-sized at any corpus size (same shape
+    as :func:`domain_mix_weights`).
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = counts.withColumn(
+        "s", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    totals = scored.agg(F.sum("s").alias("__s_total"))
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "grp",
+        "n_docs",
+        F.expr("CAST((1000000 * s) DIV __s_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.least(
+            F.col("n_docs"),
+            F.expr(
+                f"CAST(({budget} * s) DIV __s_total AS BIGINT)"
+            ),
+        ).alias("quota_docs"),
     )

@@ -895,6 +895,126 @@ def analytics_first_touch_attribution(spark, sf_dir):
 
 
 @query(
+    "analytics_linear_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS units,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS journey
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type AS channel,
+             CAST(count(*) AS BIGINT) AS n_c
+      FROM seq WHERE event_type <> 'purchase'
+      GROUP BY user_id, journey, event_type
+    ),
+    tot AS (
+      SELECT user_id, journey, CAST(SUM(n_c) AS BIGINT) AS n_tot
+      FROM touches GROUP BY user_id, journey
+    ),
+    purchases AS (
+      SELECT user_id, journey, units FROM seq
+      WHERE event_type = 'purchase'
+    ),
+    credited AS (
+      SELECT COALESCE(t.channel, 'organic') AS channel,
+             CASE WHEN t.channel IS NULL THEN p.units * 1000
+                  ELSE (p.units * 1000 * t.n_c) // tt.n_tot
+             END AS millicents,
+             p.user_id, p.journey
+      FROM purchases p
+      LEFT JOIN tot tt USING (user_id, journey)
+      LEFT JOIN touches t USING (user_id, journey)
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_journeys,
+           CAST(SUM(millicents) AS BIGINT) AS attributed_millicents,
+           CAST(SUM(millicents) AS BIGINT) / 100000.0
+               AS attributed_revenue
+    FROM credited GROUP BY channel
+    """,
+)
+def analytics_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's revenue splits
+    EQUALLY across the distinct-typed touches of its journey (the
+    events since the user's previous purchase); a purchase with no
+    preceding touches credits 'organic'.  The complement of
+    first-touch: the judge of 'which channels participate' rather
+    than 'which channel opened'.
+
+    Exactness: per-journey credit is ``units·1000·n_c DIV n_tot`` —
+    BIGINT floor division per (journey, channel), summed as BIGINTs,
+    so no order-dependent double accumulation anywhere; the only
+    double is one final constant division for display.
+
+    Scale: journey assignment is one user-keyed window (running
+    purchase count, frame-exclusive); touches/totals/purchases all
+    aggregate and join on (user, journey) — every shuffle is
+    user-prefixed, a user's history never leaves its partition chain,
+    and the output is channel-cardinality."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "journey", F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    tot = touches.groupBy("user_id", "journey").agg(
+        F.sum("n_c").alias("n_tot")
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey", "units"
+    )
+    credited = (
+        purchases.join(tot, ["user_id", "journey"], "left")
+        .join(touches, ["user_id", "journey"], "left")
+        .select(
+            F.coalesce(F.col("channel"), F.lit("organic")).alias(
+                "channel"
+            ),
+            F.when(
+                F.col("channel").isNull(), F.col("units") * 1000
+            )
+            .otherwise(
+                F.expr("(units * 1000 * n_c) DIV n_tot")
+            )
+            .alias("millicents"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_journeys"),
+        F.sum("millicents").alias("attributed_millicents"),
+        (F.sum("millicents") / F.lit(100000.0)).alias(
+            "attributed_revenue"
+        ),
+    )
+
+
+@query(
     "analytics_ab_ttest",
     oracle="""
     WITH assigned AS (

@@ -2080,6 +2080,71 @@ def etl_domain_mix_weights(spark, sf_dir):
     )
 
 
+@query(
+    "etl_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), sc AS (
+      SELECT grp, n_docs,
+             CAST(FLOOR(sqrt(n_docs)) AS BIGINT) AS s
+      FROM counts
+    ), t AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS s_total FROM sc
+    )
+    SELECT grp, n_docs,
+           CAST((1000000 * s) // s_total AS BIGINT) AS share_ppm,
+           least(n_docs,
+                 CAST((10000 * s) // s_total AS BIGINT)) AS quota_docs
+    FROM sc CROSS JOIN t
+    """,
+)
+def etl_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled language mixture (p_g ∝ sqrt(n_g), the XLM-R
+    low-resource-upweighting family) with a fixed sampling budget
+    allocated by exact-integer shares (operators/etl.py
+    temperature_mix_weights) — floor(sqrt(n)) is exact below 2^52 and
+    every share/quota is BIGINT DIV, so both engines agree bit-for-bit
+    with no double accumulation anywhere."""
+    from ..operators.etl import temperature_mix_weights
+
+    return temperature_mix_weights(
+        load(spark, sf_dir, "documents"), "lang"
+    )
+
+
+@query(
+    "etl_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(2 * CAST(('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || ':ws0'), 1, 8))
+                    AS BIGINT) + 1 AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS race
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight
+    FROM keyed ORDER BY race ASC, doc_id ASC LIMIT 64
+    """,
+)
+def etl_weighted_sample(spark, sf_dir):
+    """Deterministic quality-weighted corpus subsample — sequential
+    Poisson / priority sampling with md5-derived uniforms, inclusion
+    probability ≈ min(1, k·w/Σw) (operators/etl.py
+    weighted_priority_sample).  The race key (2h+1)/w is one
+    correctly-rounded IEEE divide of exact integers, so Spark and
+    DuckDB order identically; the plan is map-only + per-partition
+    top-k (TakeOrderedAndProject), never a global sort."""
+    from ..operators.etl import weighted_priority_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    return weighted_priority_sample(docs, "doc_id", "weight", 64)
+
+
 def _rp_planes_sql() -> str:
     """DuckDB twin of the JL projection: identical integer plane
     literals, identical left-to-right double folds, components floored

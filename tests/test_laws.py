@@ -307,3 +307,79 @@ def test_global_shuffle_laws(spark, sf_dir):
     # a different seed produces a different permutation
     c = global_shuffle(docs, "doc_id", seed=8, n_shards=8).collect()
     assert [tuple(r) for r in c] != [tuple(r) for r in a]
+
+
+def test_weighted_priority_sample_laws(spark, sf_dir):
+    """weighted_priority_sample: exact size, subset-of-corpus,
+    partitioning-invariance, and weight-monotone inclusion (the race
+    key only improves when a row's weight grows)."""
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        weighted_priority_sample,
+    )
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    picked = weighted_priority_sample(docs, "doc_id", "w", 50)
+    ids = {r.doc_id for r in picked.collect()}
+    assert len(ids) == 50
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert ids <= all_ids
+    # physical layout must not change the sample
+    ids7 = {
+        r.doc_id
+        for r in weighted_priority_sample(
+            docs.repartition(7), "doc_id", "w", 50
+        ).collect()
+    }
+    assert ids7 == ids
+    # inflating a non-picked row's weight 10^6x must pull it in: its
+    # race key (2h+1)/w shrinks strictly monotonically in w
+    loser = min(all_ids - ids)
+    boosted = docs.withColumn(
+        "w",
+        F.when(
+            F.col("doc_id") == loser, F.col("w") * 1000000
+        ).otherwise(F.col("w")),
+    )
+    ids_boost = {
+        r.doc_id
+        for r in weighted_priority_sample(
+            boosted, "doc_id", "w", 50
+        ).collect()
+    }
+    assert loser in ids_boost
+    # zero/negative weights are excluded outright
+    zeroed = docs.withColumn(
+        "w", F.when(F.col("doc_id").isin(*list(ids)), 0).otherwise(F.col("w"))
+    )
+    ids_zero = {
+        r.doc_id
+        for r in weighted_priority_sample(
+            zeroed, "doc_id", "w", 50
+        ).collect()
+    }
+    assert not (ids_zero & ids)
+
+
+def test_temperature_mixture_laws(spark, sf_dir):
+    """temperature_mix_weights: shares are a floor-partition of 1e6
+    (sum within k of the whole), quotas never exceed group size, and
+    the sqrt temperature compresses the mixture strictly toward
+    uniform (max share shrinks vs the natural mixture)."""
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        temperature_mix_weights,
+    )
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    rows = temperature_mix_weights(docs, "lang").collect()
+    k = len(rows)
+    total_share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - k <= total_share <= 1_000_000
+    assert all(0 <= r.quota_docs <= r.n_docs for r in rows)
+    n_total = sum(r.n_docs for r in rows)
+    nat_max = max(r.n_docs / n_total for r in rows)
+    temp_max = max(r.share_ppm / 1e6 for r in rows)
+    assert temp_max <= nat_max + 1e-6

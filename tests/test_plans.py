@@ -734,3 +734,35 @@ def test_series_correlation_no_cartesian_bucket_keyed(spark, sf_dir):
     r = rep("ts_correlation_pairs", spark, sf_dir)
     assert not r.has_cartesian, r.joins
     assert any("bucket" in k for k in r.shuffle_keys), r.shuffle_keys
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Priority sampling must compile to per-partition top-k heaps +
+    one k-row merge (TakeOrderedAndProject) — never a global range
+    sort (which would sample range boundaries and shuffle the whole
+    corpus to pick 64 rows)."""
+    r = rep("etl_weighted_sample", spark, sf_dir)
+    assert "TakeOrderedAndProject" in r.text
+    assert r.joins == []
+    assert r.n_shuffles == 0
+
+
+def test_temperature_mixture_one_agg_broadcast_total(spark, sf_dir):
+    """The mixture table is one k-row aggregate plus the 1-row total
+    broadcast back — the totals branch must REUSE the counts exchange
+    (one physical corpus scan+agg, not two), and the only joins are
+    broadcasts of the 1-row total."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    df = QUERIES["etl_temperature_mixture"].spark_fn(spark, sf_dir)
+    # static plan: scans pruned to the group column only
+    r0 = rep("etl_temperature_mixture", spark, sf_dir)
+    assert r0.read_schemas and all(s == ["lang"] for s in r0.read_schemas)
+    r = plans.plan_report(df, execute=True)
+    assert all("Broadcast" in j for j in r.joins)
+    assert r.n_shuffles <= 2  # counts partials + the k-row total agg
+    # AQE dedups the shared counts subtree: the second branch reads the
+    # reused exchange instead of rescanning the corpus
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final

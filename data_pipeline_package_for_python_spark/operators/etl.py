@@ -39,6 +39,7 @@ __all__ = [
     "upsert",
     "scd2_from_changes",
     "weighted_priority_sample",
+    "weighted_priority_sample_per_group",
 ]
 
 
@@ -529,4 +530,47 @@ def temperature_mix_weights(
                 f"CAST(({budget} * s) DIV __s_total AS BIGINT)"
             ),
         ).alias("quota_docs"),
+    )
+
+
+def weighted_priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Stratified weighted sampling: an independent sequential-Poisson
+    draw of ``k`` rows (without replacement) inside EVERY group — e.g.
+    "keep the 1000 best-weighted documents per language".  Same
+    engine-portable race key as :func:`weighted_priority_sample`
+    ((2h+1)/w, one exact-integer IEEE divide); per-group selection is
+    ``row_number`` over (group) ordered by the race — one group-keyed
+    shuffle, a group's draw never leaves its partition, and output is
+    ≤ k·n_groups rows.  Per-group draws are independent because the
+    uniform depends only on the row key, not the grouping — regrouping
+    the corpus never changes a row's race.
+
+    At 100 TB with a hot group this inherits the window's skew
+    exposure; route extreme cases through the salted two-phase top-k
+    (operators/skew.py) exactly as cap_per_group does — this variant
+    keeps the plain one-window shape because its contract (exact
+    per-group rank over a total order) matches it."""
+    from pyspark.sql.window import Window
+
+    h = F.expr(md5_key_expr(key_col, salt=f":ws{seed}"))
+    race = (h * F.lit(2) + F.lit(1)).cast("double") / F.col(
+        weight_col
+    ).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__wkey").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", race)
+        .withColumn("__wrank", F.row_number().over(w))
+        .filter(F.col("__wrank") <= k)
+        .drop("__wkey", "__wrank")
     )

@@ -2145,6 +2145,41 @@ def etl_weighted_sample(spark, sf_dir):
     return weighted_priority_sample(docs, "doc_id", "weight", 64)
 
 
+@query(
+    "etl_weighted_sample_stratified",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(2 * CAST(('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || ':ws0'), 1, 8))
+                    AS BIGINT) + 1 AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS race
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT lang, doc_id, weight,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY race ASC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, weight FROM ranked WHERE rk <= 20
+    """,
+)
+def etl_weighted_sample_stratified(spark, sf_dir):
+    """Stratified weighted sampling: an independent sequential-Poisson
+    draw of 20 quality-weighted documents inside EVERY language
+    (operators/etl.py weighted_priority_sample_per_group) — the
+    per-stratum variant of `etl_weighted_sample`, one group-keyed
+    window instead of a global top-k, same exact-integer IEEE race."""
+    from ..operators.etl import weighted_priority_sample_per_group
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    return weighted_priority_sample_per_group(
+        docs, "lang", "doc_id", "weight", 20
+    )
+
+
 def _rp_planes_sql() -> str:
     """DuckDB twin of the JL projection: identical integer plane
     literals, identical left-to-right double folds, components floored

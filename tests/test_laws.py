@@ -383,3 +383,42 @@ def test_temperature_mixture_laws(spark, sf_dir):
     nat_max = max(r.n_docs / n_total for r in rows)
     temp_max = max(r.share_ppm / 1e6 for r in rows)
     assert temp_max <= nat_max + 1e-6
+
+
+def test_weighted_sample_stratified_laws(spark, sf_dir):
+    """Per-group weighted sampling: exactly min(k, n_g) rows per group,
+    and each group's draw equals an independent global draw restricted
+    to that group (the race depends only on the row key, so grouping
+    never perturbs selection)."""
+    from data_pipeline_package_for_python_spark.operators.etl import (
+        weighted_priority_sample,
+        weighted_priority_sample_per_group,
+    )
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    rows = weighted_priority_sample_per_group(
+        docs, "lang", "doc_id", "w", 20
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    sizes = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for lang, n in sizes.items():
+        assert len(by_lang.get(lang, set())) == min(20, n)
+    # independence: restricting the corpus to one group and sampling
+    # globally yields the identical set
+    some_lang = sorted(sizes)[0]
+    solo = {
+        r.doc_id
+        for r in weighted_priority_sample(
+            docs.filter(F.col("lang") == some_lang), "doc_id", "w", 20
+        ).collect()
+    }
+    assert solo == by_lang[some_lang]

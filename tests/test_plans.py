@@ -766,3 +766,13 @@ def test_temperature_mixture_one_agg_broadcast_total(spark, sf_dir):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
+
+
+def test_weighted_sample_stratified_one_group_shuffle(spark, sf_dir):
+    """The stratified draw is one group-keyed window — a single
+    exchange on the stratum, no global sort and no join of a per-group
+    threshold table back onto the corpus."""
+    r = rep("etl_weighted_sample_stratified", spark, sf_dir)
+    assert r.joins == []
+    assert r.n_shuffles == 1
+    assert any("lang" in k for k in r.shuffle_keys), r.shuffle_keys

@@ -776,3 +776,24 @@ def test_weighted_sample_stratified_one_group_shuffle(spark, sf_dir):
     assert r.joins == []
     assert r.n_shuffles == 1
     assert any("lang" in k for k in r.shuffle_keys), r.shuffle_keys
+
+
+def test_linear_attribution_user_keyed_no_fact_broadcast_pins(spark, sf_dir):
+    """Every data-sized exchange in the linear-attribution plan is
+    user-keyed (journey state never leaves a user's partition chain);
+    the only non-user shuffle is the channel-cardinality rollup.  The
+    broadcasts at toy scale are Catalyst stats decisions, not pins —
+    with the threshold disabled the same code plans shuffle joins, the
+    100 TB shape."""
+    r = rep("analytics_linear_attribution", spark, sf_dir)
+    assert not r.has_cartesian
+    assert r.n_shuffles <= 4
+    non_user = [k for k in r.shuffle_keys if "user_id" not in k]
+    assert all("channel" in k for k in non_user), r.shuffle_keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r2 = rep("analytics_linear_attribution", spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastHashJoin" not in r2.joins
+    assert not r2.has_cartesian

@@ -1015,6 +1015,148 @@ def analytics_linear_attribution(spark, sf_dir):
 
 
 @query(
+    "analytics_timedecay_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS units,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS journey
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type AS channel,
+             CAST(ts AS DATE) AS t_day
+      FROM seq WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+      SELECT user_id, journey, units, CAST(ts AS DATE) AS p_day
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    weighted AS (
+      SELECT p.user_id, p.journey, p.units, t.channel,
+             (CAST(1048576 AS BIGINT) >>
+              least(greatest(date_diff('day', t.t_day, p.p_day), 0)
+                    // 7, 20)) AS w
+      FROM purchases p JOIN touches t USING (user_id, journey)
+    ),
+    per_channel AS (
+      SELECT user_id, journey, channel,
+             CAST(SUM(w) AS BIGINT) AS w_c
+      FROM weighted GROUP BY user_id, journey, channel
+    ),
+    tot AS (
+      SELECT user_id, journey, CAST(SUM(w_c) AS BIGINT) AS w_tot
+      FROM per_channel GROUP BY user_id, journey
+    ),
+    credited AS (
+      SELECT COALESCE(c.channel, 'organic') AS channel,
+             CASE WHEN c.channel IS NULL THEN p.units * 1000
+                  ELSE (p.units * 1000 * c.w_c) // tt.w_tot
+             END AS millicents
+      FROM purchases p
+      LEFT JOIN tot tt USING (user_id, journey)
+      LEFT JOIN per_channel c USING (user_id, journey)
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_journeys,
+           CAST(SUM(millicents) AS BIGINT) AS attributed_millicents
+    FROM credited GROUP BY channel
+    """,
+)
+def analytics_timedecay_attribution(spark, sf_dir):
+    """Time-decay attribution: a purchase's revenue splits across its
+    journey's touches with weight halving per week of age (recency
+    beats volume — the scheme between last-touch and linear).
+
+    Exactness by construction: the decay 0.5^(age_weeks) is DYADIC —
+    weight = 2^20 >> min(age_days DIV 7, 20), an exact BIGINT for any
+    age — so per-channel weights, totals, and the final
+    units·1000·w_c DIV w_tot credits are all integer arithmetic.  The
+    usual exp(-λ·age) formulation would be libm-dependent; the dyadic
+    half-life is the same curve sampled at week boundaries with zero
+    portability risk.
+
+    Scale: identical posture to linear attribution — journey
+    assignment is one user-keyed window, every join/aggregate keys on
+    (user, journey), output is channel-cardinality."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "journey",
+        F.col("event_type").alias("channel"),
+        F.col("ts").cast("date").alias("t_day"),
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "journey",
+        "units",
+        F.col("ts").cast("date").alias("p_day"),
+    )
+    weighted = purchases.join(touches, ["user_id", "journey"]).select(
+        "user_id",
+        "journey",
+        "units",
+        "channel",
+        F.expr(
+            "shiftright(CAST(1048576 AS BIGINT), "
+            "CAST(least(greatest(datediff(p_day, t_day), 0) DIV 7, 20)"
+            " AS INT))"
+        ).alias("w"),
+    )
+    per_channel = weighted.groupBy(
+        "user_id", "journey", "channel"
+    ).agg(F.sum("w").alias("w_c"))
+    tot = per_channel.groupBy("user_id", "journey").agg(
+        F.sum("w_c").alias("w_tot")
+    )
+    credited = (
+        purchases.join(tot, ["user_id", "journey"], "left")
+        .join(per_channel, ["user_id", "journey"], "left")
+        .select(
+            F.coalesce(F.col("channel"), F.lit("organic")).alias(
+                "channel"
+            ),
+            F.when(
+                F.col("channel").isNull(), F.col("units") * 1000
+            )
+            .otherwise(
+                F.expr("(units * 1000 * w_c) DIV w_tot")
+            )
+            .alias("millicents"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_journeys"),
+        F.sum("millicents").alias("attributed_millicents"),
+    )
+
+
+@query(
     "analytics_ab_ttest",
     oracle="""
     WITH assigned AS (

@@ -422,3 +422,37 @@ def test_weighted_sample_stratified_laws(spark, sf_dir):
         ).collect()
     }
     assert solo == by_lang[some_lang]
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["analytics_linear_attribution", "analytics_timedecay_attribution"],
+)
+def test_attribution_conserves_revenue(spark, sf_dir, qname):
+    """Attribution is a credit PARTITION: summed millicents across
+    channels equal 1000x the total purchase units, short only the
+    per-journey floor-division remainders (< n_channels per journey)."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+    from data_pipeline_package_for_python_spark.queries._registry import load
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("units")
+    )
+    agg = purchases.agg(
+        F.sum("units").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total_milli = agg.s * 1000
+    n_purchases = agg.n
+    n_channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    rows = QUERIES[qname].spark_fn(spark, sf_dir).collect()
+    credited = sum(r.attributed_millicents for r in rows)
+    assert credited <= total_milli
+    assert credited >= total_milli - n_purchases * n_channels

@@ -45,6 +45,7 @@ __all__ = [
     "l2_norm",
     "random_hyperplanes",
     "embedding_health_stats",
+    "hard_negatives",
     "random_projection",
     "sign_buckets",
 ]
@@ -195,6 +196,7 @@ def hyperplane_buckets(
     dim: int,
     n_bits: int = 8,
     seed: int = 42,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Random-hyperplane sign-LSH bucket id (the strictly-better upgrade
     over :func:`sign_buckets`' axis-aligned planes: every bit now mixes
@@ -220,6 +222,7 @@ def hyperplane_buckets(
     return df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).alias(vec_col),
+        *[F.col(c) for c in keep],
         bucket.cast("int").alias("bucket"),
     )
 
@@ -807,4 +810,72 @@ def embedding_health_stats(
         "sumsq_units",
         mean.alias("mean_units"),
         var.alias("var_units2"),
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int,
+    k: int = 5,
+    n_bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` corpus vectors with the highest cosine similarity and a
+    DIFFERENT label — the negatives nearest the decision boundary,
+    which carry most of the gradient signal (the mining step behind
+    triplet/InfoNCE training, cf. FaceNet's semi-hard selection).
+
+    Scale shape is :func:`hyperplane_topk`'s, not a labelled cross
+    join: candidates are restricted to the anchor's random-hyperplane
+    LSH bucket (equality join on bucket, anchor side broadcast), the
+    label-mismatch predicate and the exact-cosine re-rank run inside
+    that join's codegen stage, and the final per-anchor top-k goes
+    through the salted two-phase operator so a handful of anchors
+    never serialize a 100 TB corpus through single reducers.
+    Returns (anchor_id, anchor_label, rank, negative_id,
+    negative_label, cosine).
+    """
+    from .skew import salted_topk_per_group
+
+    qb = hyperplane_buckets(
+        anchors, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_bits=n_bits, seed=seed, keep=(label_col,),
+    ).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("anchor_label"),
+        "bucket",
+    )
+    cb = hyperplane_buckets(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_bits=n_bits, seed=seed, keep=(label_col,),
+    ).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("negative_label"),
+        "bucket",
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+        .select(
+            "anchor_id", "anchor_label", "negative_id",
+            "negative_label", "cosine",
+        )
+    )
+    order = [F.col("cosine").desc(), F.col("negative_id")]
+    topk = salted_topk_per_group(scored, ["anchor_id"], order, k)
+    w = Window.partitionBy("anchor_id").orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "anchor_id", "anchor_label", "rank", "negative_id",
+        "negative_label", "cosine",
     )

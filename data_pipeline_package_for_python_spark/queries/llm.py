@@ -1036,6 +1036,52 @@ def sim_topk_hyperplane(spark, sf_dir):
 
 
 @query(
+    "ml_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding::DOUBLE[] AS qv,
+             {_hyperplane_bucket_expr("(embedding::DOUBLE[])", _HP_PLANES)}
+                 AS bucket
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS negative_id, label AS negative_label,
+             embedding::DOUBLE[] AS cv,
+             {_hyperplane_bucket_expr("(embedding::DOUBLE[])", _HP_PLANES)}
+                 AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT anchor_id, anchor_label, negative_id, negative_label,
+             {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+                 AS cosine
+      FROM q JOIN c USING (bucket)
+      WHERE anchor_label <> negative_label
+    )
+    SELECT anchor_id, anchor_label, rank, negative_id, negative_label,
+           cosine
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ml_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor, the 5
+    most-cosine-similar embeddings with a DIFFERENT label, restricted
+    to the anchor's random-hyperplane LSH bucket (operators/
+    similarity.py hard_negatives) — boundary-adjacent negatives mined
+    corpus-scale without a labelled cross join."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hard_negatives(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        dim=64, k=5, n_bits=6, seed=42,
+    )
+
+
+@query(
     "sim_topk_ivf",
     oracle=f"""
     WITH cent AS (

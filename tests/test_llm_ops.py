@@ -674,3 +674,30 @@ def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     assert r_hp1 >= 0.02, r_hp1
     assert r_hp >= 4 * r_hp1, (r_hp1, r_hp)  # Hamming-1 probing pays
     assert r_hp >= 0.2, r_hp
+
+
+def test_hard_negatives_laws(spark, tables):
+    """hard_negatives: every mined negative carries a different label
+    than its anchor, at most k per anchor with contiguous ranks, and
+    the result is invariant under corpus repartitioning."""
+    from data_pipeline_package_for_python_spark.operators import (
+        similarity as S,
+    )
+
+    emb = tables["embeddings"]
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    out = S.hard_negatives(emb, anchors, dim=64, k=5, n_bits=6).collect()
+    per_anchor = {}
+    for r in out:
+        assert r.anchor_label != r.negative_label
+        per_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    again = {
+        (r.anchor_id, r.rank, r.negative_id)
+        for r in S.hard_negatives(
+            emb.repartition(7), anchors, dim=64, k=5, n_bits=6
+        ).collect()
+    }
+    assert again == {(r.anchor_id, r.rank, r.negative_id) for r in out}

@@ -797,3 +797,12 @@ def test_linear_attribution_user_keyed_no_fact_broadcast_pins(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "BroadcastHashJoin" not in r2.joins
     assert not r2.has_cartesian
+
+
+def test_hard_negatives_bucket_join_no_cartesian(spark, sf_dir):
+    """Hard-negative mining must candidate-generate through the LSH
+    bucket equality join (anchor side broadcast) — never a labelled
+    cross join of the corpus with itself."""
+    r = rep("ml_hard_negatives", spark, sf_dir)
+    assert not r.has_cartesian
+    assert "BroadcastHashJoin" in r.joins

@@ -1015,6 +1015,118 @@ def analytics_linear_attribution(spark, sf_dir):
 
 
 @query(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            max(CAST(ts AS DATE))) AS BIGINT) AS last_epoch,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    fences AS (
+      SELECT quantile_cont(last_epoch, 0.25) AS r1,
+             quantile_cont(last_epoch, 0.50) AS r2,
+             quantile_cont(last_epoch, 0.75) AS r3,
+             quantile_cont(f, 0.25) AS f1,
+             quantile_cont(f, 0.50) AS f2,
+             quantile_cont(f, 0.75) AS f3,
+             quantile_cont(m, 0.25) AS m1,
+             quantile_cont(m, 0.50) AS m2,
+             quantile_cont(m, 0.75) AS m3
+      FROM per_user
+    ),
+    scored AS (
+      SELECT 1 + CAST(last_epoch > r1 AS INT) + CAST(last_epoch > r2 AS INT)
+               + CAST(last_epoch > r3 AS INT) AS r_score,
+             1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+               + CAST(f > f3 AS INT) AS f_score,
+             1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+               + CAST(m > m3 AS INT) AS m_score,
+             m
+      FROM per_user, fences
+    )
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+                WHEN r_score >= 3 THEN 'promising'
+                WHEN f_score >= 3 THEN 'at_risk'
+                ELSE 'hibernating' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(m) AS BIGINT) AS m_units_total
+    FROM scored GROUP BY 1, 2, 3, 4
+    """,
+)
+def analytics_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per-user Recency (last purchase
+    day), Frequency (purchase count), Monetary (revenue units), each
+    quartile-scored 1-4 against corpus fences, mapped to the standard
+    champion / promising / at-risk / hibernating grid.
+
+    Scale posture is the broadcast-fence discipline of
+    ml_quantile_binning, NOT a global ntile (whose single ORDER BY
+    would serialize every user through one reducer): one user-keyed
+    aggregate builds the RFM triple, exact quartiles of the three
+    integer metrics are one k-row aggregate broadcast back, scores are
+    map-side comparisons.  Quartile fractions are multiples of 0.25 —
+    exact in binary — over integer metrics, so Spark's percentile and
+    DuckDB's quantile_cont interpolate bit-identical doubles and no
+    score can flip on a last-ulp difference."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(datediff(max(CAST(ts AS DATE)), DATE'1970-01-01')"
+            " AS BIGINT)"
+        ).alias("last_epoch"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("m"),
+    )
+    fences = per_user.agg(
+        *[
+            F.expr(f"percentile({c}, {frac}d)").alias(f"{c[0]}{i}")
+            for c in ("last_epoch", "f", "m")
+            for i, frac in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    def score(col, fence_prefix):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{fence_prefix}1")).cast("int")
+            + (F.col(col) > F.col(f"{fence_prefix}2")).cast("int")
+            + (F.col(col) > F.col(f"{fence_prefix}3")).cast("int")
+        )
+    scored = per_user.join(F.broadcast(fences)).select(
+        score("last_epoch", "l").alias("r_score"),
+        score("f", "f").alias("f_score"),
+        score("m", "m").alias("m_score"),
+        "m",
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3),
+            F.lit("champion"),
+        )
+        .when(F.col("r_score") >= 3, F.lit("promising"))
+        .when(F.col("f_score") >= 3, F.lit("at_risk"))
+        .otherwise(F.lit("hibernating"))
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("r_score", "f_score", "m_score", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("m").alias("m_units_total"),
+        )
+    )
+
+
+@query(
     "analytics_timedecay_attribution",
     oracle="""
     WITH seq AS (

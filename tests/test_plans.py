@@ -806,3 +806,17 @@ def test_hard_negatives_bucket_join_no_cartesian(spark, sf_dir):
     r = rep("ml_hard_negatives", spark, sf_dir)
     assert not r.has_cartesian
     assert "BroadcastHashJoin" in r.joins
+
+
+def test_rfm_broadcast_fences_no_global_sort(spark, sf_dir):
+    """RFM scoring must use broadcast quartile fences, never a global
+    ntile (whose single ORDER BY serializes every user through one
+    reducer).  The 1-row fence frame joins the user frame with no
+    condition — a broadcast nested loop of one row is the sane shape
+    (the winsorize pattern); a true CartesianProduct or any
+    window-rank machinery would be a planning regression."""
+    r = rep("analytics_rfm_segments", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in r.joins
+    assert "CartesianProduct" not in r.joins
+    assert "ntile(" not in r.text.lower().replace("percentile", "")
+    assert "Window" not in r.text

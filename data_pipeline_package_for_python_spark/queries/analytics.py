@@ -1269,6 +1269,138 @@ def analytics_timedecay_attribution(spark, sf_dir):
 
 
 @query(
+    "analytics_ushape_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS units,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS journey
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type AS channel,
+             row_number() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS pos,
+             CAST(count(*) OVER (PARTITION BY user_id, journey)
+                  AS BIGINT) AS n
+      FROM seq WHERE event_type <> 'purchase'
+    ),
+    weighted AS (
+      SELECT user_id, journey, channel,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  ELSE 200000 // (n - 2)
+             END AS w_ppm
+      FROM touches
+    ),
+    per_channel AS (
+      SELECT user_id, journey, channel,
+             CAST(SUM(w_ppm) AS BIGINT) AS w_c
+      FROM weighted GROUP BY user_id, journey, channel
+    ),
+    purchases AS (
+      SELECT user_id, journey, units FROM seq
+      WHERE event_type = 'purchase'
+    ),
+    credited AS (
+      SELECT COALESCE(c.channel, 'organic') AS channel,
+             CASE WHEN c.channel IS NULL THEN p.units * 1000
+                  ELSE (p.units * 1000 * c.w_c) // 1000000
+             END AS millicents
+      FROM purchases p
+      LEFT JOIN per_channel c USING (user_id, journey)
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_journeys,
+           CAST(SUM(millicents) AS BIGINT) AS attributed_millicents
+    FROM credited GROUP BY channel
+    """,
+)
+def analytics_ushape_attribution(spark, sf_dir):
+    """Position-based (U-shaped) attribution: 40% of a purchase's
+    revenue to the journey's first touch, 40% to its last, 20% split
+    across the middles (50/50 at two touches, all at one) — the scheme
+    that values introduction and closing over volume, completing the
+    attribution family (first-touch, linear, time-decay, U-shaped).
+
+    Exactness: position weights are exact ppm integers (200000 DIV
+    (n-2) for middles) and credits are BIGINT floor divisions — the
+    same no-double-accumulation discipline as the other schemes.
+
+    Scale: journey windows and position windows all partition by
+    (user) or (user, journey); joins and rollups stay user-prefixed
+    until the final channel-cardinality aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wj),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    wp = Window.partitionBy("user_id", "journey").orderBy(
+        "ts", "event_id"
+    )
+    wn = Window.partitionBy("user_id", "journey")
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "journey",
+        F.col("event_type").alias("channel"),
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    w_ppm = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(400000),
+        )
+        .otherwise(F.expr("200000 DIV (n - 2)"))
+    )
+    per_channel = (
+        touches.withColumn("w_ppm", w_ppm)
+        .groupBy("user_id", "journey", "channel")
+        .agg(F.sum("w_ppm").alias("w_c"))
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey", "units"
+    )
+    credited = purchases.join(
+        per_channel, ["user_id", "journey"], "left"
+    ).select(
+        F.coalesce(F.col("channel"), F.lit("organic")).alias("channel"),
+        F.when(F.col("channel").isNull(), F.col("units") * 1000)
+        .otherwise(F.expr("(units * 1000 * w_c) DIV 1000000"))
+        .alias("millicents"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_journeys"),
+        F.sum("millicents").alias("attributed_millicents"),
+    )
+
+
+@query(
     "analytics_ab_ttest",
     oracle="""
     WITH assigned AS (

@@ -44,6 +44,7 @@ __all__ = [
     "kmeans_embeddings",
     "l2_norm",
     "random_hyperplanes",
+    "embedding_drift_report",
     "embedding_health_stats",
     "hard_negatives",
     "random_projection",
@@ -878,4 +879,61 @@ def hard_negatives(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "anchor_id", "anchor_label", "rank", "negative_id",
         "negative_label", "cosine",
+    )
+
+
+def embedding_drift_report(
+    reference: DataFrame,
+    candidate: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding corpora
+    (reference vs candidate): the QC gate that catches an encoder
+    version bump, a normalization change, or a poisoned batch BEFORE
+    the candidate vectors pollute an ANN index or training mix.
+
+    Per dimension: exact integer moments for both cohorts (same
+    construction as :func:`embedding_health_stats`), then a two-sample
+    z statistic ``(mean_c − mean_r) / sqrt(var_r/n_r + var_c/n_c)``
+    computed as a FIXED sequence of IEEE double ops over those exact
+    integers — deterministic on any engine (the same discipline the
+    A/B Welch readout uses) — and a ``drifted`` flag at |z| >
+    ``z_threshold``.
+
+    Shape: one union + posexplode → one (dim, cohort) groupBy of
+    integer partials (a single fact-sized shuffle, 2·d output rows) →
+    a d-row self-join.  Output is dimension-cardinality at any corpus
+    size."""
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        rows = df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "__x")
+        ).select(
+            "dim",
+            F.floor(
+                F.col("__x").cast("double") * F.lit(float(scale))
+                + F.lit(0.5)
+            ).alias("__u"),
+        )
+        return rows.groupBy("dim").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("__u").alias(f"sum_{tag}"),
+            F.sum(F.col("__u") * F.col("__u")).alias(f"sumsq_{tag}"),
+        )
+    j = moments(reference, "ref").join(moments(candidate, "cand"), "dim")
+    mean_r = F.col("sum_ref") / F.col("n_ref")
+    mean_c = F.col("sum_cand") / F.col("n_cand")
+    var_r = F.col("sumsq_ref") / F.col("n_ref") - mean_r * mean_r
+    var_c = F.col("sumsq_cand") / F.col("n_cand") - mean_c * mean_c
+    se = F.sqrt(var_r / F.col("n_ref") + var_c / F.col("n_cand"))
+    z = (mean_c - mean_r) / se
+    return j.select(
+        "dim",
+        "n_ref",
+        "n_cand",
+        (mean_c - mean_r).alias("mean_shift_units"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(z_threshold)).cast("int").alias("drifted"),
     )

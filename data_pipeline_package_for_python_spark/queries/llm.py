@@ -3038,6 +3038,58 @@ def embed_health_stats(spark, sf_dir):
 
 
 @query(
+    "embed_drift_report",
+    oracle="""
+    WITH rows_u AS (
+      SELECT vec_id % 2 AS cohort, u.dim, u.x FROM (
+        SELECT vec_id,
+               unnest([{'dim': i - 1,
+                        'x': CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                             * 1000000 + 0.5) AS BIGINT)}
+                       FOR i IN range(1, len(embedding) + 1)]) AS u
+        FROM embeddings
+      )
+    ),
+    m AS (
+      SELECT cohort, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM rows_u GROUP BY cohort, dim
+    ),
+    j AS (
+      SELECT r.dim, r.n AS n_ref, c.n AS n_cand,
+             r.s / r.n AS mean_r, c.s / c.n AS mean_c,
+             r.ss / r.n - (r.s / r.n) * (r.s / r.n) AS var_r,
+             c.ss / c.n - (c.s / c.n) * (c.s / c.n) AS var_c
+      FROM m r JOIN m c ON r.dim = c.dim
+      WHERE r.cohort = 0 AND c.cohort = 1
+    )
+    SELECT dim, n_ref, n_cand,
+           mean_c - mean_r AS mean_shift_units,
+           (mean_c - mean_r) / sqrt(var_r / n_ref + var_c / n_cand)
+               AS z,
+           CAST(abs((mean_c - mean_r)
+                    / sqrt(var_r / n_ref + var_c / n_cand)) > 3.0
+                AS INT) AS drifted
+    FROM j
+    """,
+)
+def embed_drift_report(spark, sf_dir):
+    """Embedding distribution-drift gate between two corpus cohorts
+    (even vs odd vec_id here; in production, last week's index vs this
+    week's batch): per-dimension two-sample z over exact integer
+    moments, drift flag at |z| > 3 (operators/similarity.py
+    embedding_drift_report).  One posexplode + one (dim, cohort)
+    groupBy + a d-row join — dimension-cardinality output at any
+    corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_drift_report(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+@query(
     "etl_global_shuffle",
     oracle="""
     WITH keyed AS (

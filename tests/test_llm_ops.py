@@ -701,3 +701,28 @@ def test_hard_negatives_laws(spark, tables):
         ).collect()
     }
     assert again == {(r.anchor_id, r.rank, r.negative_id) for r in out}
+
+
+def test_embedding_drift_laws(spark, tables):
+    """embedding_drift_report: identical cohorts show zero drift on
+    every dimension; a planted constant shift on one dimension of the
+    candidate cohort flags exactly that dimension."""
+    from data_pipeline_package_for_python_spark.operators import (
+        similarity as S,
+    )
+
+    emb = tables["embeddings"]
+    null_rows = S.embedding_drift_report(emb, emb).collect()
+    assert all(r.drifted == 0 and r.z == 0.0 for r in null_rows)
+    shifted = emb.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = 0 THEN x + CAST(10.0 AS FLOAT) ELSE x END)"
+        ),
+    )
+    rows = S.embedding_drift_report(emb, shifted).collect()
+    flagged = {r.dim for r in rows if r.drifted == 1}
+    assert 0 in flagged
+    # the untouched dimensions of the same underlying vectors are clean
+    assert all(r.drifted == 0 for r in rows if r.dim != 0)

@@ -3090,6 +3090,83 @@ def embed_drift_report(spark, sf_dir):
 
 
 @query(
+    "etl_mixture_drift",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id % 2 AS cohort, lang,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY doc_id % 2, lang
+    ),
+    t AS (
+      SELECT cohort, CAST(SUM(n) AS BIGINT) AS n_total
+      FROM c GROUP BY cohort
+    ),
+    shares AS (
+      SELECT c.cohort, c.lang, c.n,
+             CAST((1000000 * c.n) // t.n_total AS BIGINT) AS share_ppm
+      FROM c JOIN t USING (cohort)
+    )
+    SELECT r.lang,
+           r.n AS n_ref, ca.n AS n_cand,
+           r.share_ppm AS share_ref_ppm,
+           ca.share_ppm AS share_cand_ppm,
+           ca.share_ppm - r.share_ppm AS delta_ppm,
+           CAST(abs(ca.share_ppm - r.share_ppm) > 20000 AS INT)
+               AS drifted
+    FROM shares r JOIN shares ca ON r.lang = ca.lang
+    WHERE r.cohort = 0 AND ca.cohort = 1
+    """,
+)
+def etl_mixture_drift(spark, sf_dir):
+    """Categorical mixture-drift report between two corpus cohorts:
+    per-category (language) share in exact ppm for each cohort, the
+    share delta, and a drift flag at |delta| > 2% — the audit that
+    catches a crawl source silently changing its language mix before
+    the batch lands in the training blend.  The complement of
+    embed_drift_report for categorical columns.
+
+    Exactness: shares are BIGINT ``(1e6·n) DIV n_total`` — no doubles
+    anywhere, so both engines agree bit-for-bit.  Scale: one
+    (cohort, category) aggregate off the corpus scan, a 2-row total
+    joined back, category-cardinality output."""
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("cohort"), "lang"
+    )
+    c = docs.groupBy("cohort", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("cohort").agg(F.sum("n").alias("n_total"))
+    shares = c.join(F.broadcast(t), "cohort").select(
+        "cohort",
+        "lang",
+        "n",
+        F.expr("CAST((1000000 * n) DIV n_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+    ref = shares.filter(F.col("cohort") == 0).select(
+        "lang",
+        F.col("n").alias("n_ref"),
+        F.col("share_ppm").alias("share_ref_ppm"),
+    )
+    cand = shares.filter(F.col("cohort") == 1).select(
+        "lang",
+        F.col("n").alias("n_cand"),
+        F.col("share_ppm").alias("share_cand_ppm"),
+    )
+    delta = F.col("share_cand_ppm") - F.col("share_ref_ppm")
+    return ref.join(cand, "lang").select(
+        "lang",
+        "n_ref",
+        "n_cand",
+        "share_ref_ppm",
+        "share_cand_ppm",
+        delta.alias("delta_ppm"),
+        (F.abs(delta) > F.lit(20000)).cast("int").alias("drifted"),
+    )
+
+
+@query(
     "etl_global_shuffle",
     oracle="""
     WITH keyed AS (

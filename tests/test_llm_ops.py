@@ -726,3 +726,19 @@ def test_embedding_drift_laws(spark, tables):
     assert 0 in flagged
     # the untouched dimensions of the same underlying vectors are clean
     assert all(r.drifted == 0 for r in rows if r.dim != 0)
+
+
+def test_mixture_drift_laws(spark, sf_dir):
+    """etl_mixture_drift: shares are a floor-partition of 1e6 inside
+    each cohort, deltas are consistent with the shares, and the drift
+    flag matches its declared 2% threshold exactly."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    rows = QUERIES["etl_mixture_drift"].spark_fn(spark, sf_dir).collect()
+    k = len(rows)
+    for side in ("share_ref_ppm", "share_cand_ppm"):
+        total = sum(getattr(r, side) for r in rows)
+        assert 1_000_000 - k <= total <= 1_000_000
+    for r in rows:
+        assert r.delta_ppm == r.share_cand_ppm - r.share_ref_ppm
+        assert r.drifted == int(abs(r.delta_ppm) > 20000)

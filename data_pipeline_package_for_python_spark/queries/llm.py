@@ -3090,6 +3090,49 @@ def embed_drift_report(spark, sf_dir):
 
 
 @query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    clean AS (
+      SELECT source, w FROM words WHERE w <> ''
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+           CAST((1000000 * count(DISTINCT w)) // count(*) AS BIGINT)
+               AS ttr_ppm
+    FROM clean GROUP BY source
+    """,
+)
+def text_lexical_diversity(spark, sf_dir):
+    """Per-source lexical diversity (type-token ratio in exact ppm):
+    the corpus-quality metric that exposes template-generated or
+    boilerplate-heavy sources (few types over many tokens) next to
+    genuinely diverse prose — a standard column in a curation report.
+
+    Exactness: the TTR is BIGINT ``(1e6·types) DIV tokens`` — no
+    doubles.  Scale: one explode + one (source, word) distinct-style
+    aggregate; Spark plans count(DISTINCT) as a two-phase expand-free
+    partial aggregate on (source, word) partials, so the wide shuffle
+    carries deduplicated pairs, not raw token instances."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+        F.expr(
+            "CAST((1000000 * count(DISTINCT w)) DIV count(1) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
+
+
+@query(
     "etl_mixture_drift",
     oracle="""
     WITH c AS (

@@ -140,9 +140,20 @@ def fanin(expr: CompleteExpression) -> CompleteExpression:
 
 
 def V(*placeholders) -> PlaceholderList:
-    """Group placeholders: ``V(x, y) >> fn >> V(a, b)`` (dpp.py:630-644)."""
+    """Group placeholders: ``V(x, y) >> fn >> V(a, b)`` (dpp.py:630-644).
+
+    The ``...`` (Ellipsis) placeholder is RESERVED, matching the
+    reference: dpp.py:234-235 reserves the token and raises
+    ``NotImplementedError`` on use, and this engine intentionally does
+    the same rather than inventing semantics the reference never
+    defined."""
     out = PlaceholderList()
     for p in placeholders:
+        if p is Ellipsis:
+            raise NotImplementedError(
+                "the '...' placeholder is reserved but unimplemented, "
+                "matching the reference (dpp.py:234-235)"
+            )
         if not isinstance(p, (Placeholder, _SuperVar)):
             raise TypeError(f"V() accepts placeholders, got {p!r}")
         out.append(p)

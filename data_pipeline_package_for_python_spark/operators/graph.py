@@ -283,6 +283,108 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    iterations: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bit-deterministic PageRank: same power iteration as ``pagerank``
+    but every quantity is a BIGINT in units of 1/``scale`` and damping
+    is the exact rational 17/20 (0.85) applied with floor division.
+
+    Why a second entry point: ``pagerank``'s cross-partition double
+    sums are order-sensitive (reproducible to ~1e-12, not bitwise), so
+    its registered query could only be rows-only checked.  Here every
+    per-round step is exact integer arithmetic —
+
+      share_u    = rank_u div out_deg_u                (floor)
+      in_mass_v  = Σ share_u  over in-edges            (exact BIGINT)
+      dangling   = Σ rank_u   over out-degree-0 nodes  (exact BIGINT)
+      rank'_v    = (3·scale) div 20
+                 + (17·(dangling div n)) div 20
+                 + (17·in_mass_v) div 20
+
+    — and BIGINT addition is associative/commutative, so the result is
+    bit-identical under any partitioning or summation order and a
+    DuckDB twin replaying the same floor arithmetic hash-matches.
+    All quantities are nonnegative, so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree.  Distribution shape is unchanged
+    from ``pagerank`` — one shuffle per round (rank ⋈ out-edges →
+    groupBy dst) — EXCEPT the dangling scalar: instead of a per-round
+    ``collect()`` (10 driver sync points), it stays in-plan as a 1-row
+    aggregate cross-joined back (the broadcast scalar-total pattern),
+    so the whole 10-round iteration is one job with no driver
+    round-trips.  Lineage truncated with localCheckpoint.  Overflow
+    headroom: 17·in_mass ≤ 17·n·scale, so scale=1e6 is safe to
+    n≈5×10¹¹ nodes in BIGINT.
+
+    Returns (id, rank_scaled BIGINT); rank_scaled/scale ≈ the float
+    rank (L1 mass ≈ node count, the rank-1-per-node convention), up to
+    floor loss of < 3 units per node per round.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("bigint"))
+    elist = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=False)
+    base_const = (3 * scale) // 20
+    for _ in range(iterations):
+        contrib_src = ranks.join(out_deg, "id", "left").withColumn(
+            "share",
+            F.when(
+                F.col("out_deg").isNotNull(),
+                F.expr("rank div out_deg"),
+            ),
+        )
+        # dangling mass as an in-plan 1-row aggregate, broadcast back
+        # (scalar-total pattern) — no per-round driver collect
+        dangling_df = (
+            contrib_src.filter(F.col("out_deg").isNull())
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0))
+                .cast("bigint")
+                .alias("__dangling")
+            )
+        )
+        inbound = (
+            elist.join(
+                contrib_src.select(F.col("id").alias("e_src"), "share"),
+                "e_src",
+            )
+            .groupBy(F.col("e_dst").alias("id"))
+            .agg(F.sum("share").cast("bigint").alias("in_mass"))
+        )
+        # (1-d)·scale + d·(dangling/n) + d·in_mass, d = 17/20, floors
+        ranks = (
+            nodes.join(inbound, "id", "left")
+            .crossJoin(F.broadcast(dangling_df))
+            .select(
+                "id",
+                (
+                    F.lit(base_const).cast("bigint")
+                    + F.expr(f"(17 * (__dangling div {int(n)})) div 20")
+                    + F.expr("(17 * coalesce(in_mass, 0)) div 20")
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("id", F.col("rank").alias("rank_scaled"))
+
+
 def resolve_duplicates(
     df: DataFrame,
     pairs: DataFrame,

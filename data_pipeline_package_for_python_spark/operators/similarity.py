@@ -928,7 +928,19 @@ def embedding_drift_report(
     var_r = F.col("sumsq_ref") / F.col("n_ref") - mean_r * mean_r
     var_c = F.col("sumsq_cand") / F.col("n_cand") - mean_c * mean_c
     se = F.sqrt(var_r / F.col("n_ref") + var_c / F.col("n_cand"))
-    z = (mean_c - mean_r) / se
+    # se == 0 (a dimension constant in BOTH cohorts) would make z 0/0:
+    # Spark yields NaN (and NaN > t is false-y but |NaN| > t flags
+    # drift), DuckDB yields NULL — a latent engine divergence.  Define
+    # z = 0 there: identical constants are the opposite of drift.  A
+    # constant dim whose VALUE shifted still surfaces via
+    # mean_shift_units (se>0 needs within-cohort variance, so a pure
+    # level shift of a constant dim has se=0 too — flag it explicitly).
+    z = (
+        F.when(se > F.lit(0.0), (mean_c - mean_r) / se)
+        .when(mean_c - mean_r > F.lit(0.0), F.lit(float("inf")))
+        .when(mean_c - mean_r < F.lit(0.0), F.lit(float("-inf")))
+        .otherwise(F.lit(0.0))
+    )
     return j.select(
         "dim",
         "n_ref",

@@ -584,28 +584,78 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_graph_edges(spark, sf_dir))
 
 
-@query(
-    "graph_pagerank",
-    oracle=None,
-    doc="Power iteration is a data-dependent iterative loop with "
-        "cross-partition double summation — reproducible to ~1e-12 but "
-        "not bit-deterministic, so no value-hash oracle; rows-only "
-        "check + mass-conservation/fixed-point laws in "
-        "tests/test_graph_ops.py.",
-)
+def _pagerank_oracle_sql(iterations: int = 10, scale: int = 1_000_000) -> str:
+    """Unrolled exact-integer PageRank twin for DuckDB.
+
+    Mirrors operators/graph.py pagerank_exact round for round: ranks
+    are BIGINT in units of 1/scale, shares are floor divisions, the
+    17/20 damping fold is the same floor arithmetic.  Ten fixed
+    iterations unroll into ten chained CTE stages (no recursion needed
+    — the iteration count is static), so every intermediate is plain
+    relational algebra DuckDB executes exactly.  Every stage is
+    ``AS MATERIALIZED``: DuckDB inlines CTEs by default and each round
+    references the previous one three times, so un-materialized
+    unrolling explodes the expression tree ~3^10 — materialization
+    keeps it 10 linear passes."""
+    base_const = (3 * scale) // 20
+    parts = [
+        f"g AS MATERIALIZED ({_GRAPH_EDGES_SQL})",
+        "e AS MATERIALIZED"
+        " (SELECT a AS u, b AS v FROM g UNION ALL SELECT b, a FROM g)",
+        "nodes AS MATERIALIZED"
+        " (SELECT DISTINCT u AS id FROM e UNION SELECT v FROM e)",
+        "ncte AS MATERIALIZED"
+        " (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT u AS id,"
+        " CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1)",
+        f"r0 AS MATERIALIZED (SELECT id, CAST({scale} AS BIGINT) AS rank"
+        " FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED"
+            " (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT)"
+            f" AS dm FROM r{p} r LEFT JOIN outdeg o ON o.id = r.id"
+            " WHERE o.d IS NULL)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.v AS id,"
+            " CAST(SUM(r.rank // o.d) AS BIGINT) AS mass"
+            f" FROM e JOIN r{p} r ON r.id = e.u"
+            " JOIN outdeg o ON o.id = e.u GROUP BY e.v)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nd.id, CAST({base_const}"
+            f" + (17 * ((SELECT dm FROM d{i}) // (SELECT n FROM ncte)))"
+            " // 20"
+            " + (17 * COALESCE(m.mass, 0)) // 20 AS BIGINT) AS rank"
+            f" FROM nodes nd LEFT JOIN m{i} m ON m.id = nd.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, rank AS rank_scaled FROM r{iterations}"
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle_sql())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (10 fixed rounds, damping 0.85) over the interaction
-    graph, bidirected (operators/graph.py pagerank): one shuffle per
-    round, dangling mass folded back uniformly, lineage truncated per
-    round with localCheckpoint — the connected-components discipline
-    applied to power iteration."""
-    from ..operators.graph import pagerank
+    """PageRank (10 fixed rounds, damping 17/20) over the interaction
+    graph, bidirected (operators/graph.py pagerank_exact): one shuffle
+    per round, dangling mass folded back uniformly, lineage truncated
+    per round with localCheckpoint — the connected-components
+    discipline applied to power iteration.  Exact-integer (scaled
+    BIGINT, floor-division damping) so the result is bit-deterministic
+    and hash-checked against the DuckDB unrolled-CTE twin; the float
+    variant (operators/graph.py pagerank) remains for API users and is
+    law-checked in tests/test_graph_ops.py."""
+    from ..operators.graph import pagerank_exact
 
     e = _graph_edges(spark, sf_dir)
     bidir = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    return pagerank(bidir, iterations=10, damping=0.85)
+    return pagerank_exact(bidir, iterations=10)
 
 
 @query(

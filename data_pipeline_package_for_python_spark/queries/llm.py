@@ -3063,15 +3063,25 @@ def embed_health_stats(spark, sf_dir):
              c.ss / c.n - (c.s / c.n) * (c.s / c.n) AS var_c
       FROM m r JOIN m c ON r.dim = c.dim
       WHERE r.cohort = 0 AND c.cohort = 1
+    ),
+    zt AS (
+      SELECT dim, n_ref, n_cand,
+             mean_c - mean_r AS mean_shift_units,
+             CASE
+               WHEN sqrt(var_r / n_ref + var_c / n_cand) > 0.0
+                 THEN (mean_c - mean_r)
+                      / sqrt(var_r / n_ref + var_c / n_cand)
+               WHEN mean_c - mean_r > 0.0
+                 THEN CAST('infinity' AS DOUBLE)
+               WHEN mean_c - mean_r < 0.0
+                 THEN CAST('-infinity' AS DOUBLE)
+               ELSE 0.0
+             END AS z
+      FROM j
     )
-    SELECT dim, n_ref, n_cand,
-           mean_c - mean_r AS mean_shift_units,
-           (mean_c - mean_r) / sqrt(var_r / n_ref + var_c / n_cand)
-               AS z,
-           CAST(abs((mean_c - mean_r)
-                    / sqrt(var_r / n_ref + var_c / n_cand)) > 3.0
-                AS INT) AS drifted
-    FROM j
+    SELECT dim, n_ref, n_cand, mean_shift_units, z,
+           CAST(abs(z) > 3.0 AS INT) AS drifted
+    FROM zt
     """,
 )
 def embed_drift_report(spark, sf_dir):
@@ -3149,15 +3159,18 @@ def text_lexical_diversity(spark, sf_dir):
              CAST((1000000 * c.n) // t.n_total AS BIGINT) AS share_ppm
       FROM c JOIN t USING (cohort)
     )
-    SELECT r.lang,
-           r.n AS n_ref, ca.n AS n_cand,
-           r.share_ppm AS share_ref_ppm,
-           ca.share_ppm AS share_cand_ppm,
-           ca.share_ppm - r.share_ppm AS delta_ppm,
-           CAST(abs(ca.share_ppm - r.share_ppm) > 20000 AS INT)
-               AS drifted
-    FROM shares r JOIN shares ca ON r.lang = ca.lang
-    WHERE r.cohort = 0 AND ca.cohort = 1
+    SELECT COALESCE(r.lang, ca.lang) AS lang,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ref,
+           CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_cand,
+           CAST(COALESCE(r.share_ppm, 0) AS BIGINT) AS share_ref_ppm,
+           CAST(COALESCE(ca.share_ppm, 0) AS BIGINT) AS share_cand_ppm,
+           CAST(COALESCE(ca.share_ppm, 0) - COALESCE(r.share_ppm, 0)
+                AS BIGINT) AS delta_ppm,
+           CAST(abs(COALESCE(ca.share_ppm, 0) - COALESCE(r.share_ppm, 0))
+                > 20000 AS INT) AS drifted
+    FROM (SELECT * FROM shares WHERE cohort = 0) r
+    FULL OUTER JOIN (SELECT * FROM shares WHERE cohort = 1) ca
+      ON r.lang = ca.lang
     """,
 )
 def etl_mixture_drift(spark, sf_dir):
@@ -3169,9 +3182,13 @@ def etl_mixture_drift(spark, sf_dir):
     embed_drift_report for categorical columns.
 
     Exactness: shares are BIGINT ``(1e6·n) DIV n_total`` — no doubles
-    anywhere, so both engines agree bit-for-bit.  Scale: one
-    (cohort, category) aggregate off the corpus scan, a 2-row total
-    joined back, category-cardinality output."""
+    anywhere, so both engines agree bit-for-bit.  One-sided categories
+    (a language appearing or vanishing between cohorts — the strongest
+    possible mixture drift) survive via a FULL OUTER join with zero
+    fills, so they surface with maximal |delta| instead of being
+    silently dropped.  Scale: one (cohort, category) aggregate off the
+    corpus scan, a 2-row total joined back, category-cardinality
+    output."""
     docs = load(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 2).alias("cohort"), "lang"
     )
@@ -3197,14 +3214,20 @@ def etl_mixture_drift(spark, sf_dir):
         F.col("n").alias("n_cand"),
         F.col("share_ppm").alias("share_cand_ppm"),
     )
-    delta = F.col("share_cand_ppm") - F.col("share_ref_ppm")
-    return ref.join(cand, "lang").select(
+    # FULL OUTER + zero fills: a category present in only one cohort
+    # is the strongest mixture drift and must surface with maximal
+    # delta, not silently drop out of an inner join.
+    joined = ref.join(cand, "lang", "full_outer")
+    share_ref = F.coalesce("share_ref_ppm", F.lit(0))
+    share_cand = F.coalesce("share_cand_ppm", F.lit(0))
+    delta = share_cand - share_ref
+    return joined.select(
         "lang",
-        "n_ref",
-        "n_cand",
-        "share_ref_ppm",
-        "share_cand_ppm",
-        delta.alias("delta_ppm"),
+        F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+        share_ref.cast("bigint").alias("share_ref_ppm"),
+        share_cand.cast("bigint").alias("share_cand_ppm"),
+        delta.cast("bigint").alias("delta_ppm"),
         (F.abs(delta) > F.lit(20000)).cast("int").alias("drifted"),
     )
 

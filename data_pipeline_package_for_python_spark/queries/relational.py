@@ -935,7 +935,14 @@ def _orders_side_fits_broadcast(spark, orders_side) -> bool:
     thr = plans.broadcast_threshold_bytes(spark)
     if thr <= 0:
         return False
-    key = (id(spark), orders_side._jdf.queryExecution().logical().semanticHash(), thr)
+    # applicationId, not id(spark): id() can be recycled after a
+    # stopped session is GC'd, letting a new session inherit a stale
+    # gate verdict; the app id is unique per SparkContext lifetime.
+    key = (
+        spark.sparkContext.applicationId,
+        orders_side._jdf.queryExecution().logical().semanticHash(),
+        thr,
+    )
     hit = _GATE_CACHE.get(key)
     if hit is None:
         hit = plans.estimated_size_bytes(orders_side) <= thr
@@ -943,7 +950,7 @@ def _orders_side_fits_broadcast(spark, orders_side) -> bool:
     return hit
 
 
-_GATE_CACHE: dict[tuple[int, int, int], bool] = {}
+_GATE_CACHE: dict[tuple[str, int, int], bool] = {}
 
 
 @query(

@@ -300,3 +300,11 @@ def test_chaining_returns_self():
         )
         assert r is p
     assert p.b == 4
+
+
+def test_ellipsis_placeholder_reserved_raises():
+    """The reference reserves `...` and raises on use (dpp.py:234-235);
+    the engine intentionally matches instead of inventing semantics."""
+    with Pipeline(x=1) as p:
+        with pytest.raises(NotImplementedError):
+            V(p.x, ...)

@@ -989,7 +989,10 @@ def join_star_q5(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
 
     li_sel = li.select("l_orderkey", "l_extendedprice", "l_discount")
-    if _orders_side_fits_broadcast(spark, o):
+    # probe the PRUNED projection actually broadcast (2 of 6 columns),
+    # not the full orders scan — the gate should price what ships
+    o_bcast = o.select("o_orderkey", "o_custkey")
+    if _orders_side_fits_broadcast(spark, o_bcast):
         # Small-side path: every broadcast build is an INDEPENDENT base
         # scan (orders, customer, nation, region), so AQE materializes
         # all four concurrently — one wall-clock round instead of the
@@ -1002,7 +1005,7 @@ def join_star_q5(spark, sf_dir):
         revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
         return (
             li_sel.join(
-                F.broadcast(o.select("o_orderkey", "o_custkey")),
+                F.broadcast(o_bcast),
                 F.col("l_orderkey") == F.col("o_orderkey"),
             )
             .join(

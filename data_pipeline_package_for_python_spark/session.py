@@ -74,6 +74,15 @@ def get_spark(
         # --- keep the UI quiet in test runs ---
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Catalyst's non-CBO scan estimate is RAW FILE BYTES; snappy
+        # parquet expands ~4-8x into Tungsten rows + HashedRelation
+        # overhead, so an un-scaled estimate green-lights broadcasts
+        # whose real build cost exceeds a shuffle (measured at sf1:
+        # Q3's "7.4 MB" orders side is a ~685K-row hash relation and
+        # the broadcast path runs 1.7x slower than agg-below-join).
+        # This is the documented knob for exactly that bias; 5 errs
+        # toward declining — the safe direction at 100 TB.
+        .config("spark.sql.sources.fileCompressionFactor", "5.0")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.log.level", "WARN")
     )

@@ -75,11 +75,20 @@ def main() -> None:
         print(f"\n# RED driver rows ({len(red)}) — fix before rotating:")
         for n, why in sorted(red.items()):
             print(f"#   {n}: {why[:160]}")
-    print(f"\n# never-driver-checked ({len(never)}), registration order —")
-    print("# next _FRONT = this round's additions + the head of this list,")
-    print("# capped at 50 and re-verified at sf0.01 first:")
+    print(f"\n# never-driver-checked ({len(never)}), registration order.")
+    print("# The registry already stages the next TWO windows "
+          "(queries/__init__.py):")
+    print("#   positions 0-49   = _FRONT     (this round's window)")
+    print("#   positions 50-99  = _FRONT_R5  (next round: promote to "
+          "_FRONT verbatim)")
+    print("#   positions 100+   = the round-after window (below), then "
+          "already-credited")
+    pos = {n: i for i, n in enumerate(names)}
     for n in never:
-        print(f"    {n!r},")
+        i = pos[n]
+        tag = ("FRONT" if i < 50
+               else "FRONT_R5" if i < 100 else "next-after")
+        print(f"    {n!r},  # {tag} (pos {i})")
     print("\n_DRIVER_CHECKED = frozenset({")
     for n in sorted(green):
         print(f"    {n!r},")

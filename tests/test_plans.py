@@ -112,6 +112,28 @@ def test_q3_q5_both_paths_agree(name, spark, sf_dir):
     assert fast == slow
 
 
+def test_broadcast_gate_memo_keys_on_application_id(spark, sf_dir):
+    """The gate memo must key on the SparkContext's applicationId, not
+    ``id(spark)``: CPython recycles object ids after GC, so a stopped
+    session's id can be reused by a NEW session, which would then
+    inherit a stale size verdict.  applicationId is unique per context
+    lifetime, so a replacement session can never collide.  Pins the
+    key shape (a str app id, never an int identity) after exercising
+    the gate through both Q3 and Q5."""
+    from data_pipeline_package_for_python_spark.queries import relational as R
+
+    for name in ("join_q3_topk", "join_star_q5"):
+        QUERIES[name].spark_fn(spark, sf_dir)
+    assert R._GATE_CACHE, "gate was never consulted"
+    app_id = spark.sparkContext.applicationId
+    for key in R._GATE_CACHE:
+        assert isinstance(key[0], str), "memo key must be an app id"
+        assert key[0] == app_id
+        # a replacement session gets a fresh applicationId, so its
+        # probes can never hit this session's entries
+        assert (key[0] + "-replacement",) + key[1:] not in R._GATE_CACHE
+
+
 def test_near_dedup_no_cartesian_no_fact_broadcast(spark, sf_dir, tables):
     df = D.near_dedup_minhash(
         tables["documents"], "doc_id", "text", n=3, num_hashes=16, bands=4

@@ -464,9 +464,13 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import run_until_offset
 
     register_synth_stream(spark)
+    # 1234 rows in 300-row slices -> 5 micro-batches: enough to prove
+    # multi-batch offset tracking (incl. a short final batch) while
+    # each Python-source micro-batch costs ~1.5 s of worker round-trip
+    # — 100-row slices spent 13 batches (~20 s) proving the same thing.
     s = (
         spark.readStream.format("synthstream")
-        .option("n", 1234).option("batch_rows", 100).option("buckets", 8)
+        .option("n", 1234).option("batch_rows", 300).option("buckets", 8)
         .load()
     )
     agg = s.groupBy("bucket").agg(

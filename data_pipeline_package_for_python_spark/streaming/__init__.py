@@ -594,6 +594,14 @@ def run_until_offset(
     spark = result.sparkSession
     name = _unique_name("dpp_mem")
     ckpt = tempfile.mkdtemp(prefix="dpp_ckpt_")
+    # The drain predicate needs a PROGRESS EVENT for the final empty
+    # batch, but Spark throttles no-data progress reporting to one
+    # event per 10 s (noDataProgressEventInterval) — measured as a
+    # flat 10 s observability stall after the source was already
+    # exhausted.  Report promptly for the drain loop's lifetime.
+    _NODATA_KEY = "spark.sql.streaming.noDataProgressEventInterval"
+    prev_nodata = spark.conf.get(_NODATA_KEY, None)
+    spark.conf.set(_NODATA_KEY, "100ms")
     with _scoped_state_parallelism(spark, 4):
         q = (
             result.writeStream.format("memory")
@@ -624,4 +632,8 @@ def run_until_offset(
     finally:
         if q.isActive:
             q.stop()
+        if prev_nodata is None:
+            spark.conf.unset(_NODATA_KEY)
+        else:
+            spark.conf.set(_NODATA_KEY, prev_nodata)
     return spark.table(name)

@@ -44,7 +44,11 @@ import duckdb
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
-DST = os.path.join(ROOT, ".testdata", "sf1")
+# Knobs: SPARK_GRAFT_SF1_REPLICAS=30 SPARK_GRAFT_SF1_DST=.testdata/sf3
+# reproduces the BASELINE.md round-4 B3 scaling-curve dataset.
+DST = os.environ.get(
+    "SPARK_GRAFT_SF1_DST", os.path.join(ROOT, ".testdata", "sf1")
+)
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SF1_REPLICAS", "10"))
 
 COPY_AS_IS = ("region", "nation", "supplier", "part", "events",

@@ -290,6 +290,7 @@ def pagerank_exact(
     *,
     iterations: int = 10,
     scale: int = 1_000_000,
+    assume_no_dangling: bool = False,
 ) -> DataFrame:
     """Bit-deterministic PageRank: same power iteration as ``pagerank``
     but every quantity is a BIGINT in units of 1/``scale`` and damping
@@ -324,6 +325,13 @@ def pagerank_exact(
     Returns (id, rank_scaled BIGINT); rank_scaled/scale ≈ the float
     rank (L1 mass ≈ node count, the rank-1-per-node convention), up to
     floor loss of < 3 units per node per round.
+
+    ``assume_no_dangling=True`` is a caller ASSERTION that every node
+    has out-degree ≥ 1 (true by construction for any bidirected edge
+    list): the dangling term is identically zero, so its per-round
+    1-row aggregate + broadcast is skipped — 2 fewer plan branches per
+    round, measurably faster at any scale.  Results are bit-identical
+    to the general path on such graphs ((17·(0 div n)) div 20 = 0).
     """
     nodes = (
         edges.select(F.col(src).alias("id"))
@@ -342,23 +350,13 @@ def pagerank_exact(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
     ).localCheckpoint(eager=False)
     base_const = (3 * scale) // 20
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib_src = ranks.join(out_deg, "id", "left").withColumn(
             "share",
             F.when(
                 F.col("out_deg").isNotNull(),
                 F.expr("rank div out_deg"),
             ),
-        )
-        # dangling mass as an in-plan 1-row aggregate, broadcast back
-        # (scalar-total pattern) — no per-round driver collect
-        dangling_df = (
-            contrib_src.filter(F.col("out_deg").isNull())
-            .agg(
-                F.coalesce(F.sum("rank"), F.lit(0))
-                .cast("bigint")
-                .alias("__dangling")
-            )
         )
         inbound = (
             elist.join(
@@ -369,19 +367,38 @@ def pagerank_exact(
             .agg(F.sum("share").cast("bigint").alias("in_mass"))
         )
         # (1-d)·scale + d·(dangling/n) + d·in_mass, d = 17/20, floors
-        ranks = (
-            nodes.join(inbound, "id", "left")
-            .crossJoin(F.broadcast(dangling_df))
-            .select(
-                "id",
-                (
-                    F.lit(base_const).cast("bigint")
-                    + F.expr(f"(17 * (__dangling div {int(n)})) div 20")
-                    + F.expr("(17 * coalesce(in_mass, 0)) div 20")
-                ).cast("bigint").alias("rank"),
+        out = nodes.join(inbound, "id", "left")
+        if assume_no_dangling:
+            dangling_term = F.lit(0).cast("bigint")
+        else:
+            # dangling mass as an in-plan 1-row aggregate, broadcast
+            # back (scalar-total pattern) — no per-round driver collect
+            dangling_df = (
+                contrib_src.filter(F.col("out_deg").isNull())
+                .agg(
+                    F.coalesce(F.sum("rank"), F.lit(0))
+                    .cast("bigint")
+                    .alias("__dangling")
+                )
             )
-            .localCheckpoint(eager=False)
+            out = out.crossJoin(F.broadcast(dangling_df))
+            dangling_term = F.expr(
+                f"(17 * (__dangling div {int(n)})) div 20"
+            )
+        ranks = out.select(
+            "id",
+            (
+                F.lit(base_const).cast("bigint")
+                + dangling_term
+                + F.expr("(17 * coalesce(in_mass, 0)) div 20")
+            ).cast("bigint").alias("rank"),
         )
+        # Per-round lineage truncation.  (Sparser cadences were
+        # measured: checkpointing every 4th round halves the job count
+        # on the no-dangling path, but the deeper per-materialization
+        # plans cost MORE cold — analysis + codegen of the compound
+        # rounds exceeds the saved job barriers — so per-round stays.)
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", F.col("rank").alias("rank_scaled"))
 
 

@@ -655,7 +655,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidir = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    return pagerank_exact(bidir, iterations=10)
+    # bidirected by construction -> every node has out-degree >= 1, so
+    # the dangling term is identically zero and its per-round scalar
+    # branch can be skipped (assertion documented in pagerank_exact)
+    return pagerank_exact(bidir, iterations=10, assume_no_dangling=True)
 
 
 @query(

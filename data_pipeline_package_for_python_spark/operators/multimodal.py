@@ -145,6 +145,189 @@ def ppm_parse(payload: bytes, offset: int = 0) -> tuple[int, int, int, int]:
     return width, height, pixel_off, pixel_len
 
 
+# ---------------------------------------------------------------------- #
+# real codec: PNG (8-bit RGB, non-interlaced) — the one COMPRESSED image #
+# format decodable with the stdlib alone (zlib DEFLATE + CRC-32).  Full  #
+# spec subset: signature, chunk walk with CRC verification, IHDR         #
+# validation, multi-IDAT concatenation, and all five scanline filters    #
+# (None/Sub/Up/Average/Paeth) on both encode and decode.  Parse          #
+# failures raise ValueError so corrupt payloads surface as task errors.  #
+# Closes part of the "compressed formats stay stubbed" gap: JPEG/MP3     #
+# (entropy codecs not in the stdlib) still require ``fake=True``.        #
+# ---------------------------------------------------------------------- #
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(
+    width: int, height: int, rgb: bytes, *, filter_type: int = 0
+) -> bytes:
+    """A REAL PNG (8-bit RGB, non-interlaced) for a width×height RGB
+    buffer: zlib-compressed IDAT, CRC-verified chunks.  ``filter_type``
+    selects the per-scanline filter (0-4) so round-trip tests can
+    exercise every decoder filter path."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb buffer is {len(rgb)} bytes, want {width * height * 3}"
+        )
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = rgb[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:  # None
+            raw += line
+        elif filter_type == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:  # Up
+            raw += bytes(
+                (line[i] - prev[i]) & 0xFF for i in range(stride)
+            )
+        elif filter_type == 3:  # Average
+            raw += bytes(
+                (
+                    line[i]
+                    - (((line[i - 3] if i >= 3 else 0) + prev[i]) >> 1)
+                ) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                ) & 0xFF
+                for i in range(stride)
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_parse(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit-RGB non-interlaced PNG: chunk walk with CRC
+    verification, multi-IDAT concatenation, zlib inflate, and scanline
+    de-filtering (all five filter types).  Returns (width, height,
+    rgb bytes).  Raises ValueError on anything outside the supported
+    subset (palette/alpha/16-bit/interlaced) instead of guessing."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    off = 8
+    idat = bytearray()
+    w = h = None
+    while off + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", payload[off + 8 + ln : off + 12 + ln]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit RGB, "
+                    "non-interlaced)"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = bytearray(stride * h)
+    prev = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        )
+        if f == 0:
+            pass
+        elif f == 1:
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter byte {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return w, h, bytes(out)
+
+
+def parse_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Sniff-and-decode an image payload: canonical P6 PPM or 8-bit-RGB
+    PNG → (width, height, rgb bytes).  The single entry point the
+    pixel-consuming operators (resize, aHash) use, so PNG support
+    reaches them all."""
+    if payload[:8] == _PNG_SIG:
+        return png_parse(payload)
+    w, h, po, pl = ppm_parse(payload)
+    return w, h, payload[po : po + pl]
+
+
 def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode payloads to fixed-dim feature vectors:
     (media_id, features ARRAY<DOUBLE>).
@@ -186,12 +369,15 @@ def resize_media(
     (media_id, thumb BINARY, meta STRUCT<width, height, n_bytes,
     content_sha>).
 
-    With ``fake=False`` payloads must be canonical P6 PPM images: they
-    are REALLY decoded (:func:`ppm_parse`), nearest-neighbor resampled
-    to ``width×height`` (``src = floor(dst * src_dim / dst_dim)`` — the
+    With ``fake=False`` payloads must be canonical P6 PPM or 8-bit-RGB
+    PNG images (sniffed per item, :func:`parse_image`): they are REALLY
+    decoded — PNG through the full stdlib-zlib chunk/CRC/de-filter path
+    (:func:`png_parse`) — nearest-neighbor resampled to
+    ``width×height`` (``src = floor(dst * src_dim / dst_dim)`` — the
     deterministic resample every engine agrees on), and re-encoded as
-    P6.  Compressed formats (JPEG/PNG — codecs not in this
-    environment) still need ``fake=True``, a deterministic
+    canonical P6 (the uncompressed interchange form downstream stages
+    parse in O(1)).  Entropy-coded formats (JPEG/MP3 — their codecs are
+    not in the stdlib) still need ``fake=True``, a deterministic
     crop-to-``width*height``-bytes stub.
 
     Either way the distributed shape is the real one: Arrow batches
@@ -231,10 +417,9 @@ def resize_media(
             for pdf in it:
                 thumbs = []
                 for p in pdf["payload"]:
-                    b = bytes(p)
-                    w, h, po, pl = ppm_parse(b)
+                    w, h, rgb = parse_image(bytes(p))
                     arr = np.frombuffer(
-                        b, dtype=np.uint8, count=pl, offset=po
+                        rgb, dtype=np.uint8
                     ).reshape(h, w, 3)
                     resized = arr[(ys_base * h) // height][
                         :, (xs_base * w) // width

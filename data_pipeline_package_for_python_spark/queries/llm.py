@@ -1338,9 +1338,10 @@ _RESIZE_VAL = (
 )
 
 
-@query(
-    "multimodal_resize",
-    oracle="""
+# Expected 8×8 thumbnail of the synthetic still image, rebuilt
+# pixel-by-pixel from the closed formula (shared by the PPM and PNG
+# resize queries — the expected DECODED pixels are format-independent).
+_RESIZE_ORACLE = """
     WITH px AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
              unnest(range(0, 192)) AS i
@@ -1363,8 +1364,10 @@ _RESIZE_VAL = (
     SELECT doc_id AS media_id, 8 AS width, 8 AS height,
            octet_length(tb) AS n_bytes, hex(tb) AS thumb_hex
     FROM thumb
-    """,
-)
+    """
+
+
+@query("multimodal_resize", oracle=_RESIZE_ORACLE)
 def multimodal_resize(spark, sf_dir):
     """REAL thumbnail stage over synthetic P6 images: the JVM builds
     each doc's PPM payload in codegen, the Arrow-batched mapInPandas
@@ -1383,6 +1386,64 @@ def multimodal_resize(spark, sf_dir):
     )
     media = M.pack_media(imgs, "doc_id", "payload",
                          mime="image/x-portable-pixmap")
+    resized = M.resize_media(media, width=8, height=8, fake=False)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.hex("thumb").alias("thumb_hex"),
+    )
+
+
+@query("multimodal_png_resize", oracle=_RESIZE_ORACLE)
+def multimodal_png_resize(spark, sf_dir):
+    """REAL compressed-image decode: each doc's synthetic pixels are
+    encoded as a genuine PNG (stdlib zlib DEFLATE, CRC'd chunks) with
+    the per-scanline filter chosen by doc_id % 5 — so every decoder
+    filter path (None/Sub/Up/Average/Paeth) is exercised across the
+    corpus — then the SAME resize stage as multimodal_resize sniffs the
+    PNG signature, walks chunks with CRC verification, inflates,
+    de-filters (operators/multimodal.py png_parse), resamples to 8×8
+    and re-encodes canonical P6.  The oracle rebuilds the expected
+    thumbnail from the pixel formula alone, so byte-equality proves the
+    full PNG encode→decode round-trip is lossless through all five
+    filters.  Scale shape: two Arrow-batched mapInPandas stages
+    (encode, decode+resize), bounded per-item output — identical
+    distribution posture to the PPM path."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import png_encode
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 4 + d % 11
+                i = np.arange(w * h * 3, dtype=np.int64)
+                val = (
+                    d * 31
+                    + (i // (w * 3)) * 17
+                    + ((i % (w * 3)) // 3) * 7
+                    + (i % 3) * 3
+                ) % 256
+                payloads.append(
+                    png_encode(
+                        w, h,
+                        val.astype(np.uint8).tobytes(),
+                        filter_type=d % 5,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+    media = M.pack_media(imgs, "doc_id", "payload", mime="image/png")
     resized = M.resize_media(media, width=8, height=8, fake=False)
     return resized.select(
         "media_id",

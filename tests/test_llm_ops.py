@@ -742,3 +742,70 @@ def test_mixture_drift_laws(spark, sf_dir):
     for r in rows:
         assert r.delta_ppm == r.share_cand_ppm - r.share_ref_ppm
         assert r.drifted == int(abs(r.delta_ppm) > 20000)
+
+
+def test_png_real_codec_roundtrip_all_filters():
+    """png_encode→png_parse is lossless through every scanline filter
+    (None/Sub/Up/Average/Paeth), multi-size, CRC-verified."""
+    import random
+
+    rng = random.Random(7)
+    for ft in range(5):
+        for (w, h) in [(1, 1), (4, 3), (13, 11), (31, 2)]:
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            p = M.png_encode(w, h, rgb, filter_type=ft)
+            assert p[:8] == b"\x89PNG\r\n\x1a\n"
+            assert M.png_parse(p) == (w, h, rgb)
+            # the unified sniff decodes PNG and PPM alike
+            assert M.parse_image(p) == (w, h, rgb)
+    assert M.parse_image(M.ppm_encode(2, 2, bytes(12))) == (
+        2, 2, bytes(12),
+    )
+
+
+def test_png_parse_rejects_corruption_and_unsupported():
+    p = bytearray(M.png_encode(3, 3, bytes(27)))
+    p[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        M.png_parse(bytes(p))
+    # grayscale (color type 0) is outside the supported subset
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        M.png_parse(b"\x89PNG\r\n\x1a\n" + chunk)
+    with pytest.raises(ValueError, match="signature"):
+        M.png_parse(b"JFIF not a png")
+
+
+def test_png_payloads_flow_through_resize_and_ahash(spark):
+    """A real PNG payload rides the same distributed pixel path as PPM:
+    resize_media sniffs and decodes it, and perceptual_ahash (which
+    builds on resize) produces the SAME fingerprint for the same pixels
+    in either container — the re-encoding robustness aHash exists for."""
+    rgb = bytes(
+        v for k in range(4) for v in (10 * k, 10 * k + 1, 10 * k + 2)
+    )
+    png = M.png_encode(2, 2, rgb, filter_type=4)
+    ppm = M.ppm_encode(2, 2, rgb)
+    df = spark.createDataFrame(
+        [(1, png), (2, ppm)], "doc_id long, payload binary"
+    )
+    media = M.pack_media(df, "doc_id", "payload")
+    thumbs = {
+        r.media_id: bytes(r.thumb)
+        for r in M.resize_media(
+            media, width=4, height=4, fake=False
+        ).collect()
+    }
+    assert thumbs[1] == thumbs[2]  # same pixels -> same P6 thumb
+    hashes = {
+        r.media_id: (r.hash_lo, r.hash_hi)
+        for r in M.perceptual_ahash(media, size=4).collect()
+    }
+    assert hashes[1] == hashes[2]

@@ -318,12 +318,16 @@ def png_parse(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Sniff-and-decode an image payload: canonical P6 PPM or 8-bit-RGB
-    PNG → (width, height, rgb bytes).  The single entry point the
-    pixel-consuming operators (resize, aHash) use, so PNG support
-    reaches them all."""
+    """Sniff-and-decode an image payload: canonical P6 PPM, 8-bit-RGB
+    PNG, or baseline 4:4:4 JPEG → (width, height, rgb bytes).  The
+    single entry point the pixel-consuming operators (resize, aHash)
+    use, so every decoded format reaches them all."""
     if payload[:8] == _PNG_SIG:
         return png_parse(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_parse
+
+        return jpeg_parse(payload)
     w, h, po, pl = ppm_parse(payload)
     return w, h, payload[po : po + pl]
 

@@ -1454,6 +1454,81 @@ def multimodal_png_resize(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 11 AS BIGINT) AS height,
+           1 AS within_mae, 1 AS within_max
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """REAL entropy-coded decode: each doc's synthetic pixels are
+    compressed into a genuine baseline JPEG — 8×8 DCT, unit quant
+    tables, Annex-K Huffman coding, 0xFF00 bit-stuffing, restart
+    markers every 3 MCUs (doc_id-independent so every decoder path
+    runs) — then decoded back by the pure-stdlib+numpy codec
+    (operators/jpeg.py).  JPEG is LOSSY, so the checkable surface is
+    the QUANTIZATION-ERROR CONTRACT instead of byte equality: per
+    image, decoded dimensions plus 'mean abs error ≤ 2' and 'max abs
+    error ≤ 4' flags (unit tables leave only DCT/color float-rounding,
+    measured ≤2), which the oracle predicts exactly.  Error laws are
+    additionally pinned in tests/test_llm_ops.py.  Scale shape: one
+    Arrow-batched mapInPandas (encode → decode → compare) per batch,
+    fixed-width output."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import jpeg_encode
+        from ..operators.multimodal import parse_image
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 4 + d % 11
+                i = np.arange(w * h * 3, dtype=np.int64)
+                src = (
+                    (
+                        d * 31
+                        + (i // (w * 3)) * 17
+                        + ((i % (w * 3)) // 3) * 7
+                        + (i % 3) * 3
+                    ) % 256
+                ).astype(np.uint8)
+                payload = jpeg_encode(
+                    w, h, src.tobytes(), restart_interval=3
+                )
+                dw, dh, out = parse_image(payload)
+                dec = np.frombuffer(out, np.uint8)
+                err = np.abs(
+                    src.astype(np.int64) - dec.astype(np.int64)
+                )
+                rows.append((
+                    d, dw, dh,
+                    int(err.mean() <= 2.0),
+                    int(err.max() <= 4),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "within_mae", "within_max",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="media_id long, width long, height long, "
+               "within_mae int, within_max int",
+    )
+
+
 # Frame f of doc_id's container: w = 3 + (doc_id + f) % 5,
 # h = 2 + (doc_id + f) % 3, pixel value adds f*13 to the still formula.
 _FRAME_W = "(3 + (doc_id + f) % 5)"

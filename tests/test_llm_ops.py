@@ -809,3 +809,80 @@ def test_png_payloads_flow_through_resize_and_ahash(spark):
         for r in M.perceptual_ahash(media, size=4).collect()
     }
     assert hashes[1] == hashes[2]
+
+
+def test_jpeg_real_codec_error_laws():
+    """Baseline JPEG encode→decode with unit quant tables: dimensions
+    exact, error bounded by float rounding (mae ≤ 2, max ≤ 4), across
+    sizes, filterless/restart paths, and random + structured content."""
+    import random
+
+    from data_pipeline_package_for_python_spark.operators.jpeg import (
+        jpeg_encode,
+        jpeg_parse,
+    )
+
+    rng = random.Random(3)
+    for (w, h, ri) in [
+        (1, 1, 0), (8, 8, 0), (4, 3, 0), (13, 11, 1),
+        (17, 23, 2), (31, 2, 5),
+    ]:
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        p = jpeg_encode(w, h, rgb, restart_interval=ri)
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        dw, dh, out = jpeg_parse(p)
+        assert (dw, dh) == (w, h)
+        a = np.frombuffer(rgb, np.uint8).astype(int)
+        b = np.frombuffer(out, np.uint8).astype(int)
+        assert np.abs(a - b).mean() <= 2.0
+        assert np.abs(a - b).max() <= 4
+    # lossy tables: quant step q bounds spatial error by ~q (q/2 per
+    # coefficient through an orthonormal IDCT, plus rounding slop)
+    q = np.full(64, 16, dtype=np.int64)
+    rgb = bytes(rng.randrange(256) for _ in range(13 * 11 * 3))
+    p = jpeg_encode(13, 11, rgb, luma_q=q, chroma_q=q)
+    dw, dh, out = jpeg_parse(p)
+    a = np.frombuffer(rgb, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).mean() <= 16
+
+
+def test_jpeg_parse_rejects_unsupported():
+    from data_pipeline_package_for_python_spark.operators.jpeg import (
+        jpeg_encode,
+        jpeg_parse,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_parse(b"\x89PNG not a jpeg")
+    # flip SOF0 into SOF2 (progressive) — must refuse, not garble
+    p = bytearray(jpeg_encode(4, 4, bytes(48)))
+    idx = p.find(b"\xff\xc0")
+    p[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_parse(bytes(p))
+
+
+def test_jpeg_payloads_flow_through_resize_and_ahash(spark):
+    """A real JPEG payload rides the same distributed pixel path as
+    PPM/PNG via the parse_image sniff, and aHash — designed to survive
+    lossy re-encoding — matches the fingerprint of the source pixels."""
+    from data_pipeline_package_for_python_spark.operators.jpeg import (
+        jpeg_encode,
+    )
+
+    w, h = 8, 8
+    i = np.arange(w * h * 3, dtype=np.int64)
+    rgb = (((i // (w * 3)) * 29 + ((i % (w * 3)) // 3) * 11) % 256
+           ).astype(np.uint8).tobytes()
+    jpg = jpeg_encode(w, h, rgb)
+    ppm = M.ppm_encode(w, h, rgb)
+    df = spark.createDataFrame(
+        [(1, jpg), (2, ppm)], "doc_id long, payload binary"
+    )
+    media = M.pack_media(df, "doc_id", "payload")
+    hashes = {
+        r.media_id: (r.hash_lo, r.hash_hi)
+        for r in M.perceptual_ahash(media, size=4).collect()
+    }
+    assert hashes[1] == hashes[2]

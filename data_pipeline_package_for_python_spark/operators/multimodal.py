@@ -373,16 +373,17 @@ def resize_media(
     (media_id, thumb BINARY, meta STRUCT<width, height, n_bytes,
     content_sha>).
 
-    With ``fake=False`` payloads must be canonical P6 PPM or 8-bit-RGB
-    PNG images (sniffed per item, :func:`parse_image`): they are REALLY
-    decoded — PNG through the full stdlib-zlib chunk/CRC/de-filter path
-    (:func:`png_parse`) — nearest-neighbor resampled to
+    With ``fake=False`` payloads must be canonical P6 PPM, 8-bit-RGB
+    PNG, or baseline 4:4:4 JPEG images (sniffed per item,
+    :func:`parse_image`): they are REALLY decoded — PNG through the
+    full stdlib-zlib chunk/CRC/de-filter path (:func:`png_parse`),
+    JPEG through the from-scratch DCT+Huffman codec
+    (``operators/jpeg.py``) — nearest-neighbor resampled to
     ``width×height`` (``src = floor(dst * src_dim / dst_dim)`` — the
     deterministic resample every engine agrees on), and re-encoded as
     canonical P6 (the uncompressed interchange form downstream stages
-    parse in O(1)).  Entropy-coded formats (JPEG/MP3 — their codecs are
-    not in the stdlib) still need ``fake=True``, a deterministic
-    crop-to-``width*height``-bytes stub.
+    parse in O(1)).  ``fake=True`` remains only as the deterministic
+    crop stub for formats outside the decodable set.
 
     Either way the distributed shape is the real one: Arrow batches
     through ``mapInPandas``, bounded per-item output size (a thumbnail
@@ -556,23 +557,98 @@ def wav_encode(samples, sample_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def mulaw_expand(codes) -> "np.ndarray":
+    """G.711 μ-law → linear int16, exact integer arithmetic (ITU-T
+    G.711 / CCITT): byte B → u = ~B; sign = u₇; exponent = u₆₋₄;
+    mantissa = u₃₋₀; |s| = ((mantissa·8 + 132) << exponent) − 132.
+    Bit-for-bit identical to the classic ``ulaw2linear16`` tables (and
+    to ``audioop.ulaw2lin``, cross-checked in tests), and expressible
+    as pure integer SQL — which is what makes μ-law payloads
+    hash-checkable against a DuckDB twin."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int64) & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    mag -= 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def mulaw_compress(samples) -> bytes:
+    """Linear int16 → G.711 μ-law bytes (the encoder twin, used by
+    round-trip law tests): bias 132, segment = position of the top
+    magnitude bit, 4-bit mantissa, ones-complement output."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    sign = (s < 0).astype(np.int64)
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    exp = np.int64(np.floor(np.log2(mag))) - 7
+    exp = np.maximum(exp, 0)
+    mant = (mag >> (exp + 3)) & 0x0F
+    u = (sign << 7) | (exp << 4) | mant
+    return ((~u) & 0xFF).astype(np.uint8).tobytes()
+
+
+def mulaw_wav_encode(codes: bytes, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE container for raw G.711 μ-law bytes (format tag 7,
+    8-bit mono) — the stdlib ``wave`` module cannot write non-PCM, so
+    the header is built directly."""
+    import struct
+
+    dsize = len(codes)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + dsize) + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 7, 1, sample_rate, sample_rate, 1, 8
+        )
+        + b"data" + struct.pack("<I", dsize) + codes
+    )
+
+
 def wav_parse(payload: bytes):
-    """(sample_rate, int16 sample array) from canonical mono PCM WAV;
-    raises ValueError on any other layout so corrupt payloads surface
-    as task errors, not silent garbage."""
-    import io
-    import wave
+    """(sample_rate, int16 sample array) from a canonical mono WAV:
+    16-bit linear PCM (format 1) passes through; 8-bit G.711 μ-law
+    (format 7 — REAL compressed audio) is expanded to int16 by the
+    exact integer formula (:func:`mulaw_expand`).  Any other layout
+    raises ValueError so corrupt payloads surface as task errors, not
+    silent garbage."""
+    import struct
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getnchannels() != 1 or w.getsampwidth() != 2:
-            raise ValueError(
-                "audio_energy expects canonical 16-bit mono PCM WAV"
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            "audio_energy expects canonical 16-bit mono PCM WAV "
+            "or mono G.711 mu-law WAV (bad RIFF/WAVE header)"
+        )
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
             )
-        rate = w.getframerate()
-        raw = w.readframes(w.getnframes())
-    return rate, np.frombuffer(raw, dtype="<i2")
+            fmt = (tag, ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, bits = fmt
+    if ch != 1:
+        raise ValueError("audio_energy expects mono WAV")
+    if tag == 1 and bits == 16:
+        return rate, np.frombuffer(data, dtype="<i2")
+    if tag == 7 and bits == 8:
+        return rate, mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    raise ValueError(
+        "audio_energy expects canonical 16-bit mono PCM WAV "
+        f"or mono G.711 mu-law WAV (got format {tag}, {bits}-bit)"
+    )
 
 
 def audio_energy(media: DataFrame, *, window: int) -> DataFrame:

@@ -1672,6 +1672,85 @@ def multimodal_audio_energy(spark, sf_dir):
     return M.audio_energy(media, window=256)
 
 
+# Synthetic G.711 track: doc_id's stream has 800 + (doc_id % 4) * 160
+# mu-law CODES (not PCM), code k = (doc_id*13 + k*5) % 256.
+_MULAW_N = "(800 + (doc_id % 4) * 160)"
+_MULAW_B = "((doc_id * 13 + k * 5) % 256)"
+
+
+def _mulaw_wav_payload_sql(n: str) -> str:
+    """Spark SQL expr building a RIFF/WAVE **G.711 mu-law** payload
+    (format tag 7, 8-bit mono @8 kHz) for ``n`` codes of the
+    `_MULAW_B` formula — the compressed-audio twin of
+    ``_wav_payload_sql``."""
+    le32 = (
+        "format_string('%02x%02x%02x%02x', ({x}) % 256,"
+        " (({x}) div 256) % 256, (({x}) div 65536) % 256,"
+        " (({x}) div 16777216) % 256)"
+    )
+    riff_size = le32.format(x=f"(36 + ({n}))")
+    data_size = le32.format(x=f"({n})")
+    return (
+        "unhex(concat('52494646', "          # 'RIFF'
+        f"{riff_size}, "
+        "'57415645666d7420', "               # 'WAVE' 'fmt '
+        "'10000000', "                       # fmt chunk size 16
+        "'0700', '0100', "                   # G.711 mu-law, mono
+        "'401f0000', '401f0000', "           # 8000 Hz, 8000 B/s
+        "'0100', '0800', "                   # block align 1, 8-bit
+        "'64617461', "                       # 'data'
+        f"{data_size}, "
+        f"concat_ws('', transform(sequence(0, ({n}) - 1, 1), "
+        f"k -> format_string('%02x', {_MULAW_B})))))"
+    )
+
+
+@query(
+    "multimodal_audio_mulaw_energy",
+    oracle="""
+    WITH r AS (SELECT unnest(range(0, 1280)) AS k),
+    u AS (
+      SELECT doc_id, k, 255 - (doc_id * 13 + k * 5) % 256 AS u
+      FROM documents, r
+      WHERE k < 800 + (doc_id % 4) * 160
+    ),
+    s AS (
+      SELECT doc_id, k,
+             CASE WHEN u >= 128 THEN
+               -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+             ELSE
+               ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             END AS samp
+      FROM u
+    )
+    SELECT doc_id AS media_id, k // 256 AS window_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(samp * samp) AS BIGINT) AS energy,
+           CAST(max(abs(samp)) AS BIGINT) AS peak
+    FROM s GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_mulaw_energy(spark, sf_dir):
+    """REAL compressed-audio decode: the JVM builds each doc's G.711
+    mu-law RIFF/WAVE payload in codegen (format tag 7, 8-bit codes),
+    the Arrow-batched mapInPandas stage walks the RIFF chunks and
+    EXPANDS the companded codes to linear int16 by the exact ITU-T
+    integer formula (operators/multimodal.py mulaw_expand — bit-equal
+    to the classic ulaw2linear16 tables, cross-checked against
+    audioop in tests), then windows energy/peak in exact int64.  The
+    oracle replays code synthesis + expansion + windowing as pure
+    integer SQL, so a single mis-expanded sample diverges the hash —
+    a COMPRESSED format with an exact cross-engine oracle, which the
+    lossy-DCT JPEG path cannot offer."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    tracks = docs.select(
+        "doc_id", F.expr(_mulaw_wav_payload_sql(_MULAW_N)).alias("payload")
+    )
+    media = M.pack_media(tracks, "doc_id", "payload",
+                         modality="audio", mime="audio/basic")
+    return M.audio_energy(media, window=256)
+
+
 @query(
     "scan_binary_files",
     oracle="""

@@ -886,3 +886,56 @@ def test_jpeg_payloads_flow_through_resize_and_ahash(spark):
         for r in M.perceptual_ahash(media, size=4).collect()
     }
     assert hashes[1] == hashes[2]
+
+
+def test_mulaw_codec_exact_laws():
+    """G.711 mu-law expansion is the exact ITU-T integer mapping:
+    bit-equal to stdlib audioop's table (when available), and
+    compress∘expand is the identity on all codes except negative zero
+    (0x7F), which canonicalizes to positive zero — the classic mu-law
+    ±0 merge; value-level round-trip is exact everywhere."""
+    codes = bytes(range(256))
+    ours = M.mulaw_expand(np.frombuffer(codes, np.uint8))
+    assert ours.max() == 32124 and ours.min() == -32124
+    assert ours[0xFF] == 0 and ours[0x7F] == 0
+    try:
+        import audioop  # removed in 3.13; cross-check where present
+
+        ref = np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+        assert (ours == ref).all()
+    except ImportError:
+        pass
+    rt = M.mulaw_compress(ours)
+    mismatch = [b for b in range(256) if rt[b] != b]
+    assert mismatch == [0x7F]  # negative zero -> positive zero
+    # value-level identity everywhere
+    again = M.mulaw_expand(np.frombuffer(rt, np.uint8))
+    assert (again == ours).all()
+    # quantization law on linear input: relative error < 1/32 segment
+    lin = np.linspace(-32000, 32000, 4001).astype(np.int64)
+    dec = M.mulaw_expand(
+        np.frombuffer(M.mulaw_compress(lin), np.uint8)
+    ).astype(np.int64)
+    rel = np.abs(dec - lin) / np.maximum(np.abs(lin) + 132, 1)
+    assert rel.max() < 1 / 16
+
+
+def test_wav_parse_handles_pcm_and_mulaw_rejects_rest():
+    import struct
+
+    pcm = M.wav_encode(np.arange(-500, 500, dtype=np.int16))
+    rate, s = M.wav_parse(pcm)
+    assert rate == 16000 and (s == np.arange(-500, 500)).all()
+    codes = bytes(range(256))
+    wav7 = M.mulaw_wav_encode(codes, 8000)
+    rate, s = M.wav_parse(wav7)
+    assert rate == 8000
+    assert (s == M.mulaw_expand(np.frombuffer(codes, np.uint8))).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_parse(b"ID3 not a wav")
+    # IEEE-float WAV (format 3) is outside the contract
+    bad = bytearray(wav7)
+    idx = bad.find(b"fmt ") + 8
+    bad[idx:idx + 2] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="format 3"):
+        M.wav_parse(bytes(bad))

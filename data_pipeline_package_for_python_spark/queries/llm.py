@@ -1752,6 +1752,171 @@ def multimodal_audio_mulaw_energy(spark, sf_dir):
 
 
 @query(
+    "scan_zip_members",
+    oracle="""
+    SELECT doc_id // 5 AS archive_id,
+           'doc_' || doc_id || '.txt' AS member_name,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def scan_zip_members(spark, sf_dir):
+    """Archive ingestion stage 1: documents grouped five-per-archive
+    into REAL DEFLATE zip files (stdlib zipfile, pinned timestamps)
+    inside a grouped applyInPandas, then expanded back one-row-per-
+    member by operators/archive.py expand_zip — the 'collection dump →
+    rows' step every real corpus intake starts with.  Content is
+    re-hashed JVM-side after extraction; the oracle hashes the same
+    text straight from the table, so a single member lost, renamed, or
+    corrupted by the compress/decompress round-trip diverges the
+    hash."""
+    import pandas as pd
+
+    from ..operators import archive as A
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 5).cast("long").alias("archive_id"),
+        "doc_id",
+        "text",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = [
+            (f"doc_{int(r.doc_id)}.txt", r.text.encode("utf-8"))
+            for r in pdf.sort_values("doc_id").itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["archive_id"].iloc[0])],
+                "payload": [A.zip_bytes(members)],
+            }
+        )
+
+    archives = docs.groupBy("archive_id").applyInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    return A.expand_zip(archives).select(
+        "archive_id",
+        "member_name",
+        "n_bytes",
+        F.sha2("content", 256).alias("sha"),
+    )
+
+
+@query(
+    "scan_tar_members",
+    oracle="""
+    SELECT doc_id // 5 AS archive_id,
+           'doc_' || doc_id || '.txt' AS member_name,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def scan_tar_members(spark, sf_dir):
+    """Same intake contract as scan_zip_members but through the
+    tar.gz path (stdlib tarfile + gzip, zeroed mtimes): the dump
+    format papers/code corpora actually arrive in.  Identical oracle —
+    the member surface is format-independent, which is the point."""
+    import pandas as pd
+
+    from ..operators import archive as A
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 5).cast("long").alias("archive_id"),
+        "doc_id",
+        "text",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = [
+            (f"doc_{int(r.doc_id)}.txt", r.text.encode("utf-8"))
+            for r in pdf.sort_values("doc_id").itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["archive_id"].iloc[0])],
+                "payload": [A.tar_gz_bytes(members)],
+            }
+        )
+
+    archives = docs.groupBy("archive_id").applyInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    return A.expand_tar(archives, gzipped=True).select(
+        "archive_id",
+        "member_name",
+        "n_bytes",
+        F.sha2("content", 256).alias("sha"),
+    )
+
+
+@query(
+    "scan_warc_records",
+    oracle="""
+    SELECT doc_id AS archive_id, 0 AS record_idx,
+           'response' AS warc_type,
+           'https://example.com/' || doc_id AS target_uri,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'metadata',
+           'https://example.com/' || doc_id,
+           octet_length(encode('lang=' || lang)),
+           sha256('lang=' || lang)
+    FROM documents
+    """,
+)
+def scan_warc_records(spark, sf_dir):
+    """Web-crawl ingestion: each doc becomes a WARC/1.0 file with a
+    response record (the page body) and a metadata record, built with
+    standard framing (version line, headers, Content-Length-exact
+    payload, CRLFCRLF separators) and parsed back by
+    operators/archive.py parse_warc — the Common-Crawl-shaped entry
+    point of an LLM data pipeline.  Framing violations raise instead
+    of truncating; the oracle rebuilds every record's uri/length/hash
+    from the table, so record order, header parsing, and payload
+    byte-exactness are all on the hash."""
+    import pandas as pd
+
+    from ..operators import archive as A
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for r in pdf.itertuples():
+                uri = f"https://example.com/{int(r.doc_id)}"
+                payloads.append(
+                    A.warc_bytes([
+                        ("response", uri, r.text.encode("utf-8")),
+                        ("metadata", uri,
+                         f"lang={r.lang}".encode("utf-8")),
+                    ])
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    warcs = docs.mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    return A.parse_warc(warcs).select(
+        "archive_id",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "n_bytes",
+        F.sha2("payload", 256).alias("sha"),
+    )
+
+
+@query(
     "scan_binary_files",
     oracle="""
     SELECT doc_id,

@@ -939,3 +939,49 @@ def test_wav_parse_handles_pcm_and_mulaw_rejects_rest():
     bad[idx:idx + 2] = struct.pack("<H", 3)
     with pytest.raises(ValueError, match="format 3"):
         M.wav_parse(bytes(bad))
+
+
+def test_archive_roundtrips_and_corruption(spark):
+    """zip / tar.gz / WARC build→expand round-trips are exact; corrupt
+    framing raises in the task instead of silently truncating."""
+    from data_pipeline_package_for_python_spark.operators import (
+        archive as A,
+    )
+
+    members = [("a/x.txt", b"hello"), ("y.bin", bytes(range(256)))]
+    for build, expand in (
+        (A.zip_bytes, A.expand_zip),
+        (A.tar_gz_bytes, lambda m: A.expand_tar(m, gzipped=True)),
+    ):
+        payload = build(members)
+        # deterministic fixtures: same members -> same bytes
+        assert payload == build(members)
+        df = spark.createDataFrame(
+            [(7, payload)], "media_id long, payload binary"
+        )
+        got = {
+            r.member_name: bytes(r.content)
+            for r in expand(df).collect()
+        }
+        assert got == dict(members)
+    warc = A.warc_bytes(
+        [("response", "https://e.com/1", b"body-1"),
+         ("metadata", "https://e.com/1", b"lang=en")]
+    )
+    df = spark.createDataFrame(
+        [(1, warc)], "media_id long, payload binary"
+    )
+    recs = sorted(
+        A.parse_warc(df).collect(), key=lambda r: r.record_idx
+    )
+    assert [(r.warc_type, r.target_uri, bytes(r.payload)) for r in recs] == [
+        ("response", "https://e.com/1", b"body-1"),
+        ("metadata", "https://e.com/1", b"lang=en"),
+    ]
+    # lying Content-Length -> separator check fires
+    bad = warc.replace(b"Content-Length: 6", b"Content-Length: 4")
+    dfb = spark.createDataFrame(
+        [(2, bad)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="separator|WARC"):
+        A.parse_warc(dfb).collect()

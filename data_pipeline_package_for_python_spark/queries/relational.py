@@ -2756,3 +2756,51 @@ def scan_text_roundtrip(spark, sf_dir):
 
 
 _TEXT_STAGE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "scan_jsonl_gzip_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           sha256(string_agg(CAST(doc_id AS VARCHAR), ','
+                             ORDER BY doc_id)) AS id_census
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_jsonl_gzip_roundtrip(spark, sf_dir):
+    """GZIPPED JSONL round-trip through Spark's NATIVE codec path: the
+    corpus writes as ``.json.gz`` (``compression=gzip``) and reads
+    back with schema inference — decompression happens JVM-SIDE inside
+    the scan, the preferred shape for compressed line-oriented corpora
+    at 100 TB (splittable-format caveats aside, gzip text is the
+    dominant interchange form crawls actually ship).  Complements the
+    Python-side archive operators (operators/archive.py), which exist
+    for container formats Spark has no native reader for.  The census
+    (per-lang counts, char mass, an ORDER-pinned id digest) must match
+    the original table exactly — one dropped or doubled line after
+    the compress/decompress round-trip diverges the hash."""
+    import tempfile
+
+    key = ("jsonl_gz_stage", sf_dir)
+    path = _TEXT_STAGE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dpp_jsonlgz_")
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        ).write.mode("overwrite").option("compression", "gzip").json(path)
+        _TEXT_STAGE[key] = path
+    back = spark.read.json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.col("doc_id").cast("long")))
+                .cast("array<string>"),
+            ),
+            256,
+        ).alias("id_census"),
+    )

@@ -310,6 +310,19 @@ def test_audio_energy_is_arrow_map_only(spark, sf_dir):
     assert r.joins == [] and r.n_shuffles == 0
 
 
+def test_archive_ingestion_plan_shapes(spark, sf_dir):
+    """WARC parsing is a pure 1→N flatMap — zero shuffles, zero joins;
+    the zip/tar paths pay exactly ONE shuffle (the group-into-archives
+    applyInPandas), and the member expansion itself adds none."""
+    r = rep("scan_warc_records", spark, sf_dir)
+    assert "MapInPandas" in r.text
+    assert r.joins == [] and r.n_shuffles == 0
+    for name in ("scan_zip_members", "scan_tar_members"):
+        r = rep(name, spark, sf_dir)
+        assert r.joins == [], name
+        assert r.n_shuffles == 1, name
+
+
 def test_fuzzy_join_is_equality_blocked(spark, sf_dir):
     """Record linkage must candidate via the EQUALITY blocking join —
     a nested-loop/cartesian here means the blocking key fell out."""

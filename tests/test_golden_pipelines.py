@@ -358,3 +358,77 @@ def test_golden_lm_mixture_round3(spark, sf_dir):
     # committed digests pin exact end-to-end results on sf0.001
     assert digest(p.weights) == "f8275abfa4c3a89f"
     assert digest(p.merges) == "d51782de91678eeb"
+
+
+def test_golden_warc_ingestion_round4(spark, sf_dir):
+    """Round-4 ingestion golden: raw WARC files → parsed response
+    records → utf-8 decode → charset gate → exact dedup survivors,
+    composed entirely through the DSL.  Pins that the archive layer
+    (operators/archive.py) feeds the existing curation operators with
+    no impedance mismatch — the crawl-to-clean-corpus path end to
+    end."""
+    import pandas as pd
+
+    from data_pipeline_package_for_python_spark.operators import (
+        archive as A,
+    )
+    from data_pipeline_package_for_python_spark.operators import (
+        dedup as DD,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_warc(it):
+        for pdf in it:
+            payloads = [
+                A.warc_bytes([
+                    ("response", f"https://e.com/{int(r.doc_id)}",
+                     r.text.encode("utf-8")),
+                ])
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    warcs = docs.mapInPandas(
+        to_warc, schema="media_id long, payload binary"
+    )
+    with Pipeline(crawl=warcs) as p:
+        p.sequence(
+            p.crawl >> A.parse_warc >> p.records,
+            PREV
+            >> (
+                lambda df: df.filter(
+                    F.col("warc_type") == "response"
+                ).select(
+                    F.col("archive_id").alias("doc_id"),
+                    F.col("payload").cast("string").alias("text"),
+                )
+            )
+            >> p.texts,
+            PREV
+            >> (
+                lambda df: df.filter(
+                    F.length(F.regexp_replace("text", r"[^a-zA-Z ]", ""))
+                    * 10
+                    >= F.length("text") * 5
+                )
+            )
+            >> p.clean,
+            PREV
+            >> (lambda df: DD.exact_dedup(df, "text", "doc_id"))
+            >> p.unique,
+        )
+        p.common(
+            p.unique
+            >> (
+                lambda df: df.agg(
+                    F.count(F.lit(1)).alias("n_unique"),
+                    F.sum("n_copies").alias("n_total"),
+                )
+            )
+            >> p.census,
+        )
+    
+    assert digest(p.census) == "6c9977a4624ef959"

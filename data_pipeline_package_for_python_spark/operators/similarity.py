@@ -583,6 +583,99 @@ def kmeans_embeddings(
     return result
 
 
+def kmeans_embeddings_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bit-deterministic Lloyd's k-means: same shape as
+    :func:`kmeans_embeddings` but EVERY quantity is a BIGINT —
+
+      u_d        = floor(x_d · scale + 0.5)        (per-dim quantize)
+      dist(v, c) = Σ_d (u_d − c_d)²                (exact BIGINT)
+      c'_d       = floor(Σ u_d / n)                (floor division)
+
+    — so assignment argmin (first-match tie-break), centroid
+    trajectory, and final clusters are bit-identical under any
+    partitioning AND replayable as pure integer SQL: a DuckDB twin
+    unrolling the fixed iteration count hash-matches, which upgrades
+    the registered query from rows-only to hash-checked (the
+    ``pagerank_exact`` discipline applied to clustering; quantization
+    at 1e-6 moves cluster boundaries by ≤1 unit — immaterial for
+    corpus bucketing).  Distribution shape is unchanged: map-only
+    literal-centroid assignment, k×d integer partials per iteration,
+    k×d driver state.  Seeds = the k lowest-id vectors.  Fixed
+    ``iterations`` (no early convergence break) so both engines run
+    the identical schedule.  Empty clusters keep their previous
+    centroid.  Overflow headroom: |u| ≤ ~scale ⇒ per-dim square ≤
+    4·scale², ×64 dims ≈ 2.6e14 ≪ 2⁶³."""
+    uexpr = (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {int(scale)} + 0.5d) AS BIGINT))"
+    )
+    vecs = (
+        df.select(
+            F.col(id_col).alias("__id"), F.expr(uexpr).alias("__u")
+        )
+        .filter(F.col("__u").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    seed_rows = vecs.orderBy("__id").limit(k).select("__u").collect()
+    centroids = [list(map(int, r["__u"])) for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(
+            f"need at least k={k} vectors, got {len(centroids)}"
+        )
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__u"),
+                    F.array(*[F.lit(int(cd)).cast("bigint") for cd in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ])
+        return frame.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(vecs)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("__u")).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in sums:
+            # Python // floors toward -inf, matching DuckDB's // on the
+            # possibly-negative sums (Spark never computes this — the
+            # update is driver-side k×d state, the one place a floor
+            # semantic mismatch could hide)
+            new_centroids[r["cluster"]][r["pos"]] = int(r["s"]) // int(r["n"])
+        centroids = new_centroids
+
+    result = assign(vecs).select(
+        F.col("__id").alias(id_col), "cluster"
+    )
+    result.centroids = centroids
+    return result
+
+
 # --------------------------------------------------------------------- #
 # scalar quantization (SQ8) ANN                                         #
 # --------------------------------------------------------------------- #

@@ -1199,21 +1199,77 @@ def sim_topk_sq8(spark, sf_dir):
     )
 
 
-@query(
-    "embed_kmeans_clusters",
-    oracle=None,
-    doc="Lloyd's k-means is iterative with driver-held centroid state — "
-        "not expressible as one SQL query; rows-only check (k rows), "
-        "with the partition/recovery/determinism laws pinned in "
-        "tests/test_llm_ops.py.",
-)
+def _kmeans_oracle_sql(
+    k: int = 8, iterations: int = 5, dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """Unrolled exact-integer k-means twin for DuckDB.
+
+    Mirrors operators/similarity.py kmeans_embeddings_exact round for
+    round: per-dim quantize to BIGINT units, squared-L2 in exact
+    integers, argmin with lowest-cluster tie-break, centroid update by
+    floor division, empty clusters keeping their previous centroid.
+    The fixed iteration count unrolls into chained CTE stages, every
+    one ``AS MATERIALIZED`` (DuckDB inlines CTEs by default and each
+    round references the previous twice — the same exponential-blowup
+    guard the PageRank twin needs)."""
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5)"
+        " AS BIGINT)) AS u FROM embeddings)",
+        "vp AS MATERIALIZED (SELECT vec_id, p.pos, u[p.pos + 1] AS x"
+        f" FROM v, (SELECT unnest(range({dim})) AS pos) p)",
+        "c0 AS MATERIALIZED (SELECT s.rn - 1 AS cluster, vp.pos,"
+        " vp.x AS c FROM (SELECT vec_id, row_number() OVER"
+        f" (ORDER BY vec_id) AS rn FROM v ORDER BY vec_id LIMIT {k}) s"
+        " JOIN vp USING (vec_id))",
+    ]
+    last_c = "c0"
+    n_assign = iterations + 1  # Spark assigns once more after the loop
+    for i in range(1, n_assign + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT vp.vec_id, c.cluster,"
+            " CAST(SUM((vp.x - c.c) * (vp.x - c.c)) AS BIGINT) AS dist"
+            f" FROM vp JOIN {last_c} c USING (pos) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, cluster FROM"
+            " (SELECT vec_id, cluster, row_number() OVER"
+            " (PARTITION BY vec_id ORDER BY dist, cluster) AS rn"
+            f" FROM d{i}) WHERE rn = 1)"
+        )
+        if i <= iterations:
+            parts.append(
+                f"c{i} AS MATERIALIZED (SELECT prev.cluster, prev.pos,"
+                " CAST(COALESCE(nw.c, prev.c) AS BIGINT) AS c"
+                f" FROM {last_c} prev LEFT JOIN"
+                " (SELECT a.cluster, vp.pos,"
+                " SUM(vp.x) // count(*) AS c"
+                f" FROM a{i} a JOIN vp USING (vec_id) GROUP BY 1, 2) nw"
+                " ON nw.cluster = prev.cluster AND nw.pos = prev.pos)"
+            )
+            last_c = f"c{i}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT cluster, CAST(count(*) AS BIGINT) AS n_members"
+        f" FROM a{n_assign} GROUP BY cluster"
+    )
+
+
+@query("embed_kmeans_clusters", oracle=_kmeans_oracle_sql())
 def embed_kmeans_clusters(spark, sf_dir):
-    """Corpus-diversity clustering: deterministic Lloyd's k-means
-    (operators/similarity.py:kmeans_embeddings) — map-only literal-
-    centroid assignment, decimal-exact centroid sums, k x d driver
-    state.  Returns per-cluster sizes (k rows, stable)."""
+    """Corpus-diversity clustering: bit-deterministic Lloyd's k-means
+    (operators/similarity.py kmeans_embeddings_exact) — map-only
+    literal-centroid assignment, EXACT BIGINT distances over 1e-6
+    quantized dims, floor-division centroid updates, k×d driver state.
+    Upgraded round 4 from rows-only to hash-checked: the fixed
+    5-iteration schedule unrolls into a DuckDB integer twin
+    (_kmeans_oracle_sql), so assignment argmin, tie-breaks, centroid
+    trajectory, and the final per-cluster sizes are all on the hash.
+    The float-centroid variant (kmeans_embeddings) remains for API
+    users and is law-checked in tests/test_llm_ops.py."""
     emb = load(spark, sf_dir, "embeddings")
-    assigned = S.kmeans_embeddings(emb, k=8, max_iterations=5)
+    assigned = S.kmeans_embeddings_exact(emb, k=8, iterations=5)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")
     )

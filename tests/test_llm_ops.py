@@ -985,3 +985,27 @@ def test_archive_roundtrips_and_corruption(spark):
     )
     with pytest.raises(Exception, match="separator|WARC"):
         A.parse_warc(dfb).collect()
+
+
+def test_kmeans_exact_recovers_blobs_and_is_deterministic(spark):
+    """The exact-integer k-means (round 4, hash-checkable) recovers
+    planted blobs like the float variant and is bit-reproducible; its
+    1e-6 quantization cannot move well-separated cluster boundaries."""
+    import itertools
+
+    rows = []
+    for b, base in enumerate([10.0, -10.0, 30.0]):
+        for i in range(20):
+            vec = [base + ((i * 7 + d) % 5) * 0.1 for d in range(8)]
+            rows.append((b * 100 + i, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = S.kmeans_embeddings_exact(df, k=3, iterations=5).collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["vec_id"] // 100, set()).add(r["cluster"])
+    assert all(len(cs) == 1 for cs in by_blob.values())
+    assert len(set(itertools.chain(*by_blob.values()))) == 3
+    again = S.kmeans_embeddings_exact(df, k=3, iterations=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

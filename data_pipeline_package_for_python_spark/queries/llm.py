@@ -1808,6 +1808,65 @@ def multimodal_audio_mulaw_energy(spark, sf_dir):
 
 
 @query(
+    "text_html_extract",
+    oracle=r"""
+    SELECT doc_id AS id,
+           'Doc ' || doc_id AS title,
+           sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS sha,
+           CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML → main-text extraction (the step between WARC ingestion
+    and text curation, what trafilatura does in production): each doc
+    is wrapped into a full page — <title>, <nav>/<header>/<footer>
+    chrome, a <script> payload, entity-escaped body inside <article> —
+    and operators/text.py html_extract_text must recover EXACTLY the
+    title and the whitespace-collapsed article text while dropping
+    every piece of boilerplate: the oracle rebuilds the expected text
+    from the table alone, so a leaked nav item, a surviving script
+    token, an unescaped entity, or a whitespace deviation all diverge
+    the hash.  Map-only plan (two Arrow-batched stages, no
+    shuffle)."""
+    import pandas as pd
+
+    from ..operators.text import html_extract_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_html(it):
+        import html as _html
+
+        for pdf in it:
+            pages = []
+            for r in pdf.itertuples():
+                body = _html.escape(r.text)
+                pages.append(
+                    f"<html><head><title>Doc {int(r.doc_id)}</title>"
+                    "<style>body { margin: 0 }</style></head>"
+                    "<body><nav>Home | <a href=\"/a\">About</a></nav>"
+                    "<header><h1>Site Header</h1></header>"
+                    f"<article><p>{body}</p></article>"
+                    "<footer>&copy; example.com</footer>"
+                    "<script>var x = 1 < 2 && 3 > 2;</script>"
+                    "</body></html>"
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "page": pages}
+            )
+
+    pages = docs.mapInPandas(
+        to_html, schema="doc_id long, page string"
+    )
+    out = html_extract_text(pages, "doc_id", "page")
+    return out.select(
+        "id", "title", F.sha2("text", 256).alias("sha"), "n_chars"
+    )
+
+
+@query(
     "scan_zip_members",
     oracle="""
     SELECT doc_id // 5 AS archive_id,

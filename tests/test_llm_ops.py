@@ -1009,3 +1009,41 @@ def test_kmeans_exact_recovers_blobs_and_is_deterministic(spark):
     assert len(set(itertools.chain(*by_blob.values()))) == 3
     again = S.kmeans_embeddings_exact(df, k=3, iterations=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_html_extract_boilerplate_and_entities(spark):
+    """The HTML extractor drops chrome/script content entirely,
+    unescapes entities, separates blocks with newlines, joins inline
+    markup without breaks, collapses whitespace, and recovers from
+    malformed markup instead of raising."""
+    from data_pipeline_package_for_python_spark.operators.text import (
+        html_extract_text,
+    )
+
+    page = (
+        "<html><head><title> My   Title </title>"
+        "<style>p{x}</style></head><body>"
+        "<nav>Skip <a href='/'>me</a></nav>"
+        "<h1>Head&amp;line</h1>"
+        "<p>First  <b>bo</b>ld &lt;tag&gt; text.</p>"
+        "<aside>sidebar junk</aside>"
+        "<div>Second\n   block</div>"
+        "<footer>foot</footer>"
+        "<script>if (a < b) alert('x');</script>"
+        "</body></html>"
+    )
+    broken = "<p>unclosed <b>bold <div>and </p>stray</em> ends"
+    df = spark.createDataFrame(
+        [(1, page), (2, broken)], "doc_id long, page string"
+    )
+    out = {
+        r.id: r
+        for r in html_extract_text(df, "doc_id", "page").collect()
+    }
+    assert out[1].title == "My Title"
+    assert out[1].text == (
+        "Head&line\nFirst bold <tag> text.\nSecond block"
+    )
+    assert out[1].n_chars == len(out[1].text)
+    # malformed markup degrades to its visible text, never raises
+    assert "unclosed bold" in out[2].text and "stray" in out[2].text

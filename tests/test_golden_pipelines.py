@@ -361,12 +361,12 @@ def test_golden_lm_mixture_round3(spark, sf_dir):
 
 
 def test_golden_warc_ingestion_round4(spark, sf_dir):
-    """Round-4 ingestion golden: raw WARC files → parsed response
-    records → utf-8 decode → charset gate → exact dedup survivors,
-    composed entirely through the DSL.  Pins that the archive layer
-    (operators/archive.py) feeds the existing curation operators with
-    no impedance mismatch — the crawl-to-clean-corpus path end to
-    end."""
+    """Round-4 ingestion golden — the COMPLETE crawl chain: WARC files
+    of full HTML pages → parsed response records → HTML main-text
+    extraction (boilerplate dropped) → charset gate → exact dedup
+    survivors, composed entirely through the DSL.  Pins that the
+    archive + HTML layers feed the existing curation operators with no
+    impedance mismatch — crawl to clean corpus end to end."""
     import pandas as pd
 
     from data_pipeline_package_for_python_spark.operators import (
@@ -375,18 +375,30 @@ def test_golden_warc_ingestion_round4(spark, sf_dir):
     from data_pipeline_package_for_python_spark.operators import (
         dedup as DD,
     )
+    from data_pipeline_package_for_python_spark.operators.text import (
+        html_extract_text,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def to_warc(it):
+        import html as _html
+
         for pdf in it:
-            payloads = [
-                A.warc_bytes([
-                    ("response", f"https://e.com/{int(r.doc_id)}",
-                     r.text.encode("utf-8")),
-                ])
-                for r in pdf.itertuples()
-            ]
+            payloads = []
+            for r in pdf.itertuples():
+                page = (
+                    f"<html><head><title>D{int(r.doc_id)}</title></head>"
+                    "<body><nav>chrome</nav>"
+                    f"<article><p>{_html.escape(r.text)}</p></article>"
+                    "<footer>foot</footer></body></html>"
+                )
+                payloads.append(
+                    A.warc_bytes([
+                        ("response", f"https://e.com/{int(r.doc_id)}",
+                         page.encode("utf-8")),
+                    ])
+                )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -399,12 +411,14 @@ def test_golden_warc_ingestion_round4(spark, sf_dir):
             p.crawl >> A.parse_warc >> p.records,
             PREV
             >> (
-                lambda df: df.filter(
-                    F.col("warc_type") == "response"
-                ).select(
-                    F.col("archive_id").alias("doc_id"),
-                    F.col("payload").cast("string").alias("text"),
-                )
+                lambda df: html_extract_text(
+                    df.filter(F.col("warc_type") == "response").select(
+                        F.col("archive_id").alias("doc_id"),
+                        F.col("payload").cast("string").alias("page"),
+                    ),
+                    "doc_id",
+                    "page",
+                ).select(F.col("id").alias("doc_id"), "text")
             )
             >> p.texts,
             PREV

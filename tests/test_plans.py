@@ -314,9 +314,10 @@ def test_archive_ingestion_plan_shapes(spark, sf_dir):
     """WARC parsing is a pure 1→N flatMap — zero shuffles, zero joins;
     the zip/tar paths pay exactly ONE shuffle (the group-into-archives
     applyInPandas), and the member expansion itself adds none."""
-    r = rep("scan_warc_records", spark, sf_dir)
-    assert "MapInPandas" in r.text
-    assert r.joins == [] and r.n_shuffles == 0
+    for name in ("scan_warc_records", "text_html_extract"):
+        r = rep(name, spark, sf_dir)
+        assert "MapInPandas" in r.text, name
+        assert r.joins == [] and r.n_shuffles == 0, name
     for name in ("scan_zip_members", "scan_tar_members"):
         r = rep(name, spark, sf_dir)
         assert r.joins == [], name

@@ -1047,3 +1047,75 @@ def test_html_extract_boilerplate_and_entities(spark):
     assert out[1].n_chars == len(out[1].text)
     # malformed markup degrades to its visible text, never raises
     assert "unclosed bold" in out[2].text and "stray" in out[2].text
+
+
+# ------------------------------------------------------------------ #
+# property-based codec laws (hypothesis): driver-side, no Spark jobs #
+# ------------------------------------------------------------------ #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ft=st.integers(0, 4),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ft, data):
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    assert M.png_parse(M.png_encode(w, h, rgb, filter_type=ft)) == (
+        w, h, rgb,
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    ri=st.integers(0, 4),
+    data=st.data(),
+)
+def test_jpeg_error_bound_property(w, h, ri, data):
+    from data_pipeline_package_for_python_spark.operators.jpeg import (
+        jpeg_encode,
+        jpeg_parse,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    dw, dh, out = jpeg_parse(jpeg_encode(w, h, rgb, restart_interval=ri))
+    assert (dw, dh) == (w, h)
+    a = np.frombuffer(rgb, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 4
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=256))
+def test_mulaw_value_roundtrip_property(samples):
+    """expand∘compress∘expand is the identity on the mu-law value
+    lattice (compress maps any linear sample to its segment code;
+    re-expanding and re-compressing reproduces the same code/value)."""
+    codes = M.mulaw_compress(np.array(samples, dtype=np.int64))
+    vals = M.mulaw_expand(np.frombuffer(codes, np.uint8))
+    codes2 = M.mulaw_compress(vals.astype(np.int64))
+    vals2 = M.mulaw_expand(np.frombuffer(codes2, np.uint8))
+    assert (vals == vals2).all()

@@ -1808,6 +1808,59 @@ def multimodal_audio_mulaw_energy(spark, sf_dir):
 
 
 @query(
+    "ml_ols_sufficient_stats",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS u1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS u2,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS u3,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS g00,
+           CAST(sum(u1) AS BIGINT) AS g01,
+           CAST(sum(u2) AS BIGINT) AS g02,
+           CAST(sum(u3) AS BIGINT) AS g03,
+           CAST(sum(u1 * u1) AS BIGINT) AS g11,
+           CAST(sum(u1 * u2) AS BIGINT) AS g12,
+           CAST(sum(u1 * u3) AS BIGINT) AS g13,
+           CAST(sum(u2 * u2) AS BIGINT) AS g22,
+           CAST(sum(u2 * u3) AS BIGINT) AS g23,
+           CAST(sum(u3 * u3) AS BIGINT) AS g33,
+           CAST(sum(y) AS BIGINT) AS b0,
+           CAST(sum(u1 * y) AS BIGINT) AS b1,
+           CAST(sum(u2 * y) AS BIGINT) AS b2,
+           CAST(sum(u3 * y) AS BIGINT) AS b3
+    FROM u
+    """,
+)
+def ml_ols_sufficient_stats(spark, sf_dir):
+    """Closed-form distributed OLS (operators/ml.py): price ~
+    quantity + discount + tax over the full lineitem fact, trained in
+    ONE pass — exact BIGINT Gram matrix + moment vector in a single
+    map-side-combined aggregate (no shuffle of feature rows, d²=16
+    numbers of driver state), the scale pattern for every
+    covariance-based model.  The checkable surface IS the training
+    input: the oracle replays the quantized sums, so a single dropped
+    row or unit mismatch diverges; the d×d solve (ols_fit) is
+    driver-side float after the hash and law-checked in
+    tests/test_llm_ops.py."""
+    from ..operators.ml import ols_sufficient_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    return ols_sufficient_stats(
+        li,
+        [
+            F.expr("CAST(floor(l_quantity + 0.5d) AS BIGINT)"),
+            F.expr("CAST(floor(l_discount * 100 + 0.5d) AS BIGINT)"),
+            F.expr("CAST(floor(l_tax * 100 + 0.5d) AS BIGINT)"),
+        ],
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5d) AS BIGINT)"),
+    )
+
+
+@query(
     "text_html_extract",
     oracle=r"""
     SELECT doc_id AS id,

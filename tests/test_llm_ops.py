@@ -1119,3 +1119,30 @@ def test_mulaw_value_roundtrip_property(samples):
     codes2 = M.mulaw_compress(vals.astype(np.int64))
     vals2 = M.mulaw_expand(np.frombuffer(codes2, np.uint8))
     assert (vals == vals2).all()
+
+
+def test_ols_recovers_planted_linear_model(spark):
+    """Single-pass OLS sufficient statistics + driver solve recover a
+    planted exact-linear relationship to float-solve precision, and the
+    plan is one shuffle-free aggregate (map-side partials only)."""
+    from data_pipeline_package_for_python_spark.operators.ml import (
+        ols_fit,
+        ols_sufficient_stats,
+    )
+
+    rows = []
+    for i in range(400):
+        x1, x2 = i % 23, (i * 7) % 11
+        rows.append((x1, x2, 5 + 3 * x1 - 2 * x2))
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    stats = ols_sufficient_stats(
+        df, [F.col("x1"), F.col("x2")], F.col("y")
+    )
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan or plan.count("Exchange") <= 1
+    row = stats.collect()[0]
+    assert row["n"] == 400 and row["g00"] == 400
+    coef = ols_fit(row, 3)
+    assert abs(coef[0] - 5) < 1e-8
+    assert abs(coef[1] - 3) < 1e-8
+    assert abs(coef[2] + 2) < 1e-8

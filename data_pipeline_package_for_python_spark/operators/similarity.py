@@ -860,6 +860,72 @@ def random_projection(
     return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))
 
 
+def embedding_covariance_stats(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1_000,
+) -> DataFrame:
+    """Exact cross-dimension second moments of an embedding corpus:
+    (dim_i, dim_j, n, sum_i, sum_j, sum_ij) for i ≤ j — the covariance
+    / PCA / whitening substrate that finds CORRELATED (redundant)
+    dimensions, which per-dim health stats (:func:`embedding_health_
+    stats`) cannot see.
+
+    Scale shape — the outer-product-aggregation pattern: each Arrow
+    batch computes its d×d partial Gram in ONE numpy matmul
+    (``U.T @ U`` over quantized int64 units) inside ``mapInPandas``,
+    so the shuffle carries d(d+1)/2-row partials per task, never
+    vectors — the same sufficient-statistics discipline as
+    ``operators/ml.py`` OLS, vectorized for d² terms.  All entries are
+    exact BIGINTs (units = floor(x·scale + 0.5)), order-independent,
+    hash-checkable against a SQL twin.  Overflow: |u| ≤ scale ⇒ a
+    single product ≤ scale²; with scale=1e3 that is 1e6 per row —
+    safe to ~9e12 rows per partial in int64.
+
+    The float steps (covariance normalization, eigendecomposition)
+    belong on the driver AFTER this checkable surface — d×d numbers,
+    not data."""
+    import pandas as pd  # noqa: F401 — schema doc
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            u = np.stack([
+                np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+            ])
+            uq = np.floor(u * scale + 0.5).astype(np.int64)
+            gram = uq.T @ uq
+            sums = uq.sum(axis=0)
+            d = uq.shape[1]
+            ii, jj = np.triu_indices(d)
+            yield pd.DataFrame({
+                "dim_i": ii.astype("int64"),
+                "dim_j": jj.astype("int64"),
+                "n": np.full(len(ii), len(pdf), dtype="int64"),
+                "sum_i": sums[ii],
+                "sum_j": sums[jj],
+                "sum_ij": gram[ii, jj],
+            })
+
+    partials = df.select(vec_col).mapInPandas(
+        batches,
+        schema="dim_i long, dim_j long, n long, sum_i long, "
+               "sum_j long, sum_ij long",
+    )
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_i").cast("bigint").alias("sum_i"),
+        F.sum("sum_j").cast("bigint").alias("sum_j"),
+        F.sum("sum_ij").cast("bigint").alias("sum_ij"),
+    )
+
+
 def embedding_health_stats(
     df: DataFrame,
     *,

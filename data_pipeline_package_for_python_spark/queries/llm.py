@@ -3586,6 +3586,39 @@ def embed_health_stats(spark, sf_dir):
 
 
 @query(
+    "embed_covariance_stats",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, p.pos,
+             CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE) * 1000
+                  + 0.5) AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(64)) AS pos) p
+    )
+    SELECT a.pos AS dim_i, b.pos AS dim_j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.x) AS BIGINT) AS sum_i,
+           CAST(sum(b.x) AS BIGINT) AS sum_j,
+           CAST(sum(a.x * b.x) AS BIGINT) AS sum_ij
+    FROM u a JOIN u b
+      ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY 1, 2
+    """,
+)
+def embed_covariance_stats(spark, sf_dir):
+    """Cross-dimension second moments of the embedding corpus
+    (operators/similarity.py embedding_covariance_stats): the
+    covariance/PCA substrate that finds correlated (redundant)
+    dimensions — each Arrow batch contributes its d×d partial Gram as
+    ONE numpy matmul over quantized int64 units, the shuffle carries
+    d(d+1)/2-row partials, and every entry is an exact BIGINT the
+    DuckDB twin replays via a per-dim self-join.  2080 output rows at
+    any corpus size."""
+    return S.embedding_covariance_stats(
+        load(spark, sf_dir, "embeddings")
+    )
+
+
+@query(
     "embed_drift_report",
     oracle="""
     WITH rows_u AS (

@@ -1146,3 +1146,39 @@ def test_ols_recovers_planted_linear_model(spark):
     assert abs(coef[0] - 5) < 1e-8
     assert abs(coef[1] - 3) < 1e-8
     assert abs(coef[2] + 2) < 1e-8
+
+
+def test_covariance_stats_match_numpy_and_feed_pca(spark):
+    """The distributed outer-product partials reproduce numpy's exact
+    Gram on a known corpus, and the driver-side covariance assembled
+    from them eigendecomposes to the planted principal axis."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(200, 1))
+    # dim0 and dim1 strongly correlated (planted axis), dim2 independent
+    vecs = np.hstack([base, base * 0.9, rng.normal(size=(200, 1))])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = {
+        (r.dim_i, r.dim_j): r
+        for r in S.embedding_covariance_stats(
+            df, scale=1000
+        ).collect()
+    }
+    uq = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    gram = uq.T @ uq
+    sums = uq.sum(axis=0)
+    for (i, j), r in stats.items():
+        assert r.sum_ij == gram[i, j], (i, j)
+        assert r.sum_i == sums[i] and r.sum_j == sums[j]
+        assert r.n == 200
+    # assemble covariance, eigendecompose: top axis loads dims 0+1
+    d = 3
+    cov = np.zeros((d, d))
+    for (i, j), r in stats.items():
+        c = (r.sum_ij - r.sum_i * r.sum_j / r.n) / r.n
+        cov[i, j] = cov[j, i] = c
+    w, v = np.linalg.eigh(cov)
+    top = np.abs(v[:, -1])
+    assert top[0] > 0.5 and top[1] > 0.5 and top[2] < 0.2

@@ -60,11 +60,15 @@ def ols_sufficient_stats(
     return df.agg(*aggs)
 
 
-def ols_fit(stats_row, d: int) -> list[float]:
+def ols_fit(stats_row, d: int, *, l2: float = 0.0) -> list[float]:
     """Solve the normal equations from one collected stats row:
     coefficients for the AUGMENTED feature vector (index 0 = intercept,
-    in the caller's unit scales).  Driver-side d×d solve — the only
-    float step, after the exact checkable surface."""
+    in the caller's unit scales).  ``l2`` > 0 gives ridge regression —
+    λ·n added to the non-intercept diagonal (the standard
+    unpenalized-intercept convention), which needs NO new pass over
+    the data: regularization is a property of the solve, not the
+    statistics.  Driver-side d×d solve — the only float step, after
+    the exact checkable surface."""
     import numpy as np
 
     g = np.zeros((d, d))
@@ -74,4 +78,8 @@ def ols_fit(stats_row, d: int) -> list[float]:
             key = f"g{min(i, j)}{max(i, j)}"
             g[i, j] = float(stats_row[key])
         b[i] = float(stats_row[f"b{i}"])
+    if l2 > 0.0:
+        n = float(stats_row["n"])
+        for i in range(1, d):
+            g[i, i] += l2 * n
     return [float(v) for v in np.linalg.solve(g, b)]

@@ -31,6 +31,8 @@ def ols_sufficient_stats(
     df: DataFrame,
     feature_units: list[Column],
     label_units: Column,
+    *,
+    decimal: bool = False,
 ) -> DataFrame:
     """ONE-ROW frame of exact OLS sufficient statistics.
 
@@ -43,20 +45,25 @@ def ols_sufficient_stats(
 
     Overflow discipline: with |u| ≤ U and |y| ≤ Y, entries are bounded
     by n·U² and n·U·Y — for unit scales ~1e4 and 1e9 rows that is
-    ~1e17 < 2⁶³; pick scales accordingly."""
+    ~1e17 < 2⁶³, but Spark's non-ANSI BIGINT sum WRAPS SILENTLY past
+    that, so when n·U·Y approaches 2⁶³ (≳1e11 rows at warehouse unit
+    scales) pass ``decimal=True``: sums accumulate in DECIMAL(38,0) —
+    still exact and order-independent, 1e38 of headroom — at a modest
+    per-row cost.  The default stays BIGINT for codegen speed."""
     feats = [F.lit(1).cast("bigint")] + [
         c.cast("bigint") for c in feature_units
     ]
     y = label_units.cast("bigint")
+    acc = "decimal(38,0)" if decimal else "bigint"
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, ui in enumerate(feats):
         for j, uj in enumerate(feats):
             if i <= j:
                 aggs.append(
-                    F.sum(ui * uj).cast("bigint").alias(f"g{i}{j}")
+                    F.sum((ui * uj).cast(acc)).alias(f"g{i}{j}")
                 )
     for i, ui in enumerate(feats):
-        aggs.append(F.sum(ui * y).cast("bigint").alias(f"b{i}"))
+        aggs.append(F.sum((ui * y).cast(acc)).alias(f"b{i}"))
     return df.agg(*aggs)
 
 

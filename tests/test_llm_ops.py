@@ -1182,3 +1182,24 @@ def test_covariance_stats_match_numpy_and_feed_pca(spark):
     w, v = np.linalg.eigh(cov)
     top = np.abs(v[:, -1])
     assert top[0] > 0.5 and top[1] > 0.5 and top[2] < 0.2
+
+
+def test_ols_decimal_mode_matches_bigint(spark):
+    """decimal=True (the >1e11-row overflow guard) produces identical
+    statistics on in-range data."""
+    from data_pipeline_package_for_python_spark.operators.ml import (
+        ols_sufficient_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5, i) for i in range(100)],
+        "x1 long, x2 long, y long",
+    )
+    a = ols_sufficient_stats(
+        df, [F.col("x1"), F.col("x2")], F.col("y")
+    ).collect()[0]
+    b = ols_sufficient_stats(
+        df, [F.col("x1"), F.col("x2")], F.col("y"), decimal=True
+    ).collect()[0]
+    for k in a.asDict():
+        assert int(a[k]) == int(b[k]), k

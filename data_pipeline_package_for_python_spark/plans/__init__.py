@@ -85,6 +85,31 @@ def estimated_size_bytes(df: DataFrame) -> int:
     )
 
 
+def partitions_scanned(df: DataFrame) -> int | None:
+    """Number of PARTITION DIRECTORIES the plan's first file scan will
+    actually read, after static partition pruning — straight from
+    ``FileSourceScanExec.selectedPartitions.partitionCount`` (a
+    driver-side file-index walk, no job).  ``None`` when the plan has
+    no file scan.  This is the honest pruning probe: ``inputFiles()``
+    deliberately ignores filters, so it cannot distinguish a pruned
+    scan from a full one."""
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+
+    def find_scan(node):
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            return node
+        for i in range(node.children().length()):
+            r = find_scan(node.children().apply(i))
+            if r is not None:
+                return r
+        return None
+
+    scan = find_scan(plan)
+    if scan is None:
+        return None
+    return int(scan.selectedPartitions().partitionCount())
+
+
 def broadcast_threshold_bytes(spark) -> int:
     """The session's ``autoBroadcastJoinThreshold`` in bytes (-1 = off).
 

@@ -260,6 +260,58 @@ def sink_partitioned_parquet(spark, sf_dir):
 
 
 @query(
+    "scan_partition_pruning",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+            FROM orders) AS n_partitions_total,
+           CAST(1 AS BIGINT) AS n_partitions_read
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+    """,
+)
+def scan_partition_pruning(spark, sf_dir):
+    """STATIC partition pruning made driver-checkable: orders written
+    partitioned by o_orderstatus, read back with a partition-key
+    filter, and the checked surface includes the number of PARTITION
+    DIRECTORIES the pruned scan actually selects — straight from the
+    physical plan's file index (``plans.partitions_scanned``, a
+    driver-side walk, no job; ``inputFiles()`` deliberately ignores
+    filters so it cannot probe this).  The oracle pins
+    n_partitions_read = 1: if pruning ever regresses to scanning all
+    partitions, the hash diverges — the PLAN property itself is on the
+    hash, not just the (pruning-invariant) rows.  At 100 TB this is
+    the difference between reading one directory and reading the
+    lake."""
+    import os
+    import tempfile
+
+    from .. import plans
+    from ..sources import write_parquet
+
+    key = ("prune_stage", sf_dir)
+    path = _TEXT_STAGE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dpp_prune_") + "/orders"
+        write_parquet(
+            load(spark, sf_dir, "orders"), path,
+            partition_by=["o_orderstatus"],
+        )
+        _TEXT_STAGE[key] = path
+    back = spark.read.parquet(path)
+    n_total = len([
+        d for d in os.listdir(path) if d.startswith("o_orderstatus=")
+    ])
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    n_read = plans.partitions_scanned(pruned)
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(n_total).cast("bigint").alias("n_partitions_total"),
+        F.lit(n_read).cast("bigint").alias("n_partitions_read"),
+    )
+
+
+@query(
     "sink_zorder_layout",
     oracle="""
     SELECT count(*) AS n,

@@ -28,7 +28,9 @@ __all__ = [
     "TOKEN_REGEX",
     "bigram_lm_scores",
     "linear_quality_score",
+    "bpe_apply",
     "bpe_pair_counts",
+    "html_extract_text",
     "build_vocab",
     "charset_quality",
     "decontaminate",
@@ -1095,4 +1097,85 @@ def html_extract_text(
 
     return df.select(id_col, html_col).mapInPandas(
         batches, schema="id long, title string, text string, n_chars long"
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+) -> DataFrame:
+    """Apply a trained BPE merge table — REAL tokenization, not the
+    whitespace proxy: words (whitespace-split) start as character
+    sequences, and merges apply in RANK ORDER (the training order,
+    lowest rank first), each pass fusing every non-overlapping
+    occurrence of its pair left-to-right, until no listed pair remains
+    adjacent.  This is the encode loop of Sennrich et al.'s BPE — the
+    step between ``bpe_pair_counts`` (which trains the table) and
+    token-budget accounting with a REAL tokenizer.
+
+    CANONICAL loop semantics (subword-nmt / GPT-2 encoder): repeatedly
+    find the LOWEST-RANK pair currently adjacent anywhere in the word,
+    merge all its non-overlapping occurrences left-to-right, and
+    re-evaluate — so an early-rank merge fires even when a later-rank
+    merge is what created its pair (pinned by test).
+
+    Returns (id, n_tokens, n_merges): token count after merging and
+    the number of merge operations applied (n_tokens = non-whitespace
+    chars − n_merges, an invariant the tests pin).  The merge table is
+    a plain Python list baked into the closure — model state ships
+    with the task like every broadcast-dict operator here; for ≫10⁵
+    merges move the table to a broadcast variable.  Arrow-batched
+    ``mapInPandas``, map-only plan."""
+    rank = {tuple(p): i for i, p in enumerate(merges)}
+
+    def encode_word(word: str) -> tuple:
+        syms = list(word)
+        applied = 0
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, syms[i], syms[i + 1])
+            if best is None:
+                break
+            _, a, b = best
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    applied += 1
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms), applied
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                n_tokens = 0
+                n_merges = 0
+                for w in (t or "").split():
+                    nt, nm = encode_word(w)
+                    n_tokens += nt
+                    n_merges += nm
+                rows.append((int(i), n_tokens, n_merges))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_tokens", "n_merges"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="id long, n_tokens long, n_merges long"
     )

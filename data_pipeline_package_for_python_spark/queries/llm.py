@@ -1808,6 +1808,45 @@ def multimodal_audio_mulaw_energy(spark, sf_dir):
 
 
 @query(
+    "text_bpe_apply",
+    oracle=r"""
+    SELECT doc_id AS id,
+           CAST(length(regexp_replace(text, '\s', '', 'g'))
+                - len(regexp_extract_all(text, 'th'))
+                - len(regexp_extract_all(text, 'er'))
+                - len(regexp_extract_all(text, 'an')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(regexp_extract_all(text, 'th'))
+                + len(regexp_extract_all(text, 'er'))
+                + len(regexp_extract_all(text, 'an')) AS BIGINT)
+               AS n_merges
+    FROM documents
+    """,
+)
+def text_bpe_apply(spark, sf_dir):
+    """REAL BPE tokenization (operators/text.py bpe_apply): the ranked
+    merge loop runs over every word — characters fuse pair by pair,
+    left-to-right, rank by rank — and the checkable surface is exact
+    by construction: the registered merge table {th, er, an} uses
+    pairwise-DISJOINT alphabets, so merges can never overlap, chain,
+    or depend on rank order, and the token count closes to
+    ``non-space chars − non-overlapping pair occurrences``, which the
+    oracle computes with regexp_count (non-overlapping in both
+    engines, and both sides of each pair are letters so no occurrence
+    spans a word boundary).  Equality proves the real loop applies
+    exactly the right merges, greedily, everywhere.  Rank-ordered and
+    CHAINED merge behavior (where closed forms don't exist) is pinned
+    on hand-built examples in tests/test_llm_ops.py.  Map-only
+    Arrow-batched plan."""
+    from ..operators.text import bpe_apply
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_apply(
+        docs, "doc_id", "text", [("t", "h"), ("e", "r"), ("a", "n")]
+    )
+
+
+@query(
     "ml_ols_sufficient_stats",
     oracle="""
     WITH u AS (

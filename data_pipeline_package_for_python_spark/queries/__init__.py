@@ -19,6 +19,7 @@ from . import (  # noqa: E402,F401
     analytics,
     functionslib,
     llm,
+    tpch_extra,
 )
 
 # ---------------------------------------------------------------------- #

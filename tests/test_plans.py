@@ -856,3 +856,86 @@ def test_rfm_broadcast_fences_no_global_sort(spark, sf_dir):
     assert "CartesianProduct" not in r.joins
     assert "ntile(" not in r.text.lower().replace("percentile", "")
     assert "Window" not in r.text
+
+
+# ---------------------------------------------------------------------- #
+# tpch_extra (Q2/Q7-Q12/Q15/Q16/Q19-Q21) plan posture                    #
+# ---------------------------------------------------------------------- #
+
+
+def test_q10_topk_is_take_ordered_single_shuffle(spark, sf_dir):
+    """Q10's LIMIT 20 over the grouped aggregate must compile to
+    TakeOrderedAndProject (per-partition heaps + a 20-row driver
+    merge), never a global sort, and the only real exchange is the
+    per-customer groupBy."""
+    r = rep("join_q10_returned_customers", spark, sf_dir)
+    assert "TakeOrderedAndProject" in r.text
+    assert r.n_shuffles == 1
+    assert not r.has_cartesian
+    # lineitem scan pruned to key + returnflag + the two money columns.
+    assert r.scan_width("l_") <= 4
+
+
+def test_q16_distinct_pairs_before_part_join(spark, sf_dir):
+    """Q16 must collapse the fact to distinct (partkey, suppkey) pairs
+    BEFORE enriching with part attributes: the first exchange is keyed
+    on the pair, and the lineitem scan reads only those two columns."""
+    r = rep("agg_q16_supplier_variety", spark, sf_dir)
+    assert r.shuffle_keys, r.text
+    first = r.shuffle_keys[0]
+    assert "l_partkey" in first and "l_suppkey" in first
+    assert r.scan_width("l_") == 2
+    assert not r.has_cartesian
+
+
+def test_q19_disjunction_is_equijoin_plus_residual(spark, sf_dir):
+    """Q19's OR of three conjunct groups must NOT degrade the partkey
+    equi-join into a nested loop: Catalyst keeps the equi-join
+    (broadcast part side) and evaluates the disjunction as a residual
+    filter; the lone exchange is the final scalar aggregate."""
+    r = rep("filter_q19_disjunctive", spark, sf_dir)
+    assert "BroadcastHashJoin" in r.joins
+    assert not r.has_cartesian
+    assert r.n_shuffles == 1
+
+
+def test_q15_scalar_max_single_fact_materialization(spark, sf_dir):
+    """Q15 references its per-supplier revenue view twice (tie-filter
+    join + scalar max).  Catalyst does not dedup identical subtrees
+    across branches, so the view is lazily local-checkpointed: both
+    branches must read the SAME materialized RDD — a second parquet
+    scan of lineitem in the plan is the regression this pins."""
+    r = rep("join_q15_top_supplier", spark, sf_dir)
+    assert r.text.count("lineitem.parquet") == 0
+    import re
+
+    rdds = re.findall(r"MapPartitionsRDD\[\d+\]", r.text)
+    assert len(rdds) == 2 and len(set(rdds)) == 1, rdds
+
+
+def test_q20_windowed_part_totals_no_self_join(spark, sf_dir):
+    """Q20's per-part totals must come from one partkey-partitioned
+    window over the collapsed (part, supplier) frame — no self-join
+    back onto the aggregate and exactly one parquet scan of the
+    fact."""
+    r = rep("join_q20_excess_shippers", spark, sf_dir)
+    assert r.text.count("lineitem.parquet") == 1
+    assert "Window" in r.text
+    assert not r.has_cartesian
+    # agg on (partkey, suppkey) -> window on partkey -> distinct suppkey
+    assert r.n_shuffles == 3
+
+
+def test_q11_threshold_is_broadcast_single_row(spark, sf_dir):
+    """Q11's value threshold is a 1-row aggregate of the (lazily
+    checkpointed) per-part frame, broadcast back as the legitimate
+    single-row BroadcastNestedLoopJoin — never a driver collect, never
+    a second fact materialization."""
+    r = rep("agg_q11_important_parts", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in r.joins
+    assert "CartesianProduct" not in r.joins
+    assert r.text.count("lineitem.parquet") == 0
+    import re
+
+    rdds = re.findall(r"MapPartitionsRDD\[\d+\]", r.text)
+    assert len(set(rdds)) == 1, rdds

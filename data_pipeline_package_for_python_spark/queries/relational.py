@@ -2688,12 +2688,13 @@ def scan_recursive_glob(spark, sf_dir):
     FROM v JOIN p
       ON v.user_id = p.user_id
      AND p.ts >= v.ts
-     AND p.ts < v.ts + INTERVAL 60 SECOND
+     AND p.ts < v.ts + INTERVAL 3600 SECOND
     """,
 )
 def join_range_bucketed(spark, sf_dir):
     """BUCKETED range join — the technique that makes interval joins
-    linear at 100 TB: both sides bucket time into 60 s epochs, the left
+    linear at 100 TB: both sides bucket time into 1 h epochs (window
+    width chosen so every fixture SF yields matches), the left
     side fans out to its bucket and the next (a window of width w can
     only span 2 consecutive w-buckets), the join runs on EQUALITY of
     (user, bucket) — hash-partitionable, AQE-skew-splittable — and the
@@ -2707,13 +2708,13 @@ def join_range_bucketed(spark, sf_dir):
         F.col("event_id").alias("view_id"),
         F.col("user_id"),
         F.col("ts").alias("v_ts"),
-        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).alias("__b"),
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).alias("__b"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
-        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).alias("p_b"),
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).alias("p_b"),
     )
     v_fan = v.select(
         "view_id", "user_id", "v_ts",
@@ -2732,7 +2733,7 @@ def join_range_bucketed(spark, sf_dir):
             (F.col("p_ts") >= F.col("v_ts"))
             & (
                 F.col("p_ts")
-                < F.col("v_ts") + F.expr("INTERVAL 60 SECONDS")
+                < F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS")
             )
         )
         .select("view_id", "purchase_id", "user_id")

@@ -26,7 +26,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "broadcast_join", "star_join"]
+__all__ = [
+    "asof_join",
+    "bloom_semi_reduce",
+    "broadcast_join",
+    "range_join",
+    "star_join",
+]
 
 
 def asof_join(
@@ -237,3 +243,47 @@ def fuzzy_join_levenshtein(
         .drop("__block")
     )
     return matched
+
+
+def bloom_semi_reduce(
+    fact: DataFrame,
+    fact_key: str | Column,
+    dim: DataFrame,
+    dim_key: str | Column,
+    *,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction: prefilter ``fact``
+    MAP-SIDE to rows whose join key may exist in ``dim``.
+
+    The 100 TB problem this solves: a selective dim filter (say 1/5 of
+    customers) still forces the shuffle join to exchange EVERY fact row
+    — the fact side doesn't know which keys survived.  Catalyst's own
+    runtime bloom filter (``spark.sql.optimizer.runtime.bloomFilter``)
+    only fires above a 10 GB application-side scan; this operator is
+    the same reduction expressed portably: build a
+    :class:`~..operators.dedup.BloomSketch` of the dim's surviving join
+    keys (tree-aggregated, driver traffic = sketch bytes, never key
+    rows), probe it in an Arrow-batched filter BEFORE the fact's
+    exchange, and let the exact join swallow the sketch's false
+    positives.  Result set is provably identical to the plain join —
+    ``false`` from a Bloom probe means *certainly absent*, so only
+    rows that could never match are dropped; the expected extra
+    shuffle volume is ``fpp`` of the discarded mass.
+
+    ``expected_items`` sizes the sketch; when omitted the dim side is
+    counted first (one cheap action over the already-filtered dim —
+    the side that was small enough to justify the reduction).
+    """
+    fk = F.col(fact_key) if isinstance(fact_key, str) else fact_key
+    dk = F.col(dim_key) if isinstance(dim_key, str) else dim_key
+    from .dedup import build_bloom, bloom_member
+
+    keys = dim.select(dk.alias("__k"))
+    if expected_items is None:
+        expected_items = max(1, keys.count())
+    sketch = build_bloom(
+        keys, "__k", expected_items=expected_items, fpp=fpp
+    )
+    return fact.filter(bloom_member(sketch, fk))

@@ -1868,3 +1868,70 @@ def analytics_sequence_pattern(spark, sf_dir):
         ),
         F.sum(F.length("s")).alias("total_events"),
     )
+
+
+@query(
+    "etl_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_disc,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_qty
+    FROM lineitem
+    """,
+)
+def etl_observe_metrics(spark, sf_dir):
+    """In-flight data-quality observation (``DataFrame.observe`` +
+    ``Observation``): audit metrics — row count, out-of-domain
+    discount count, key range, exact total quantity — are accumulated
+    BY THE SAME JOB that runs the pipeline's real aggregation, not by
+    a second scan.  At 100 TB a separate metrics pass doubles the
+    most expensive thing the pipeline does (reading the fact); observe
+    attaches the metric accumulators to the already-running plan for
+    free, the same mechanism streaming uses for per-batch telemetry.
+
+    The returned one-row frame is rebuilt from the observed dict with
+    an explicit schema (every metric exact BIGINT), so the DuckDB twin
+    — a plain aggregate over the same table — hash-matches it."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_gate")
+    li = load(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+            ).cast("long")
+        ).alias("n_bad_disc"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.sum(
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+        ).alias("total_qty"),
+    )
+    # The pipeline's real work — a grouped aggregate the observation
+    # rides along with (its result is consumed here; the METRICS are
+    # this query's deliverable).
+    li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_bad_disc"],
+                m["min_key"],
+                m["max_key"],
+                m["total_qty"],
+            )
+        ],
+        schema=(
+            "n_rows bigint, n_bad_disc bigint, min_key bigint,"
+            " max_key bigint, total_qty bigint"
+        ),
+    )

@@ -2857,3 +2857,60 @@ def scan_jsonl_gzip_roundtrip(spark, sf_dir):
             256,
         ).alias("id_census"),
     )
+
+
+@query(
+    "join_bloom_semireduction",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def join_bloom_semireduction(spark, sf_dir):
+    """Runtime Bloom-filter semi-join reduction
+    (operators/joins.bloom_semi_reduce): the filtered customer side's
+    join keys are tree-aggregated into a Bloom sketch (driver traffic
+    = sketch bytes, never key rows), the orders fact is prefiltered
+    MAP-SIDE by an Arrow-batched probe BEFORE its exchange, and the
+    exact merge join removes the sketch's false positives — the result
+    is provably identical to the plain join, which is exactly what the
+    DuckDB oracle replays.
+
+    Why it matters at 100 TB: a 1/5-selective dim filter still makes a
+    plain shuffle join exchange EVERY fact row; Catalyst's own runtime
+    bloom filter only fires above a 10 GB application-side scan, so the
+    engine ships the same reduction portably.  The ``merge`` hint pins
+    the SortMergeJoin path — the regime where the reduction pays (a
+    broadcast join needs no reduction; its fact side never shuffles).
+    """
+    from ..operators.joins import bloom_semi_reduce
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    pre = bloom_semi_reduce(fact, "o_custkey", dim, "c_custkey", fpp=0.01)
+    return (
+        pre.join(
+            dim.hint("merge"),
+            pre["o_custkey"] == dim["c_custkey"],
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("cents"),
+        )
+    )

@@ -465,3 +465,45 @@ def test_attribution_conserves_revenue(spark, sf_dir, qname):
     assert credited >= (
         total_milli - n_purchases * n_channels - total_milli // 10000
     )
+
+
+def test_bloom_semi_reduce_laws(spark, sf_dir):
+    """Bloom semi-join reduction: (1) NEVER drops a matching fact row
+    (false ⇒ provably absent), so the reduced join equals the plain
+    join exactly; (2) actually reduces — the surviving fact mass sits
+    between the exact semi-join count and the full fact count, and at
+    fpp=0.01 lands within a few percent of exact."""
+    from data_pipeline_package_for_python_spark.operators.joins import (
+        bloom_semi_reduce,
+    )
+    from data_pipeline_package_for_python_spark.queries import load
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pre = bloom_semi_reduce(fact, "o_custkey", dim, "c_custkey", fpp=0.01)
+
+    n_fact = fact.count()
+    n_semi = fact.join(
+        dim, fact["o_custkey"] == dim["c_custkey"], "left_semi"
+    ).count()
+    n_pre = pre.count()
+    assert n_semi <= n_pre <= n_fact
+    # 1% fpp of the non-matching mass is the expected overshoot.
+    assert n_pre - n_semi <= max(5, 0.05 * (n_fact - n_semi))
+
+    # Exact-equality of the reduced join vs the plain join.
+    plain = sorted(
+        fact.join(dim, fact["o_custkey"] == dim["c_custkey"])
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    reduced = sorted(
+        pre.join(dim, pre["o_custkey"] == dim["c_custkey"])
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    assert plain == reduced

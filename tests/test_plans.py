@@ -939,3 +939,14 @@ def test_q11_threshold_is_broadcast_single_row(spark, sf_dir):
 
     rdds = re.findall(r"MapPartitionsRDD\[\d+\]", r.text)
     assert len(set(rdds)) == 1, rdds
+
+
+def test_bloom_semireduction_probe_on_fact_before_merge_join(spark, sf_dir):
+    """The Bloom semi-join reduction query must keep the merge-join
+    path (the regime where the reduction pays) with the Arrow-batched
+    probe filtering the fact BELOW the join — and no nested loop
+    anywhere."""
+    r = rep("join_bloom_semireduction", spark, sf_dir)
+    assert "SortMergeJoin" in r.joins
+    assert "ArrowEvalPython" in r.text
+    assert not r.has_cartesian

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ._util import ensure_parallel
 
 __all__ = [
+    "bpe_train",
     "LANG_MARKERS",
     "PII_PATTERNS",
     "TOKEN_REGEX",
@@ -1178,4 +1179,114 @@ def bpe_apply(
 
     return df.select(id_col, text_col).mapInPandas(
         batches, schema="id long, n_tokens long, n_merges long"
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 8,
+    max_words: int = 2000,
+) -> DataFrame:
+    """Train a BPE merge table over a corpus — the full iterative loop
+    (Sennrich et al., ACL '16), not just one round of pair counts.
+
+    Distributed shape per round (× ``n_merges``):
+
+    1. adjacent-pair counts over the word-frequency table — one
+       map-side ``arrays_zip`` explode + one hash aggregate;
+    2. the argmax pair (count DESC, then lexicographic left/right —
+       a total order, so ties cannot float between engines) comes to
+       the driver: ONE row per round, the k-means "bounded model
+       state" pattern;
+    3. the merge applies map-only via the piped-string trick: symbols
+       render as ``|a||b||c|``, the pair as the substring
+       ``|a||b|`` → ``|ab|``, and builtin ``replace`` (left-to-right,
+       non-overlapping in BOTH Spark and DuckDB) IS the greedy BPE
+       merge semantics; re-split on ``||`` restores the symbol array.
+
+    The working frame (≤ ``max_words`` rows after the deterministic
+    top-k cut) is lazily local-checkpointed each round so round *k*
+    costs one pass over it, not *k* re-derivations.  Output: one row
+    per learned merge (merge_rank, lhs, rhs, merged, pair_count) — exact
+    BIGINT counts, fully hash-checkable against a twin replaying the
+    identical rounds.
+
+    Deviation from subword-nmt: no ``</w>`` end-of-word marker (the
+    fixture words are whitespace-pretokenized already); symbols are
+    restricted to ``[a-z]`` by the pre-clean so the ``|`` sentinel
+    can never collide.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.col(text_col)), "[^a-z ]", " "
+                    ),
+                    " +",
+                )
+            ).alias("w")
+        )
+        .filter(F.length("w").between(2, 12))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(max_words)
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint(eager=False)
+    )
+
+    merges = []
+    for rank in range(n_merges):
+        n = F.size("syms")
+        best = (
+            words.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, n - 1).alias("l"),
+                        F.slice("syms", 2, n - 1).alias("r"),
+                    )
+                ).alias("z"),
+            )
+            .groupBy(
+                F.col("z.l").alias("l"), F.col("z.r").alias("r")
+            )
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+        piped = F.concat(
+            F.lit("|"), F.array_join("syms", "||"), F.lit("|")
+        )
+        words = words.select(
+            F.split(
+                F.btrim(
+                    F.replace(
+                        piped,
+                        F.lit(f"|{l}||{r}|"),
+                        F.lit(f"|{l}{r}|"),
+                    ),
+                    F.lit("|"),
+                ),
+                "\\|\\|",
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges,
+        schema=(
+            "merge_rank int, lhs string, rhs string,"
+            " merged string, pair_count bigint"
+        ),
     )

@@ -1935,3 +1935,88 @@ def etl_observe_metrics(spark, sf_dir):
             " max_key bigint, total_qty bigint"
         ),
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+               + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL ``|>`` operators): the
+    query reads top-to-bottom as a pipeline — source |> filter |>
+    extend computed column |> aggregate — the same staged shape the
+    DSL's ``sequence`` expresses in Python, now at the SQL front door.
+    Each pipe stage lowers to the identical Catalyst plan as the
+    keyword form (pushdown and pruning included), so the DuckDB twin
+    is simply the keyword spelling of the same query."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "dpp_pipe_lineitem_v"
+    )
+    return spark.sql("""
+        FROM dpp_pipe_lineitem_v
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+        |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                       * 10000 + 0.5d) AS BIGINT) AS units
+        |> AGGREGATE SUM(units) / 10000.0 AS revenue,
+                     COUNT(*) AS n_lines
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, revenue, n_lines
+    """)
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rich
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables + IDENTIFIER() (Spark 4): operational SQL
+    parameterization without string interpolation — segments and the
+    balance threshold bind as typed ``DECLARE``/``SET VAR`` session
+    state, and the table name itself resolves through
+    ``IDENTIFIER(:var)``-style indirection.  This is the
+    injection-safe front door for templated jobs (the cousin of
+    ``sql_parameterized_binding``, which binds per-call named markers;
+    variables persist across statements in the session).  Variable
+    names are engine-namespaced to keep the shared test session
+    clean."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "dpp_var_customer_v"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE dpp_segs ARRAY<STRING>"
+        " DEFAULT ARRAY('BUILDING', 'MACHINERY')"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE dpp_rich_floor DOUBLE DEFAULT 5000.0"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE dpp_src STRING"
+        " DEFAULT 'dpp_var_customer_v'"
+    )
+    return spark.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CASE WHEN c_acctbal > dpp_rich_floor
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rich
+        FROM IDENTIFIER(dpp_src)
+        WHERE array_contains(dpp_segs, c_mktsegment)
+        GROUP BY 1
+    """)

@@ -4210,3 +4210,61 @@ def text_sentiment_lexicon(spark, sf_dir):
         F.sum("pos").alias("total_pos"),
         F.sum("neg").alias("total_neg"),
     )
+
+
+def _bpe_train_oracle(n_merges: int = 8, max_words: int = 2000) -> str:
+    """DuckDB twin of operators/text.bpe_train: the SAME iterative
+    rounds, unrolled as MATERIALIZED CTEs (without MATERIALIZED each
+    round is referenced twice and DuckDB's default CTE inlining makes
+    the plan grow ~2^n)."""
+    parts = [f"""w0 AS MATERIALIZED (
+      SELECT regexp_split_to_array(w, '') AS syms, freq FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT UNNEST(string_split_regex(
+              regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+              ' +')) AS w
+          FROM documents)
+        WHERE length(w) BETWEEN 2 AND 12
+        GROUP BY 1 ORDER BY freq DESC, w LIMIT {max_words})
+    )"""]
+    for k in range(n_merges):
+        parts.append(f"""b{k} AS MATERIALIZED (
+      SELECT z[1] AS lhs, z[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT UNNEST(list_zip(syms, syms[2:])) AS z, freq
+            FROM w{k} WHERE len(syms) >= 2)
+      WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1
+    )""")
+        parts.append(f"""w{k + 1} AS MATERIALIZED (
+      SELECT string_split_regex(trim(replace(
+          '|' || array_to_string(syms, '||') || '|',
+          (SELECT '|' || lhs || '||' || rhs || '|' FROM b{k}),
+          (SELECT '|' || lhs || rhs || '|' FROM b{k})), '|'),
+          '\\|\\|') AS syms, freq
+      FROM w{k}
+    )""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" c AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@query("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train(spark, sf_dir):
+    """Full iterative BPE TRAINING over the documents corpus
+    (operators/text.bpe_train): 8 learned merges, each round = one
+    distributed pair-count aggregate + a 1-row argmax to the driver +
+    a map-only greedy merge via the piped-string replace trick.  The
+    oracle replays the identical rounds as unrolled MATERIALIZED CTEs,
+    so ranks, pairs AND exact pair counts hash-match — an iterative
+    algorithm with a full value oracle (the PageRank discipline
+    applied to tokenizer training).  Completes the tokenizer substrate
+    story: text_bpe_pairs is one round of statistics, text_bpe_apply
+    is inference with a given table, this TRAINS the table."""
+    from ..operators.text import bpe_train
+
+    return bpe_train(
+        load(spark, sf_dir, "documents"), "text", n_merges=8
+    )

@@ -1255,3 +1255,48 @@ def test_bpe_apply_rank_order_and_chaining(spark):
     # re-evaluates and the rank-0 lo+w fires even though it was
     # considered "before" — 3 merges, tokens (low, er)
     assert (out2.n_tokens, out2.n_merges) == (2, 3)
+
+
+def test_bpe_train_hand_example(spark):
+    """Three merge rounds over a corpus small enough to train by hand:
+    'aaab'x3 + 'ab'x1.  Round 0: (a,a) count 6 (two per 'aaab').
+    Round 1: after 'aa' merges, (a,b) count 4 beats (aa,a) count 3.
+    Round 2: (aa,ab) count 3.  Pins greedy left-to-right merge
+    application, count-then-lexicographic argmax, and merge chaining
+    (later rounds pair PREVIOUS merges)."""
+    from data_pipeline_package_for_python_spark.operators.text import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [("aaab aaab",), ("aaab ab",)], "text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=3).collect()
+    ]
+    assert got == [
+        (0, "a", "a", "aa", 6),
+        (1, "a", "b", "ab", 4),
+        (2, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_bpe_train_max_count_non_increasing(spark, sf_dir):
+    """BPE law: the winning pair count can never rise round-over-round
+    — a new pair created by a merge occurs at most as often as the
+    merge that created it."""
+    from data_pipeline_package_for_python_spark.operators.text import (
+        bpe_train,
+    )
+    from data_pipeline_package_for_python_spark.queries import load
+
+    rows = (
+        bpe_train(load(spark, sf_dir, "documents"), "text", n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["lhs"] + r["rhs"]

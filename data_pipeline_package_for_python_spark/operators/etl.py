@@ -574,3 +574,38 @@ def weighted_priority_sample_per_group(
         .filter(F.col("__wrank") <= k)
         .drop("__wkey", "__wrank")
     )
+
+
+def merge_aggregate_state(
+    state: DataFrame,
+    delta_state: DataFrame,
+    keys: list[str],
+    spec: dict[str, str],
+) -> DataFrame:
+    """Merge two MERGEABLE-aggregate partial frames (incremental
+    materialized-view maintenance).
+
+    ``spec`` maps each measure column to its merge function: ``"sum"``
+    (count and sum partials combine additively), ``"min"`` or
+    ``"max"``.  Because every supported measure is associative and
+    commutative, ``merge(agg(base), agg(delta)) == agg(base ∪ delta)``
+    exactly — refreshing a 100 TB base's aggregate view after a small
+    delta costs one pass over the DELTA plus a shuffle of the
+    |groups|-sized state, never a rescan of the base.  Non-mergeable
+    measures (exact median, count-distinct) need a sketch substitute
+    (see the HLL and quantile-histogram rollups in
+    operators/sketches.py) — this operator deliberately refuses them:
+    any spec value outside sum/min/max raises.
+    """
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = {c: f for c, f in spec.items() if f not in fns}
+    if bad:
+        raise ValueError(
+            f"non-mergeable merge functions {bad}; use a sketch "
+            "(HLL / quantile histogram) for distinct/percentile state"
+        )
+    cols = keys + list(spec)
+    both = state.select(*cols).unionByName(delta_state.select(*cols))
+    return both.groupBy(*keys).agg(
+        *[fns[f](c).alias(c) for c, f in spec.items()]
+    )

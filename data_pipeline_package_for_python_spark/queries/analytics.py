@@ -2020,3 +2020,72 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE array_contains(dpp_segs, c_mktsegment)
         GROUP BY 1
     """)
+
+
+@query(
+    "etl_incremental_agg_view",
+    oracle="""
+    SELECT o_orderstatus,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def etl_incremental_agg_view(spark, sf_dir):
+    """Incremental materialized-view maintenance
+    (operators/etl.merge_aggregate_state): the pre-cutoff aggregate
+    state is MATERIALIZED (written to parquet and read back — standing
+    in for yesterday's stored view), the post-cutoff delta aggregates
+    on its own, and the refreshed view is the mergeable-state merge of
+    the two — count/sum partials add, min/max partials fold.  Because
+    the measures are associative and exact-integer, the merged view
+    equals the full recompute BIT-FOR-BIT, which is precisely what the
+    oracle (a full-table aggregate) checks.
+
+    Scale: the refresh scans only the delta plus the |groups|-sized
+    stored state; the 100 TB base is never re-read
+    (tests/test_plans.py pins exactly one orders.parquet scan, filter
+    pushed to the cutoff)."""
+    import tempfile
+
+    from ..operators.etl import merge_aggregate_state
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    spec = {
+        "n_orders": "sum",
+        "cents": "sum",
+        "min_cents": "min",
+        "max_cents": "max",
+    }
+
+    def partial(df):
+        return df.groupBy(
+            "o_orderstatus",
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+            ).alias("ym"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = "1997-06-01"
+    path = tempfile.mkdtemp(prefix="dpp_aggview_") + "/state"
+    partial(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stored = spark.read.parquet(path)
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return merge_aggregate_state(
+        stored, delta, ["o_orderstatus", "ym"], spec
+    )

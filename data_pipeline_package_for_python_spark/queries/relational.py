@@ -2914,3 +2914,60 @@ def join_bloom_semireduction(spark, sf_dir):
             ).alias("cents"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(user_id % 100 AS BIGINT) END AS bucket
+      FROM events WHERE event_id < 2000
+    ), d AS (
+      SELECT CASE WHEN g = -1 THEN NULL ELSE g END AS bucket,
+             CASE WHEN g = -1 THEN 'unattributed'
+                  WHEN g % 2 = 0 THEN 'even' ELSE 'odd' END AS label
+      FROM (SELECT UNNEST(range(-1, 100)) AS g)
+    )
+    SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY 1
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """NULL-safe equality join (``eqNullSafe`` / ``<=>`` / ANSI
+    ``IS NOT DISTINCT FROM``): NULL join keys MATCH each other instead
+    of silently dropping — the sane semantics for dimension keys where
+    NULL is a real category ('unattributed') rather than absence.
+    Catalyst hash-partitions ``<=>`` like a plain equality (NULL is
+    just another hash bucket), so the plan stays a broadcast/shuffled
+    HASH join — no nested-loop degradation, which is what makes the
+    operator usable at fact scale."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                (F.col("user_id") % 100).cast("long")
+            ).alias("bucket"),
+        )
+    )
+    d = spark.range(-1, 100).select(
+        F.when(F.col("id") == -1, F.lit(None))
+        .otherwise(F.col("id"))
+        .alias("d_bucket"),
+        F.when(F.col("id") == -1, F.lit("unattributed"))
+        .when(F.col("id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("label"),
+    )
+    return (
+        e.join(
+            F.broadcast(d),
+            F.col("bucket").eqNullSafe(F.col("d_bucket")),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -482,3 +482,59 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         and src["endOffset"].get("i") == 1234,
         output_mode="complete",
     )
+
+
+@query(
+    "stream_python_datasource_sink",
+    oracle="""
+    WITH src AS (
+      SELECT i AS id, i % 8 AS bucket,
+             (i * 2654435761) % 1000000007 AS val
+      FROM generate_series(0, 933) g(i)
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS val_sum
+    FROM src GROUP BY bucket
+    """,
+)
+def stream_python_datasource_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom streaming SINK through the Python DataSource API (Spark
+    4 DataSourceStreamWriter): the synthetic stream drains through the
+    jsonl stream sink — per-epoch two-phase commit (task files rename
+    only in ``commit(messages, batchId)``, abort removes them), batch
+    ids stamped into file names so a recovered epoch overwrites itself
+    idempotently.  The files are then read BACK and aggregated; the
+    closed-formula oracle checks the round-trip, completing the custom
+    source/sink matrix (batch read + write, stream read + write — all
+    pure Python, no JVM code)."""
+    import tempfile
+
+    from ..sources.pyds import (
+        register_jsonl_stream_sink,
+        register_synth_stream,
+    )
+    from ..streaming import drain_to_sink
+
+    register_synth_stream(spark)
+    register_jsonl_stream_sink(spark)
+    path = tempfile.mkdtemp(prefix="dpp_streamsink_") + "/out"
+    s = (
+        spark.readStream.format("synthstream")
+        .option("n", 934).option("batch_rows", 300).option("buckets", 8)
+        .load()
+    )
+    drain_to_sink(
+        s,
+        "dpp_jsonl_stream",
+        {"path": path},
+        lambda src: isinstance(src.get("endOffset"), dict)
+        and src["endOffset"].get("i") == 934,
+    )
+    back = spark.read.schema("bucket bigint, id bigint, val bigint").json(
+        path + "/*.jsonl"
+    )
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("val_sum")
+    )

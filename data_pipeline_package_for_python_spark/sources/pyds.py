@@ -218,3 +218,91 @@ class SynthStreamDataSource(DataSource):
 
 def register_synth_stream(spark) -> None:
     spark.dataSource.register(SynthStreamDataSource)
+
+
+# ---------------------------------------------------------------------- #
+# streaming sink                                                         #
+# ---------------------------------------------------------------------- #
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class _JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the jsonl sink: the same two-phase
+    .inprogress→rename protocol as the batch writer, but the COMMIT
+    boundary is the micro-batch — ``commit(messages, batchId)`` stamps
+    every task file of the epoch with the batch id in one driver-side
+    pass, ``abort`` removes them, so a crashed epoch leaves nothing a
+    reader would pick up and a replayed epoch (same batchId after
+    recovery) overwrites its own files idempotently — the sink side of
+    the exactly-once contract (source offsets + idempotent sink)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{uuid.uuid4().hex}.inprogress"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonLinesCommit(tmp, n)
+
+    def commit(self, messages, batchId):
+        import os
+        import re
+
+        for k, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-part-{k:05d}.jsonl"
+            )
+            os.replace(m.path, final)
+        # Idempotent-replay hygiene: a recovered epoch re-commits the
+        # same batchId; files beyond this epoch's task count (from a
+        # previous, larger attempt) would double-count — remove them.
+        pat = re.compile(
+            rf"batch-{batchId:05d}-part-(\d+)\.jsonl$"
+        )
+        for name in os.listdir(self.path):
+            mt = pat.search(name)
+            if mt and int(mt.group(1)) >= len(messages):
+                os.remove(os.path.join(self.path, name))
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonLinesStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("dpp_jsonl_stream")`` sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dpp_jsonl_stream"
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonLinesStreamWriter(self.options)
+
+
+def register_jsonl_stream_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesStreamSinkDataSource)

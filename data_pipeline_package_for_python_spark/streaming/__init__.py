@@ -637,3 +637,61 @@ def run_until_offset(
         else:
             spark.conf.set(_NODATA_KEY, prev_nodata)
     return spark.table(name)
+
+
+def drain_to_sink(
+    result: DataFrame,
+    fmt: str,
+    options: dict,
+    is_drained,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+    poll_s: float = 0.3,
+) -> None:
+    """``run_until_offset``'s sibling for EXTERNAL sinks: drain the
+    stream into ``writeStream.format(fmt)`` (e.g. a custom Python
+    DataSourceStreamWriter) instead of the in-memory table, with the
+    same offset-predicate drain loop and prompt no-data progress
+    reporting.  Returns nothing — the sink's files ARE the output."""
+    import ast
+    import time as _time
+
+    spark = result.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="dpp_ckpt_")
+    _NODATA_KEY = "spark.sql.streaming.noDataProgressEventInterval"
+    prev_nodata = spark.conf.get(_NODATA_KEY, None)
+    spark.conf.set(_NODATA_KEY, "100ms")
+    with _scoped_state_parallelism(spark, 4):
+        q = (
+            result.writeStream.format(fmt)
+            .options(**options)
+            .outputMode(output_mode)
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            _time.sleep(poll_s)
+            if q.exception():
+                raise q.exception()
+            p = q.lastProgress
+            if not p or not p.get("sources"):
+                continue
+            src = dict(p["sources"][0])
+            eo = src.get("endOffset")
+            if isinstance(eo, str):
+                try:
+                    src["endOffset"] = ast.literal_eval(eo)
+                except (ValueError, SyntaxError):
+                    pass
+            if is_drained(src) and p.get("numInputRows", -1) == 0:
+                break
+    finally:
+        if q.isActive:
+            q.stop()
+        if prev_nodata is None:
+            spark.conf.unset(_NODATA_KEY)
+        else:
+            spark.conf.set(_NODATA_KEY, prev_nodata)

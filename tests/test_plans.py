@@ -950,3 +950,13 @@ def test_bloom_semireduction_probe_on_fact_before_merge_join(spark, sf_dir):
     assert "SortMergeJoin" in r.joins
     assert "ArrowEvalPython" in r.text
     assert not r.has_cartesian
+
+
+def test_incremental_agg_view_scans_only_the_delta(spark, sf_dir):
+    """The incremental view refresh must read the DELTA (one pushed
+    orders scan at the cutoff) plus the stored |groups|-sized state —
+    never the base's raw rows again."""
+    r = rep("etl_incremental_agg_view", spark, sf_dir)
+    assert r.text.count("orders.parquet") == 1
+    flat = ";".join(f for fs in r.pushed_filters for f in fs)
+    assert "o_orderdate" in flat

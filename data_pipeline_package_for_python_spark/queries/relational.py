@@ -2971,3 +2971,54 @@ def join_null_safe_eq(spark, sf_dir):
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY 1
+    """,
+)
+def scan_file_metadata(spark, sf_dir):
+    """Hidden ``_metadata`` file columns (Spark 3.2+): every file-based
+    scan exposes ``_metadata.file_path`` / ``file_name`` /
+    ``file_size`` / ``file_modification_time`` — the ingestion-audit
+    substrate (which file did this row come from, how many files feed
+    each partition, are any zero-length) with NO extra I/O: the values
+    come from the file listing the scan already performed.
+
+    The fixture stages a Hive-partitioned copy (one task per status →
+    exactly one data file per partition directory), then audits per
+    partition: distinct feeding files (pinned 1), rows, exact key sum
+    — with the partition value recovered FROM the file path, and a
+    belt-and-braces guard that every row's ``file_size`` is positive.
+    Oracle: the same rollup straight off the source table."""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    path = tempfile.mkdtemp(prefix="dpp_meta_") + "/lake"
+    o.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("_metadata.file_size") > 0)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "o_orderstatus=([^/]+)/", 1
+            ).alias("o_orderstatus"),
+            F.col("_metadata.file_name").alias("fname"),
+            "o_orderkey",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("fname").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )

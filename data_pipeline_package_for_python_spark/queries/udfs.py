@@ -497,3 +497,80 @@ def udf_cogroup_asof(spark, sf_dir):
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(asof, "user_id long, view_id long, purchase_id long")
     )
+
+
+@query(
+    "udf_udtf_table_argument",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(MAX(gap) AS BIGINT) AS max_key_gap
+    FROM (
+      SELECT o_orderstatus, o_totalprice,
+             o_orderkey - lag(o_orderkey) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ) AS gap
+      FROM orders WHERE o_orderkey < 5000
+    )
+    GROUP BY 1
+    """,
+)
+def udf_udtf_table_argument(spark, sf_dir):
+    """UDTF with a TABLE argument (Spark 4): the function consumes a
+    whole RELATION — ``my_udtf(TABLE(t) PARTITION BY s ORDER BY k)`` —
+    with the engine routing each partition's rows, in the declared
+    order, through one stateful UDTF instance (``eval`` per row,
+    ``terminate`` emits the partition summary).  This is the SQL-navel
+    form of applyInPandas: same partition-scoped custom logic, but
+    callable from the pure-SQL front door and streaming row-by-row
+    (no whole-group materialization).  The per-status summary —
+    count, exact cents, max gap between CONSECUTIVE orderkeys —
+    depends on the ORDER BY clause actually holding, which the
+    lag-window oracle verifies."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "o_orderstatus string, n bigint, cents bigint,"
+            " max_key_gap bigint"
+        )
+    )
+    class StatusStats:
+        def __init__(self):
+            self.status = None
+            self.n = 0
+            self.cents = 0
+            self.prev_key = None
+            self.max_gap = None
+
+        def eval(self, row):
+            self.status = row["o_orderstatus"]
+            self.n += 1
+            import math
+
+            self.cents += int(
+                math.floor(row["o_totalprice"] * 100 + 0.5)
+            )
+            k = row["o_orderkey"]
+            if self.prev_key is not None:
+                gap = k - self.prev_key
+                if self.max_gap is None or gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev_key = k
+
+        def terminate(self):
+            if self.n:
+                yield self.status, self.n, self.cents, self.max_gap
+
+    spark.udtf.register("dpp_status_stats", StatusStats)
+    load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    ).createOrReplaceTempView("dpp_udtf_orders_v")
+    return spark.sql("""
+        SELECT * FROM dpp_status_stats(
+            TABLE(dpp_udtf_orders_v)
+            PARTITION BY o_orderstatus ORDER BY o_orderkey
+        )
+    """)

@@ -2089,3 +2089,45 @@ def etl_incremental_agg_view(spark, sf_dir):
     return merge_aggregate_state(
         stored, delta, ["o_orderstatus", "ym"], spec
     )
+
+
+@query(
+    "pandas_api_front_door",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY 1
+    """,
+)
+def pandas_api_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark front door (``pyspark.pandas``): a
+    pandas user's filter → assign → groupby/agg script runs verbatim,
+    but every step lowers to the SAME Catalyst plan as the DataFrame
+    API — distributed, pushed-down, never collected.  ``to_spark()``
+    crosses back into the engine's native frame for the differential
+    gate.  The third front door next to SQL text and the DataFrame
+    DSL: a reference user migrating from the pure-Python reference
+    keeps their pandas idioms and gains the cluster."""
+    import pyspark.pandas as ps
+
+    pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf = pdf[pdf.o_orderkey < 4000]
+    import numpy as np
+
+    pdf = pdf.assign(
+        cents=np.floor(pdf.o_totalprice * 100 + 0.5).astype("int64")
+    )
+    out = (
+        pdf.groupby("o_orderstatus")
+        .agg(
+            n=("o_orderkey", "count"),
+            key_sum=("o_orderkey", "sum"),
+            cents=("cents", "sum"),
+        )
+        .reset_index()
+    )
+    return out.to_spark()

@@ -4268,3 +4268,151 @@ def text_bpe_train(spark, sf_dir):
     return bpe_train(
         load(spark, sf_dir, "documents"), "text", n_merges=8
     )
+
+
+@query(
+    "etl_curation_pipeline",
+    oracle="""
+    WITH gated AS MATERIALIZED (
+      SELECT doc_id, source,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+      FROM documents
+      WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1) >= 0.6
+    ),
+    deduped AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id, canon,
+             min(source ORDER BY doc_id) AS source
+      FROM gated GROUP BY canon
+    ),
+    eval_set AS MATERIALIZED (
+      SELECT DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    clean AS MATERIALIZED (
+      SELECT d.doc_id, d.source FROM deduped d
+      WHERE d.doc_id % 97 <> 0
+        AND NOT EXISTS (SELECT 1 FROM eval_set e
+                        WHERE e.canon = d.canon)
+    ),
+    capped AS MATERIALIZED (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM clean
+      ) WHERE rn <= 50
+    ),
+    split AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS s
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 100 AS b
+            FROM capped)
+    )
+    SELECT stage, n_docs FROM (
+      SELECT '0_ingest' AS stage,
+             CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT '1_charset_gate',
+             CAST((SELECT count(*) FROM gated) AS BIGINT)
+      UNION ALL SELECT '2_exact_dedup',
+             CAST((SELECT count(*) FROM deduped) AS BIGINT)
+      UNION ALL SELECT '3_decontaminated',
+             CAST((SELECT count(*) FROM clean) AS BIGINT)
+      UNION ALL SELECT '4_domain_capped',
+             CAST((SELECT count(*) FROM capped) AS BIGINT)
+      UNION ALL SELECT '5_train',
+             CAST((SELECT count(*) FROM split WHERE s = 'train')
+                  AS BIGINT)
+      UNION ALL SELECT '5_val',
+             CAST((SELECT count(*) FROM split WHERE s = 'val') AS BIGINT)
+      UNION ALL SELECT '5_test',
+             CAST((SELECT count(*) FROM split WHERE s = 'test') AS BIGINT)
+    )
+    """,
+)
+def etl_curation_pipeline(spark, sf_dir):
+    """END-TO-END pretraining-corpus curation as ONE driver-checkable
+    query: ingest → charset gate → normalized exact dedup (min-id
+    survivor) → benchmark decontamination (canonical-form match
+    against the held-out eval set, eval docs themselves excluded) →
+    per-domain cap (md5-rank ≤ 50 via the salted two-phase top-k) →
+    deterministic 80/10/10 split.  The returned funnel (docs surviving
+    each stage, split sizes) is the report a data-curation run ships.
+
+    Scale posture: every stage is lazily local-checkpointed, so each
+    materializes exactly once no matter how many downstream count
+    branches read it — the registry-query analogue of a real pipeline
+    persisting intermediate corpora; the only driver traffic is the
+    8-row funnel.  Stage semantics are bit-identical to their
+    standalone contract queries (text_charset_filter,
+    dedup_exact_normalized, etl_cap_per_domain, etl_train_split), so
+    the composition inherits their individually-verified oracles."""
+    from ..operators.etl import cap_per_group, hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+
+    gated = (
+        docs.filter(alpha_ratio >= 0.6)
+        .select("doc_id", "source", canon.alias("canon"))
+        .localCheckpoint(eager=False)
+    )
+    deduped = (
+        gated.groupBy("canon")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    eval_set = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(canon.alias("canon"))
+        .distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_set), "canon", "left_anti")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=False)
+    )
+    capped = cap_per_group(clean, "source", "doc_id", 50).localCheckpoint(
+        eager=False
+    )
+    split = hash_split(capped.select("doc_id"), "doc_id")
+
+    def n_of(df, stage):
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    out = n_of(docs, "0_ingest")
+    for frame, stage in (
+        (gated, "1_charset_gate"),
+        (deduped, "2_exact_dedup"),
+        (clean, "3_decontaminated"),
+        (capped, "4_domain_capped"),
+        (split.filter(F.col("split") == "train"), "5_train"),
+        (split.filter(F.col("split") == "val"), "5_val"),
+        (split.filter(F.col("split") == "test"), "5_test"),
+    ):
+        out = out.unionByName(n_of(frame, stage))
+    return out

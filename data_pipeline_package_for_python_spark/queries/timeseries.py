@@ -748,3 +748,96 @@ def ts_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("series_a", "series_b", "n", "r")
     )
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_units
+      FROM events
+    ),
+    bounds AS (
+      SELECT min(sec) + ((max(sec) - min(sec)) * 4) // 5 AS cutoff
+      FROM base
+    ),
+    profile AS MATERIALIZED (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS den,
+             CAST(sum(v_units) AS BIGINT) AS num
+      FROM base, bounds WHERE sec < cutoff
+      GROUP BY 1, 2
+    )
+    SELECT b.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(SUM((abs(b.v_units * p.den - p.num) * 1000000)
+                    // p.den) AS BIGINT) AS abs_err_micro,
+           CAST(SUM((abs(b.v_units * p.den - p.num) * 1000000)
+                    // p.den) // count(*) AS BIGINT) AS mae_micro
+    FROM base b, bounds
+    JOIN profile p ON p.event_type = b.event_type AND p.hod = b.hod
+    WHERE b.sec >= cutoff
+    GROUP BY 1
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST harness: split each series' history at the
+    80%-of-timespan mark (integer-second cutoff from the observed
+    min/max — scale-free, no hard-coded dates), train the seasonal
+    hour-of-day profile on the head, score the tail — per-series test
+    count, summed absolute error, and MAE, all in exact integer
+    micro-units (``|v·den − num|·10⁶ DIV den`` — the error scales by
+    the profile denominator BEFORE the division, so no float
+    accumulates anywhere and both engines truncate identically).
+
+    Scale: the projected base materializes once (lazy checkpoint) and
+    feeds the bounds scalar, the training aggregate, and the test
+    scoring; the profile is |series|×24 rows forever, so its join
+    broadcasts; the cutoff is a single-row broadcast.  This is the
+    eval loop every forecasting pipeline needs — the model row
+    (ts_seasonal_forecast) ships the prediction, this ships the
+    evidence."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        (F.floor(F.unix_timestamp("ts") / 3600) % 24).alias("hod"),
+        F.expr("cast(floor(value * 100 + 0.5d) as bigint)").alias(
+            "v_units"
+        ),
+    ).localCheckpoint(eager=False)
+    bounds = base.agg(
+        F.expr(
+            "min(sec) + ((max(sec) - min(sec)) * 4) div 5"
+        ).alias("cutoff")
+    )
+    train = base.join(F.broadcast(bounds)).filter(
+        F.col("sec") < F.col("cutoff")
+    )
+    profile = train.groupBy(
+        F.col("event_type").alias("p_type"), F.col("hod").alias("p_hod")
+    ).agg(
+        F.count(F.lit(1)).alias("den"),
+        F.sum("v_units").alias("num"),
+    )
+    test = base.join(F.broadcast(bounds)).filter(
+        F.col("sec") >= F.col("cutoff")
+    )
+    scored = test.join(
+        F.broadcast(profile),
+        (F.col("event_type") == F.col("p_type"))
+        & (F.col("hod") == F.col("p_hod")),
+    ).withColumn(
+        "err_micro",
+        F.expr(
+            "(abs(v_units * den - num) * 1000000) div den"
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum("err_micro").alias("abs_err_micro"),
+        F.expr("sum(err_micro) div count(1)").alias("mae_micro"),
+    )

@@ -432,3 +432,177 @@ def resolve_duplicates(
     return out.withColumn("n_members", F.count(F.lit(1)).over(w)).withColumn(
         "is_survivor", F.col(id_col) == F.col("component")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """Multi-source BFS as ``rounds`` fixed Bellman–Ford relaxations:
+    (id, dist) with dist = hops from the nearest seed, NULL if no seed
+    is within ``rounds`` hops.
+
+    Each round is one shuffle (settled frontier ⋈ out-edges → groupBy
+    min), the per-executor state is only the (id, dist) frame — no
+    driver-side graph, no collect.  The round count is FIXED, not
+    converge-tested, so the result is a pure function of (edges, seeds,
+    rounds) and a DuckDB twin unrolling the same rounds hash-matches
+    exactly (distances are BIGINTs; min is order-insensitive).  At 100
+    TB the frame-size ceiling is |V| rows per round, same posture as
+    ``pagerank_exact``; lineage is truncated per round with
+    ``localCheckpoint`` exactly like ``connected_components``.
+
+    Reference parity: the reference DSL (dpp.py) has no graph stage;
+    BFS-from-seed-set is the standard reachability primitive its users
+    hand-roll (influence radius, contamination spread, citation depth).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    elist = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=False)
+    dist = nodes.join(
+        seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+        .withColumn("dist", F.lit(0).cast("bigint")),
+        "id",
+        "left",
+    )
+    for _ in range(rounds):
+        frontier = (
+            dist.filter(F.col("dist").isNotNull())
+            .join(elist, F.col("id") == F.col("e_src"))
+            .select(
+                F.col("e_dst").alias("id"),
+                (F.col("dist") + F.lit(1)).cast("bigint").alias("dist"),
+            )
+        )
+        # min over (previous dist ∪ new candidates); MIN skips NULLs,
+        # so unreached nodes stay NULL until a candidate arrives and a
+        # settled node can only improve — textbook relaxation.
+        dist = (
+            dist.select("id", "dist")
+            .unionAll(frontier)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an UNDIRECTED edge list (one row
+    per edge, canonical orientation): returns the node ids that survive
+    ``rounds`` peels — i.e. still have degree ≥ k after repeatedly
+    deleting sub-k nodes and their incident edges.
+
+    Each peel is one degree aggregation (groupBy over the bidirected
+    view) plus two semi-joins that drop edges touching deleted nodes —
+    all key-partitioned, no driver state.  A FIXED round count (instead
+    of loop-until-fixpoint) keeps the result a pure function of
+    (edges, k, rounds) so the unrolled DuckDB twin hash-matches; real
+    deployments converge in O(log) peels and can raise ``rounds``.
+
+    k-core is the classic graph-quality gate for training-data curation
+    (spam/link-farm nodes live in low cores; Reference: Batagelj &
+    Zaveršnik's peeling algorithm) — the reference DSL has no graph
+    stage, so this fills the same "users hand-roll it" gap as
+    ``bfs_distances``.
+    """
+    cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    keep = None
+    for _ in range(rounds):
+        bidir = cur.select("u").unionAll(
+            cur.select(F.col("v").alias("u"))
+        )
+        keep = (
+            bidir.groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("id")
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("id", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    assert keep is not None, "rounds must be >= 1"
+    return keep
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    max_wedge_degree: int = 10_000,
+) -> DataFrame:
+    """Structural node-pair similarity: for every pair (a, b) sharing at
+    least one neighbor, |N(a) ∩ N(b)|, the neighborhood Jaccard in exact
+    ppm (BIGINT floor division — engine-identical), and whether the pair
+    is itself an edge (is_edge=0 ⇒ a LINK-PREDICTION candidate).
+
+    Shape: common neighbors enumerate through the shared-middle wedge
+    join (bidir ⋈ bidir on the middle node, a < b to emit each pair
+    once) — the same key-partitioned two-shuffle pattern as
+    ``triangle_count``.  Fan-out is Σ_w deg(w)², so hub middles are the
+    skew risk at scale; ``max_wedge_degree`` drops middles above the cap
+    from wedge enumeration (the standard LSH-style frequency cap used by
+    dedup banding — a hub shared by everything carries no similarity
+    signal, exactly like a stop-shingle).  The cap is part of the
+    operator's declared semantics, so the oracle applies it too.
+    """
+    bidir = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("w"))
+        .unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("w")))
+    )
+    deg = bidir.groupBy(F.col("n").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid_ok = deg.filter(F.col("deg") <= max_wedge_degree).select(
+        F.col("id").alias("w")
+    )
+    wedged = bidir.join(mid_ok, "w")
+    lhs = wedged.select(F.col("n").alias("a"), "w")
+    rhs = wedged.select(F.col("n").alias("b"), "w")
+    common = (
+        lhs.join(rhs, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    canon = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).distinct().withColumn("is_edge", F.lit(1))
+    out = (
+        common.join(deg.withColumnRenamed("id", "a")
+                    .withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("id", "b")
+              .withColumnRenamed("deg", "deg_b"), "b")
+        .join(canon, ["a", "b"], "left")
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("common").cast("bigint").alias("common"),
+        F.expr(
+            "(1000000 * common) div (deg_a + deg_b - common)"
+        ).cast("bigint").alias("jaccard_ppm"),
+        F.coalesce(F.col("is_edge"), F.lit(0)).cast("int").alias("is_edge"),
+    )

@@ -20,6 +20,7 @@ from . import (  # noqa: E402,F401
     functionslib,
     llm,
     tpch_extra,
+    graph_extra,
 )
 
 # ---------------------------------------------------------------------- #

@@ -555,3 +555,85 @@ def test_substring_spans_planted_duplicate(spark):
     assert s1 <= start_in_a and e1 >= start_in_a + len(shared) - 1
     # and must not extend into the unique prefix/suffix beyond a window
     assert s1 >= start_in_a - 40 and e1 <= start_in_a + len(shared) + 39
+
+
+# --------------------------------------------------------------------- #
+# bfs_distances / k_core / neighbor_jaccard (round-4 additions)         #
+# --------------------------------------------------------------------- #
+
+def test_bfs_path_graph_exact_distances(spark):
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    # path 0-1-2-3-4 plus isolated pair 8-9; bidirect for traversal
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (8, 9)])
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(bidir, seeds, rounds=3).collect()
+    }
+    # rounds=3 reaches depth 3; node 4 and the 8-9 island stay NULL
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: None, 8: None, 9: None}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = spark.createDataFrame([(0,), (4,)], "id long")
+    out = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(bidir, seeds, rounds=4).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_k_core_peels_pendant_then_dependent(spark):
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        k_core,
+    )
+
+    # triangle 0-1-2, chain 2-3-4: first peel drops 4 (deg 1); second
+    # drops 3 (its degree fell to 1); the triangle is the stable 2-core
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)])
+    surv = sorted(r["id"] for r in k_core(e, 2, rounds=3).collect())
+    assert surv == [0, 1, 2]
+    # a single peel keeps node 3 (degree 2 before 4 vanished)
+    one = sorted(r["id"] for r in k_core(e, 2, rounds=1).collect())
+    assert one == [0, 1, 2, 3]
+
+
+def test_neighbor_jaccard_square(spark):
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+
+    # 4-cycle 0-1-2-3-0: opposite corners share BOTH neighbors
+    # (jaccard 1.0, not an edge — the link-prediction signal);
+    # adjacent corners share none.
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    rows = {
+        (r["a"], r["b"]): (r["common"], r["jaccard_ppm"], r["is_edge"])
+        for r in neighbor_jaccard(e).collect()
+    }
+    assert rows == {
+        (0, 2): (2, 1_000_000, 0),
+        (1, 3): (2, 1_000_000, 0),
+    }
+
+
+def test_neighbor_jaccard_wedge_cap_drops_hub_middles(spark):
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+
+    # star: hub 0 with leaves 1..4 — every leaf pair co-wedges ONLY
+    # through the hub, so capping degree<=3 erases all pairs
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    assert neighbor_jaccard(e, max_wedge_degree=3).count() == 0
+    assert neighbor_jaccard(e).count() == 6

@@ -11,7 +11,7 @@ outputs hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import gap_fill, rollup_time, sum_units
@@ -840,4 +840,277 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_test"),
         F.sum("err_micro").alias("abs_err_micro"),
         F.expr("sum(err_micro) div count(1)").alias("mae_micro"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# exact-integer series statistics (round-4 additions): autocorrelation, #
+# MAD robust outliers, Spearman rank correlation                        #
+# --------------------------------------------------------------------- #
+
+_HOURLY_UNITS_SQL = f"""
+      SELECT event_type,
+             {_BUCKET_SQL.format(w=3600)} AS bucket,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+"""
+
+
+def _hourly_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type series in exact integer units (scale 100) — the
+    shared substrate for the series-statistics queries below."""
+    ev = load(spark, sf_dir, "events")
+    return rollup_time(
+        ev, "ts", "1 hour", keys=("event_type",),
+        aggs={
+            "v": F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint"),
+            "cnt": F.count(F.lit(1)).cast("bigint"),
+        },
+    )
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_UNITS_SQL}),
+    led AS (
+      SELECT event_type, v,
+             lead(v, 1) OVER w AS l1,
+             lead(v, 2) OVER w AS l2,
+             lead(v, 3) OVER w AS l3
+      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q,
+             CAST(count(l1) AS HUGEINT) AS m1,
+             SUM(CAST(v AS HUGEINT) * CAST(l1 AS HUGEINT)) AS a1,
+             CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS HUGEINT)
+                 AS bh1,
+             CAST(SUM(l1) AS HUGEINT) AS bt1,
+             CAST(count(l2) AS HUGEINT) AS m2,
+             SUM(CAST(v AS HUGEINT) * CAST(l2 AS HUGEINT)) AS a2,
+             CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v END) AS HUGEINT)
+                 AS bh2,
+             CAST(SUM(l2) AS HUGEINT) AS bt2,
+             CAST(count(l3) AS HUGEINT) AS m3,
+             SUM(CAST(v AS HUGEINT) * CAST(l3 AS HUGEINT)) AS a3,
+             CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v END) AS HUGEINT)
+                 AS bh3,
+             CAST(SUM(l3) AS HUGEINT) AS bt3
+      FROM led GROUP BY 1
+    ),
+    lags AS (
+      SELECT event_type, 1 AS lag, n, s, q, m1 AS m, a1 AS a,
+             bh1 AS bh, bt1 AS bt FROM st
+      UNION ALL
+      SELECT event_type, 2, n, s, q, m2, a2, bh2, bt2 FROM st
+      UNION ALL
+      SELECT event_type, 3, n, s, q, m3, a3, bh3, bt3 FROM st
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS n_pairs,
+           CAST(n*n*a - n*s*(bh + bt) + m*s*s AS DOUBLE) AS acf_num,
+           CAST(n*n*q - n*s*s AS DOUBLE) AS acf_den,
+           CASE WHEN n*n*q - n*s*s > 0
+                THEN CAST(n*n*a - n*s*(bh + bt) + m*s*s AS DOUBLE)
+                     / CAST(n*n*q - n*s*s AS DOUBLE) END AS acf
+    FROM lags WHERE m >= 2
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation at lags 1–3 per event-type hourly series, EXACT:
+    the standard biased estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x−x̄)²
+    rearranged over integer sufficient statistics so no mean ever
+    materializes — num·n² = n²·A_k − n·S·(Bh_k+Bt_k) + m_k·S²,
+    den·n² = n²·Q − n·S².  Partials (A, B, S, Q) accumulate as one
+    hash aggregate after a single window-lead pass (one sort per
+    series); the scalar combination runs in DECIMAL(38,0) on Spark and
+    HUGEINT in the oracle — exact to ~sf 10⁷ — and the SAME exact
+    integer casts to the SAME double in both engines, so even the
+    DOUBLE ratio hash-matches.  Constant series (den = 0) surface NULL
+    acf on both sides (the NaN-vs-NULL divergence guard the round-3
+    advice flagged on drift reports)."""
+    h = _hourly_units(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    led = h.select(
+        "event_type",
+        "v",
+        F.lead("v", 1).over(w).alias("l1"),
+        F.lead("v", 2).over(w).alias("l2"),
+        F.lead("v", 3).over(w).alias("l3"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vd = dec(F.col("v"))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("q"),
+    ]
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.count(lk).cast("bigint").alias(f"m{k}"),
+            F.sum(vd * dec(lk)).cast("decimal(38,0)").alias(f"a{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("v")))
+            .cast("bigint").alias(f"bh{k}"),
+            F.sum(lk).cast("bigint").alias(f"bt{k}"),
+        ]
+    st = led.groupBy("event_type").agg(*aggs)
+    per_lag = st.select(
+        "event_type",
+        F.expr(
+            "inline(array("
+            + ", ".join(
+                f"struct({k} AS lag, m{k} AS m, a{k} AS a,"
+                f" bh{k} AS bh, bt{k} AS bt)"
+                for k in (1, 2, 3)
+            )
+            + "))"
+        ),
+        "n", "s", "q",
+    ).filter(F.col("m") >= 2)
+    n, s, q = dec(F.col("n")), dec(F.col("s")), F.col("q")
+    m, a = dec(F.col("m")), F.col("a")
+    bh, bt = dec(F.col("bh")), dec(F.col("bt"))
+    num = (n * n * a - n * s * (bh + bt) + m * s * s).cast("decimal(38,0)")
+    den = (n * n * q - n * s * s).cast("decimal(38,0)")
+    return per_lag.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        num.cast("double").alias("acf_num"),
+        den.cast("double").alias("acf_den"),
+        F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).alias("acf"),
+    )
+
+
+@query(
+    "ts_mad_outliers",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_UNITS_SQL}),
+    med AS (
+      SELECT event_type, median(CAST(v AS DOUBLE)) AS med
+      FROM h GROUP BY 1
+    ),
+    dev AS (
+      SELECT h.event_type, h.bucket, h.v, med.med,
+             abs(CAST(h.v AS DOUBLE) - med.med) AS adev
+      FROM h JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.bucket, d.v, d.med, m.mad,
+           CAST(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END
+                AS INTEGER) AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags per event-type hourly series —
+    the heavy-tail-safe counterpart of ts_anomaly_zscore (one planted
+    spike cannot inflate its own threshold the way it inflates a
+    stddev).  Integer unit series → both medians are exact dyadic
+    rationals (midpoint of BIGINTs, then midpoint of .5-multiples), so
+    med, MAD, and the 3-MAD flags are bit-identical across engines with
+    NO float tolerance.  Shape: two tiny per-type aggregates broadcast
+    back onto the series — the fact table is scanned once, medians
+    reduce 720 points per series, never raw events."""
+    h = _hourly_units(spark, sf_dir)
+    med = h.groupBy("event_type").agg(
+        F.median(F.col("v").cast("double")).alias("med")
+    )
+    dev = h.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.median("adev").alias("mad")
+    )
+    return (
+        dev.join(
+            F.broadcast(mad), F.col("event_type") == F.col("m_type")
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "v",
+            "med",
+            "mad",
+            (F.col("adev") > 3 * F.col("mad"))
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )
+
+
+@query(
+    "ts_spearman",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_UNITS_SQL}),
+    ranked AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cnt, bucket) AS BIGINT)
+                 AS rc,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v, bucket) AS BIGINT)
+                 AS rv
+      FROM h
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM((rc - rv) * (rc - rv)) AS BIGINT) AS sum_d2
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n, sum_d2,
+           CAST(n * (n*n - 1) - 6 * sum_d2 AS BIGINT) AS rho_num,
+           CAST(n * (n*n - 1) AS BIGINT) AS rho_den,
+           CASE WHEN n >= 2
+                THEN CAST(n * (n*n - 1) - 6 * sum_d2 AS DOUBLE)
+                     / CAST(n * (n*n - 1) AS DOUBLE) END AS rho
+    FROM st
+    """,
+)
+def ts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between hourly event COUNT and hourly
+    value SUM per event type (does activity volume move with monetary
+    magnitude?).  Ranks come from row_number with a total-order
+    tie-break (metric, bucket) — a permutation, so the classic
+    rho = 1 − 6Σd²/(n(n²−1)) closed form is EXACT integer arithmetic
+    (n ≤ 2M before n³ nears BIGINT range; the hourly spine is far
+    below).  One window pass per ranking + one hash aggregate; the
+    DOUBLE rho is a ratio of identical exact BIGINTs on both engines."""
+    h = _hourly_units(spark, sf_dir)
+    wc = Window.partitionBy("event_type").orderBy("cnt", "bucket")
+    wv = Window.partitionBy("event_type").orderBy("v", "bucket")
+    ranked = h.select(
+        "event_type",
+        F.row_number().over(wc).cast("bigint").alias("rc"),
+        F.row_number().over(wv).cast("bigint").alias("rv"),
+    )
+    d = F.col("rc") - F.col("rv")
+    st = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d * d).cast("bigint").alias("sum_d2"),
+    )
+    n, d2 = F.col("n"), F.col("sum_d2")
+    num = (n * (n * n - 1) - 6 * d2).cast("bigint")
+    den = (n * (n * n - 1)).cast("bigint")
+    return st.select(
+        "event_type",
+        "n",
+        "sum_d2",
+        num.alias("rho_num"),
+        den.alias("rho_den"),
+        F.when(
+            n >= 2, num.cast("double") / den.cast("double")
+        ).alias("rho"),
     )

@@ -324,3 +324,73 @@ def test_incremental_rollup_merge_law(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+# --------------------------------------------------------------------- #
+# series statistics: ACF / MAD outliers / Spearman (round-4 additions)  #
+# --------------------------------------------------------------------- #
+
+def _events_fixture(spark, vals, typ="click"):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), i % 3, typ, float(v), None)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _run_query(spark, name, df, tmp_path):
+    """Write a one-table fixture and run the registered query on it."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+    from data_pipeline_package_for_python_spark.queries import _registry
+
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    _registry._SCAN_CACHE.clear()
+    try:
+        return QUERIES[name].spark_fn(spark, sf)
+    finally:
+        _registry._SCAN_CACHE.clear()
+
+
+def test_spearman_monotone_series_is_one(spark, tmp_path):
+    # value grows with time, one event per hour -> cnt constant, ranks
+    # of cnt tie-break by bucket = ranks of v (also increasing) -> rho 1
+    out = _run_query(
+        spark, "ts_spearman",
+        _events_fixture(spark, [float(10 * i) for i in range(12)]),
+        tmp_path,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["sum_d2"] == 0 and r["rho"] == 1.0
+
+
+def test_mad_flags_planted_spike_but_median_resists_it(spark, tmp_path):
+    # 23 calm hours + one 100x spike: the spike is flagged, nothing else
+    vals = [10.0] * 23 + [1000.0]
+    rows = _run_query(
+        spark, "ts_mad_outliers", _events_fixture(spark, vals), tmp_path
+    ).collect()
+    flagged = [r for r in rows if r["is_outlier"] == 1]
+    assert len(flagged) == 1 and flagged[0]["v"] == 100000
+    # med stays at the calm level (units of 1/100)
+    assert rows[0]["med"] == 1000.0
+
+
+def test_acf_alternating_series_lag1_negative_lag2_positive(spark, tmp_path):
+    vals = [0.0, 100.0] * 12
+    rows = {
+        r["lag"]: r
+        for r in _run_query(
+            spark, "ts_acf", _events_fixture(spark, vals), tmp_path
+        ).collect()
+    }
+    assert rows[1]["acf"] < -0.9
+    assert rows[2]["acf"] > 0.9
+    # exact sufficient statistics: num/den are integers cast to double
+    assert rows[1]["acf_den"] > 0

@@ -948,3 +948,78 @@ def containment_pairs(
         .filter(F.col("containment") >= F.lit(threshold))
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
     )
+
+
+def corpus_overlap_sketch(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise corpus-overlap estimation between document GROUPS
+    (sources, dumps, snapshots): a bottom-k MinHash sketch of each
+    group's shingle SET, merged per pair — the classic k-minimum-values
+    Jaccard estimator (Beyer et al., SIGMOD '07).
+
+    Returns (sa, sb, k_eff, n_shared, jaccard_est_ppm) for every
+    unordered group pair: of the ``k_eff ≤ k`` smallest hashes of the
+    UNION of the two sketches, ``n_shared`` appear in both — an
+    unbiased estimate of the shingle-set Jaccard, exact-ppm by BIGINT
+    floor division.
+
+    Why this exists: "how much does dump N+1 overlap dump N / source A
+    overlap source B" is the first question before near-dedup across
+    corpora, and the full answer is a |shingles|×|shingles| join.  The
+    sketch answer reduces each group to ``k`` BIGINTs FIRST (one
+    distinct + one windowed top-k per group, all key-partitioned), so
+    the pairwise stage touches G²·k sketch rows, never corpus rows —
+    at 100 TB with thousands of sources that is megabytes.  The
+    estimator is deterministic (md5-derived hashes, no RNG), so the
+    DuckDB twin hash-matches.
+
+    Reference parity: dpp.py has no corpus-level operator; this is the
+    standard companion to its per-document dedup gap (SURVEY §2.2.10).
+    """
+    sk = (
+        word_shingles(df, group_col, text_col, n)
+        .select(F.col("id").alias("g"), _shingle_hash().alias("h"))
+        .distinct()
+    )
+    wtop = Window.partitionBy("g").orderBy("h")
+    sk_k = (
+        sk.withColumn("__r", F.row_number().over(wtop))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+        .localCheckpoint(eager=False)  # read 3x below (a/b/group list)
+    )
+    groups = sk_k.select("g").distinct()
+    side_a = (
+        sk_k.select(F.col("g").alias("sa"), "h")
+        .join(F.broadcast(groups.select(F.col("g").alias("sb"))))
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    )
+    side_b = (
+        sk_k.select(F.col("g").alias("sb"), "h")
+        .join(F.broadcast(groups.select(F.col("g").alias("sa"))))
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    )
+    merged = (
+        side_a.unionAll(side_b)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wpair = Window.partitionBy("sa", "sb").orderBy("h")
+    top = merged.withColumn("__r", F.row_number().over(wpair)).filter(
+        F.col("__r") <= k
+    )
+    return top.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("n_shared"),
+        F.expr("(1000000 * sum(ia * ib)) div count(1)")
+        .cast("bigint")
+        .alias("jaccard_est_ppm"),
+    )

@@ -2131,3 +2131,83 @@ def pandas_api_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reset_index()
     )
     return out.to_spark()
+
+
+@query(
+    "analytics_item_cf",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey % 100 AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ni AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1
+    ),
+    nij AS (
+      SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS n_ij
+      FROM inc a JOIN inc b ON a.u = b.u AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT n.i, n.j, n.n_ij, ni.n AS n_i, nj.n AS n_j,
+           CAST((1000000 * n.n_ij * n.n_ij) // (ni.n * nj.n) AS BIGINT)
+               AS cosine2_ppm,
+           CAST((1000000 * n.n_ij *
+                 (SELECT count(DISTINCT u) FROM inc))
+                // (ni.n * nj.n) AS BIGINT) AS lift_ppm
+    FROM nij n
+    JOIN ni ON ni.item = n.i
+    JOIN ni nj ON nj.item = n.j
+    """,
+)
+def analytics_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item–item collaborative filtering over the customer×part-bucket
+    incidence (orders ⋈ lineitem): co-occurrence counts, exact-ppm
+    cosine² (squared so no sqrt — BIGINT floor division stays
+    bit-identical) and lift per item pair.  Shape: the incidence
+    deduplicates to one row per (user, item) FIRST, then pairs
+    enumerate through the shared-user self-join — fan-out is
+    Σ_u items(u)², the wedge pattern with the per-user basket as the
+    natural cap (heavy users would be capped exactly like hub middles
+    in graph_neighbor_jaccard).  The one scalar (distinct-user count)
+    rides along as a broadcast 1-row aggregate, not a collect."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    inc = (
+        orders.select(F.col("o_orderkey").alias("ok"),
+                      F.col("o_custkey").alias("u"))
+        .join(
+            li.select(F.col("l_orderkey").alias("ok"),
+                      (F.col("l_partkey") % 100).alias("item")),
+            "ok",
+        )
+        .select("u", "item")
+        .distinct()
+        .localCheckpoint(eager=False)  # read by ni, nij, and n_users
+    )
+    ni = inc.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nij = (
+        inc.select(F.col("u"), F.col("item").alias("i"))
+        .join(inc.select("u", F.col("item").alias("j")), "u")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    )
+    n_users = inc.select(
+        F.count_distinct("u").cast("bigint").alias("n_users")
+    )
+    out = (
+        nij.join(F.broadcast(ni.select(F.col("item").alias("i"),
+                                       F.col("n").alias("n_i"))), "i")
+        .join(F.broadcast(ni.select(F.col("item").alias("j"),
+                                    F.col("n").alias("n_j"))), "j")
+        .crossJoin(F.broadcast(n_users))
+    )
+    return out.select(
+        "i", "j", "n_ij", "n_i", "n_j",
+        F.expr("(1000000 * n_ij * n_ij) div (n_i * n_j)")
+        .cast("bigint")
+        .alias("cosine2_ppm"),
+        F.expr("(1000000 * n_ij * n_users) div (n_i * n_j)")
+        .cast("bigint")
+        .alias("lift_ppm"),
+    )

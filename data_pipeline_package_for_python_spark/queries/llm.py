@@ -4416,3 +4416,120 @@ def etl_curation_pipeline(spark, sf_dir):
     ):
         out = out.unionByName(n_of(frame, stage))
     return out
+
+
+# ---------------------------------------------------------------------- #
+# corpus-level overlap + tokenizer fertility (round-4 additions)         #
+# ---------------------------------------------------------------------- #
+
+@query(
+    "dedup_corpus_overlap",
+    oracle="""
+    WITH words AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+      SELECT source, ws,
+             unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+      FROM words
+    ),
+    sk0 AS (
+      SELECT DISTINCT source AS g,
+             CAST(('0x' || substring(
+                 md5(array_to_string(ws[i:i+2], ' ')), 1, 8)) AS BIGINT)
+                 AS h
+      FROM idx
+    ),
+    ranked AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+      FROM sk0
+    ),
+    sk AS (SELECT g, h FROM ranked WHERE r <= 128),
+    gs AS (SELECT DISTINCT g FROM sk),
+    u0 AS (
+      SELECT a.g AS sa, b.g AS sb, a.h, 1 AS ia, 0 AS ib
+      FROM sk a, gs b WHERE a.g < b.g
+      UNION ALL
+      SELECT a.g AS sa, b.g AS sb, b.h, 0, 1
+      FROM gs a, sk b WHERE a.g < b.g
+    ),
+    u AS (
+      SELECT sa, sb, h, max(ia) AS ia, max(ib) AS ib
+      FROM u0 GROUP BY 1, 2, 3
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+      FROM u
+    ),
+    top AS (SELECT * FROM r2 WHERE r <= 128)
+    SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_eff,
+           CAST(SUM(ia * ib) AS BIGINT) AS n_shared,
+           CAST((1000000 * SUM(ia * ib)) // count(*) AS BIGINT)
+               AS jaccard_est_ppm
+    FROM top GROUP BY 1, 2
+    """,
+)
+def dedup_corpus_overlap(spark, sf_dir):
+    """Pairwise source-overlap estimation (operators/dedup.py
+    corpus_overlap_sketch): bottom-128 MinHash sketch of each source's
+    shingle SET, merged per source pair — the k-minimum-values Jaccard
+    estimator.  Each source reduces to 128 BIGINTs BEFORE any pairwise
+    work, so the pair stage is G²·k sketch rows (megabytes at thousands
+    of sources), never corpus rows — the scale answer to "how much does
+    dump N+1 overlap dump N".  Deterministic md5 hashing, exact-ppm
+    floor division: hash-checked."""
+    return D.corpus_overlap_sketch(
+        load(spark, sf_dir, "documents"), "source", "text", n=3, k=128
+    )
+
+
+@query(
+    "text_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '{T.TOKEN_REGEX}'))
+                  AS BIGINT) AS lex_tokens,
+             CAST(strlen(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(lex_tokens) AS BIGINT) AS lex_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST((1000000 * SUM(lex_tokens)) // SUM(ws_tokens) AS BIGINT)
+               AS fertility_ppm,
+           CAST((1000000 * SUM(n_chars)) // SUM(lex_tokens) AS BIGINT)
+               AS chars_per_token_ppm
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: lexer tokens per whitespace
+    word and chars per token (exact ppm) — the per-language cost model
+    every multilingual tokenizer evaluation starts from (a language
+    whose fertility is 2× pays 2× the sequence length for the same
+    text).  Map-side token counting (the text_token_counts machinery)
+    into one tiny hash aggregate; corpus-sized input, |langs| output."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(T.TOKEN_REGEX), 0))
+        .cast("bigint")
+        .alias("lex_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.sum("lex_tokens").cast("bigint").alias("lex_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.expr("(1000000 * sum(lex_tokens)) div sum(ws_tokens)")
+        .cast("bigint")
+        .alias("fertility_ppm"),
+        F.expr("(1000000 * sum(n_chars)) div sum(lex_tokens)")
+        .cast("bigint")
+        .alias("chars_per_token_ppm"),
+    )

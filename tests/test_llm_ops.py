@@ -1300,3 +1300,61 @@ def test_bpe_train_max_count_non_increasing(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert r["merged"] == r["lhs"] + r["rhs"]
+
+
+# --------------------------------------------------------------------- #
+# corpus_overlap_sketch (round-4 addition)                              #
+# --------------------------------------------------------------------- #
+
+def _src_docs(spark, groups):
+    rows = [
+        (f"{g}-{i}", g, t)
+        for g, texts in groups.items()
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+
+def test_corpus_overlap_identical_groups_is_one(spark):
+    texts = [f"alpha beta gamma delta {i} epsilon zeta" for i in range(5)]
+    df = _src_docs(spark, {"a": texts, "b": list(texts)})
+    rows = D.corpus_overlap_sketch(df, "source", "text", k=64).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["sa"], r["sb"]) == ("a", "b")
+    assert r["n_shared"] == r["k_eff"]
+    assert r["jaccard_est_ppm"] == 1_000_000
+
+
+def test_corpus_overlap_disjoint_vocab_is_zero(spark):
+    a = [f"aa{i} bb{i} cc{i} dd{i}" for i in range(5)]
+    b = [f"xx{i} yy{i} zz{i} ww{i}" for i in range(5)]
+    rows = D.corpus_overlap_sketch(
+        _src_docs(spark, {"a": a, "b": b}), "source", "text", k=64
+    ).collect()
+    assert rows[0]["n_shared"] == 0 and rows[0]["jaccard_est_ppm"] == 0
+
+
+def test_corpus_overlap_estimate_tracks_true_jaccard(spark):
+    # planted partial overlap; truth computed from first principles
+    # (same shingle definition), k=128 over ~300 shingles per side ->
+    # KMV standard error ~ sqrt(J(1-J)/k) ~ 0.04, assert +-0.15
+    shared = [f"common text line number {i} shared tail" for i in range(50)]
+    a = shared + [f"left only line {i} unique alpha tail" for i in range(50)]
+    b = shared + [f"right only line {i} unique beta tail" for i in range(50)]
+
+    def shingle_set(texts):
+        out = set()
+        for t in texts:
+            ws = t.split(" ")
+            for i in range(max(len(ws) - 2, 1)):
+                out.add(" ".join(ws[i:i + 3]))
+        return out
+
+    sa, sb = shingle_set(a), shingle_set(b)
+    truth = len(sa & sb) / len(sa | sb)
+    rows = D.corpus_overlap_sketch(
+        _src_docs(spark, {"a": a, "b": b}), "source", "text", k=128
+    ).collect()
+    est = rows[0]["jaccard_est_ppm"] / 1e6
+    assert abs(est - truth) < 0.15, (est, truth)

@@ -21,6 +21,7 @@ from . import (  # noqa: E402,F401
     llm,
     tpch_extra,
     graph_extra,
+    sql_surface,
 )
 
 # ---------------------------------------------------------------------- #

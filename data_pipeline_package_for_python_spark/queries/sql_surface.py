@@ -1,0 +1,123 @@
+"""SURVEY §2.2.12 extension: modern SQL front-door surface (round 4).
+
+Spark 4 SQL conveniences a reference user migrating real query text
+would hit immediately: ``SELECT * EXCEPT``, ``GROUP BY ALL`` /
+``ORDER BY ALL``, ``max_by``/``min_by`` ordered-argument aggregates, and
+SQL ``UNPIVOT``.  Each compiles to the same relational plans the
+DataFrame queries pin elsewhere — these rows prove the TEXT front door
+accepts the syntax and produces engine-identical results (the oracle
+spells the equivalent long-form ANSI, since DuckDB's spellings differ:
+``EXCLUDE`` vs ``EXCEPT``, ``arg_max`` vs ``max_by``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._registry import load, query
+
+
+def _view(spark: SparkSession, sf_dir: str, table: str) -> None:
+    load(spark, sf_dir, table).createOrReplaceTempView(table)
+
+
+@query(
+    "sql_star_except_group_all",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_units
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def sql_star_except_group_all(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``SELECT * EXCEPT (...)`` column exclusion + ``GROUP BY ALL``
+    (group by every non-aggregate output) — the Spark 4 shorthand pair.
+    The inner star-except projects by EXCLUSION (drop key/name), the
+    outer aggregate infers its keys; Catalyst resolves both at analysis
+    time,
+    so the physical plan is the ordinary partial/final hash aggregate —
+    syntax sugar costs nothing.  Oracle spells the same query long-form
+    ANSI."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS bal_units
+        FROM (
+          SELECT * EXCEPT (c_custkey, c_name) FROM customer
+        )
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "agg_max_by_min_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderstatus, o_orderkey) AS latest_status,
+           arg_min(o_orderstatus, o_orderkey) AS first_status,
+           arg_max(o_orderkey, o_orderkey) AS max_key
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by`` / ``min_by`` ordered-argument aggregates (DuckDB:
+    ``arg_max``/``arg_min``): the one-pass replacement for the
+    row_number-over-window + filter idiom when only the extreme row's
+    VALUE is wanted — no sort, no window state, just a (value, key)
+    partial that merges map-side.  Ordering key is the UNIQUE order key
+    so the result is deterministic (max_by on a tied key is
+    engine-arbitrary — the contract documents that ties require a
+    total-order key, same rule as first/last deterministic)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               max_by(o_orderstatus, o_orderkey) AS latest_status,
+               min_by(o_orderstatus, o_orderkey) AS first_status,
+               max_by(o_orderkey, o_orderkey) AS max_key
+        FROM orders GROUP BY o_custkey
+        """
+    )
+
+
+@query(
+    "sql_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric,
+           CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice',
+           CAST(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100
+    FROM part
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UNPIVOT`` (wide → long over the TEXT front door): the
+    declarative twin of the DataFrame melt in ``func_unpivot``.  Spark
+    plans it as the same map-side Expand — one scan, rows×metrics
+    output, no shuffle or join; the oracle is the expansion's UNION ALL
+    definition.  Retail price normalizes through exact cents so the
+    DOUBLE values are engine-identical."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, metric, val FROM (
+          SELECT p_partkey,
+                 CAST(p_size AS DOUBLE) AS p_size,
+                 CAST(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100
+                     AS p_retailprice
+          FROM part
+        )
+        UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+        """
+    )

@@ -2211,3 +2211,220 @@ def analytics_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_ppm"),
     )
+
+
+@query(
+    "analytics_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+                     AS BIGINT) AS i
+      FROM rev
+    ),
+    st AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_units,
+           CAST(FLOOR(1000000.0 * CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                      / CAST(n * sx AS DOUBLE)) AS BIGINT) AS gini_ppm
+    FROM st
+    """,
+)
+def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of customer revenue — the
+    inequality readout behind "what share of revenue do the top
+    customers carry".  Sorted-index formula
+    G = (2Σi·xᵢ − (n+1)Σx) / (n·Σx) over exact cent units; the index
+    comes from row_number with a total-order tie-break, and the formula
+    is invariant to the order among equal x, so the value is a pure
+    function of the multiset.  The global sort runs over the CUSTOMER
+    aggregate (|customers| rows, not facts); the scalar combination is
+    DECIMAL(38,0) on Spark / HUGEINT in the oracle — exact far past
+    BIGINT range (the ppm multiply overflows int64 already at sf0.01).
+    """
+    from pyspark.sql.window import Window
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("x")
+        )
+    )
+    ranked = rev.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "o_custkey"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(dec(F.col("i")) * dec(F.col("x")))
+        .cast("decimal(38,0)")
+        .alias("six"),
+    )
+    n, sx, six = dec(F.col("n")), dec(F.col("sx")), F.col("six")
+    # every term promotes to DECIMAL(38,0) BEFORE multiplying (n·sx in
+    # raw BIGINT would silently wrap around sf100); the final ratio is
+    # taken in DOUBLE — both engines cast the SAME exact integers to
+    # the SAME doubles and IEEE division/floor are deterministic, which
+    # sidesteps Spark's decimal-division scale-6 rounding AND its
+    # decimal `div` (which wraps through int64 — probed, garbage).
+    num = (2 * six - (n + F.lit(1)) * sx).cast("decimal(38,0)")
+    den = (n * sx).cast("decimal(38,0)")
+    return st.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_units"),
+        F.floor(
+            F.lit(1000000.0) * num.cast("double") / den.cast("double")
+        ).cast("bigint").alias("gini_ppm"),
+    )
+
+
+def _fk_pair_sql(child_t: str, child_c: str, parent_t: str,
+                 parent_c: str) -> str:
+    return f"""
+    SELECT '{child_t}.{child_c}' AS child_col,
+           '{parent_t}.{parent_c}' AS parent_col,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contained,
+           CAST((1000000 * SUM(CASE WHEN p.v IS NOT NULL THEN 1
+                                    ELSE 0 END)) // count(*)
+                AS BIGINT) AS containment_ppm
+    FROM (SELECT DISTINCT {child_c} AS v FROM {child_t}) c
+    LEFT JOIN (SELECT DISTINCT {parent_c} AS v FROM {parent_t}) p
+           ON p.v = c.v
+    """
+
+
+_FK_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    # deliberate NEGATIVE control: order keys are not customer keys
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+)
+
+
+@query(
+    "etl_fk_inference",
+    oracle="\nUNION ALL\n".join(
+        _fk_pair_sql(*cand) for cand in _FK_CANDIDATES
+    ),
+)
+def etl_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency mining (FK-candidate inference): for each
+    declared column pair, what fraction of the child's DISTINCT values
+    exist in the parent — containment 1.0 ⇒ foreign-key candidate,
+    the profiling step schema-discovery tools run before lineage can be
+    trusted.  Each pair is a distinct-project + left join on the
+    distinct sets (key-cardinality rows, never fact rows) and the six
+    pairs union into one report; includes a deliberate negative control
+    pair whose containment must be far below 1e6."""
+    out = None
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        c = (
+            load(spark, sf_dir, child_t)
+            .select(F.col(child_c).alias("v"))
+            .distinct()
+        )
+        p = (
+            load(spark, sf_dir, parent_t)
+            .select(F.col(parent_c).alias("v"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        pair = c.join(p, "v", "left").agg(
+            F.lit(f"{child_t}.{child_c}").alias("child_col"),
+            F.lit(f"{parent_t}.{parent_c}").alias("parent_col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contained"),
+            F.expr(
+                "(1000000 * sum(coalesce(hit, 0))) div count(1)"
+            ).cast("bigint").alias("containment_ppm"),
+        )
+        out = pair if out is None else out.unionByName(pair)
+    return out
+
+
+@query(
+    "analytics_funnel_ttc",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+                 AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT CAST(epoch_us(CAST(first_purchase AS TIMESTAMP))
+                  - epoch_us(CAST(first_view AS TIMESTAMP)) AS BIGINT)
+                 // 1000000 AS delta_s
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(CAST(delta_s AS DOUBLE), 0.25) AS p25_s,
+           quantile_cont(CAST(delta_s AS DOUBLE), 0.50) AS p50_s,
+           quantile_cont(CAST(delta_s AS DOUBLE), 0.75) AS p75_s,
+           CAST(SUM(delta_s) AS BIGINT) AS total_s
+    FROM conv
+    """,
+)
+def analytics_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert distribution: per user, first 'view' →
+    first 'purchase' delay, reported as exact quartiles of whole-second
+    deltas (interpolated midpoints of integers are exact dyadic doubles
+    — the agg_median determinism argument) plus the exact total.  One
+    conditional-min aggregate per user (no self-join, no window), then
+    a |users|-sized quantile — the funnel companion to
+    funnel_view_purchase that answers "how fast", not just "how many".
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.expr(
+            "(unix_micros(first_purchase) - unix_micros(first_view))"
+            " div 1000000"
+        ).cast("bigint").alias("delta_s")
+    )
+    d = F.col("delta_s").cast("double")
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.percentile(d, F.lit(0.25)).alias("p25_s"),
+        F.percentile(d, F.lit(0.50)).alias("p50_s"),
+        F.percentile(d, F.lit(0.75)).alias("p75_s"),
+        F.sum("delta_s").cast("bigint").alias("total_s"),
+    )

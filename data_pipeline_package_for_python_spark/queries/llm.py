@@ -4533,3 +4533,178 @@ def text_fertility(spark, sf_dir):
         .cast("bigint")
         .alias("chars_per_token_ppm"),
     )
+
+
+# ---------------------------------------------------------------------- #
+# classifier-evaluation metrics, EXACT (round-4 additions)               #
+# ---------------------------------------------------------------------- #
+
+# Shared fixture contract: predictions come from the linear quality
+# gate (text_quality_linear_score: integer score, keep = score > 0);
+# ground truth is lang = 'en'.  Both are deterministic engine-side
+# integers, so every metric below is exact rational arithmetic.
+
+_SCORED_DOCS_SQL = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             SUM(((CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+                   % 100003) * 31 + 7) % 1001 - 500) AS s
+      FROM toks GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS s,
+             CAST(d.lang = 'en' AS INT) AS y
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    )
+"""
+
+
+def _scored_docs(spark, sf_dir):
+    from ..operators.text import linear_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return linear_quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        F.col("id") == F.col("doc_id"),
+    ).select(F.col("score_units").alias("s"), "y", "keep")
+
+
+@query(
+    "ml_auc_exact",
+    oracle=f"""
+    WITH {_SCORED_DOCS_SQL},
+    per_score AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n1
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, n, n1,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+      FROM per_score
+    ),
+    tot AS (
+      SELECT CAST(SUM(n1 * (2 * cum_before + n + 1)) AS BIGINT)
+                 AS two_r1,
+             CAST(SUM(n1) AS BIGINT) AS n_pos,
+             CAST(SUM(n - n1) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST(two_r1 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+           CAST((1000000 * (two_r1 - n_pos * (n_pos + 1)))
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM tot
+    """,
+)
+def ml_auc_exact(spark, sf_dir):
+    """EXACT distributed ROC-AUC via the Mann–Whitney rank-sum identity
+    — the standard classifier-eval metric computed without floats or
+    sampling.  Tie-correct midranks come from per-SCORE-VALUE group
+    counts (2·midrank = 2·cum_before + n + 1), so the only window runs
+    over DISTINCT scores, not rows — at 100 TB the rank pass is a
+    groupBy(score) plus a tiny ordered prefix-sum, never a global
+    row sort.  AUC = (ΣR₁·2 − n₊(n₊+1)) / (2·n₊·n₋) in pure BIGINTs;
+    emitted as exact num/den plus ppm floor division."""
+    from pyspark.sql import Window
+
+    scored = _scored_docs(spark, sf_dir)
+    per_score = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n1"),
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint"),
+    )
+    tot = cum.agg(
+        F.sum(
+            F.col("n1") * (2 * F.col("cum_before") + F.col("n") + 1)
+        ).cast("bigint").alias("two_r1"),
+        F.sum("n1").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n1")).cast("bigint").alias("n_neg"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        (F.col("two_r1") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("bigint")
+        .alias("auc_num"),
+        (2 * F.col("n_pos") * F.col("n_neg"))
+        .cast("bigint")
+        .alias("auc_den"),
+        F.expr(
+            "(1000000 * (two_r1 - n_pos * (n_pos + 1)))"
+            " div (2 * n_pos * n_neg)"
+        ).cast("bigint").alias("auc_ppm"),
+    )
+
+
+@query(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH {_SCORED_DOCS_SQL},
+    cm AS (
+      SELECT CAST(SUM(CASE WHEN s > 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s > 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s <= 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN s <= 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST((1000000 * tp) // NULLIF(tp + fp, 0) AS BIGINT)
+               AS precision_ppm,
+           CAST((1000000 * tp) // NULLIF(tp + fn, 0) AS BIGINT)
+               AS recall_ppm,
+           CAST((2000000 * tp) // NULLIF(2 * tp + fp + fn, 0) AS BIGINT)
+               AS f1_ppm,
+           CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+               AS accuracy_ppm
+    FROM cm
+    """,
+)
+def ml_confusion_matrix(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1/accuracy for the linear
+    quality gate against the lang='en' truth — one conditional-sum scan
+    over the scored corpus (four CASE partials in a single hash
+    aggregate, no joins), metrics in exact-ppm floor division with
+    NULLIF zero-division guards mirrored on both engines.  The
+    classifier-eval readout every curation-gate change is judged by."""
+    scored = _scored_docs(spark, sf_dir)
+    pred = (F.col("s") > 0).cast("int")
+    cm = scored.agg(
+        F.sum(((pred == 1) & (F.col("y") == 1)).cast("int"))
+        .cast("bigint").alias("tp"),
+        F.sum(((pred == 1) & (F.col("y") == 0)).cast("int"))
+        .cast("bigint").alias("fp"),
+        F.sum(((pred == 0) & (F.col("y") == 1)).cast("int"))
+        .cast("bigint").alias("fn"),
+        F.sum(((pred == 0) & (F.col("y") == 0)).cast("int"))
+        .cast("bigint").alias("tn"),
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("(1000000 * tp) div nullif(tp + fp, 0)")
+        .cast("bigint").alias("precision_ppm"),
+        F.expr("(1000000 * tp) div nullif(tp + fn, 0)")
+        .cast("bigint").alias("recall_ppm"),
+        F.expr("(2000000 * tp) div nullif(2 * tp + fp + fn, 0)")
+        .cast("bigint").alias("f1_ppm"),
+        F.expr("(1000000 * (tp + tn)) div (tp + fp + fn + tn)")
+        .cast("bigint").alias("accuracy_ppm"),
+    )

@@ -1023,3 +1023,84 @@ def corpus_overlap_sketch(
         .cast("bigint")
         .alias("jaccard_est_ppm"),
     )
+
+
+def cdc_chunk_dup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    modulus: int = 4,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplication report — the
+    rsync/FastCDC primitive at word granularity: a chunk boundary falls
+    after every word whose hash ≡ 0 (mod ``modulus``), so boundaries
+    are a pure function of LOCAL content and an edit anywhere in a
+    document only re-chunks its neighborhood — shared passages between
+    documents keep producing byte-identical chunks no matter where
+    they sit.  Average chunk length ≈ ``modulus`` words.
+
+    Returns per document: ``n_chunks``, ``n_dup_chunks`` (chunks whose
+    corpus-wide occurrence count exceeds 1 — including within-document
+    repeats), and ``dup_ratio_ppm``.  This is the passage-level
+    duplication signal sitting between exact-document dedup and
+    substring-span dedup (Lee et al.): cheaper than suffix machinery,
+    robust to prepended boilerplate that defeats whole-doc hashing.
+
+    Shape at 100 TB: chunking is ONE map-side codegen projection
+    (split / filter / slice HOFs — no Python, no shuffle), then one
+    groupBy(chunk_hash) count and one hash-join back — the exact-dedup
+    posture applied to chunks.  Deterministic md5 arithmetic, so the
+    DuckDB twin hash-matches.
+    """
+    chunks = (
+        ensure_parallel(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__ws"),
+        )
+        .select(
+            "id",
+            "__ws",
+            F.expr(
+                "filter(sequence(1, size(__ws)),"
+                " i -> (cast(conv(substring(md5(__ws[i-1]), 1, 8),"
+                f" 16, 10) as bigint) % {int(modulus)}) = 0)"
+            ).alias("__bpos"),
+        )
+        .select(
+            "id",
+            "__ws",
+            F.expr("concat(array(0), __bpos)").alias("__starts"),
+            F.expr("concat(__bpos, array(size(__ws)))").alias("__ends"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(__starts)),"
+                    " j -> concat_ws(' ',"
+                    " slice(__ws, __starts[j-1] + 1,"
+                    " __ends[j-1] - __starts[j-1]))),"
+                    " c -> c != '')"
+                )
+            ).alias("chunk"),
+        )
+        .select("id", F.md5("chunk").alias("chunk_hash"))
+    )
+    counts = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    return (
+        chunks.join(counts, "chunk_hash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "(1000000 * sum(cast(n_occ > 1 as int))) div count(1)"
+            ).cast("bigint").alias("dup_ratio_ppm"),
+        )
+    )

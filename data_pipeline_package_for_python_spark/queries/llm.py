@@ -4708,3 +4708,55 @@ def ml_confusion_matrix(spark, sf_dir):
         F.expr("(1000000 * (tp + tn)) div (tp + fp + fn + tn)")
         .cast("bigint").alias("accuracy_ppm"),
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws,
+             list_filter(generate_series(1, len(ws)),
+               i -> (CAST(('0x' || substring(md5(ws[i]), 1, 8)) AS BIGINT)
+                     % 4) = 0) AS bpos
+      FROM w
+    ),
+    s AS (
+      SELECT doc_id, ws,
+             list_prepend(0, bpos) AS starts,
+             list_append(bpos, len(ws)) AS ends
+      FROM b
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[starts[j]+1:ends[j]], ' '))
+                 AS chunk_hash
+      FROM s, unnest(generate_series(1, len(starts))) AS t(j)
+      WHERE array_to_string(ws[starts[j]+1:ends[j]], ' ') != ''
+    ),
+    cnt AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ
+      FROM ch GROUP BY 1
+    )
+    SELECT ch.doc_id AS id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt.n_occ > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST((1000000 * SUM(CASE WHEN cnt.n_occ > 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS dup_ratio_ppm
+    FROM ch JOIN cnt USING (chunk_hash)
+    GROUP BY 1
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking duplication report (operators/dedup.py
+    cdc_chunk_dup_report): word-level CDC boundaries (hash ≡ 0 mod 4 —
+    the rsync/FastCDC rule), md5 chunk identity, corpus-wide occurrence
+    counts joined back per document.  The passage-level tier between
+    whole-doc exact dedup and substring-span dedup: boilerplate-robust,
+    one map-side chunking projection + one groupBy + one join."""
+    return D.cdc_chunk_dup_report(
+        load(spark, sf_dir, "documents"), "doc_id", "text", modulus=4
+    )

@@ -1358,3 +1358,48 @@ def test_corpus_overlap_estimate_tracks_true_jaccard(spark):
     ).collect()
     est = rows[0]["jaccard_est_ppm"] / 1e6
     assert abs(est - truth) < 0.15, (est, truth)
+
+
+def test_cdc_chunking_is_edit_local(spark):
+    # The CDC property: one edited word re-chunks only its neighborhood,
+    # so two long docs differing in ONE word still share most chunks --
+    # a fixed-width chunking would misalign everything after the edit.
+    words = [f"w{i}" for i in range(200)]
+    edited = list(words)
+    edited[100] = "EDITED"
+    df = spark.createDataFrame(
+        [("a", " ".join(words)), ("b", " ".join(edited))],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in D.cdc_chunk_dup_report(df, "doc_id", "text").collect()
+    }
+    for r in rows.values():
+        # most chunks are shared with the twin (n_occ = 2 -> dup)
+        assert r["dup_ratio_ppm"] > 800_000, dict(r)
+        # but not all: the edit neighborhood diverges
+        assert r["n_dup_chunks"] < r["n_chunks"], dict(r)
+
+
+def test_cdc_chunks_reassemble_the_document(spark):
+    # chunk boundaries partition the word sequence: total chunk words
+    # == doc words (no loss, no overlap)
+    from data_pipeline_package_for_python_spark.operators.dedup import (
+        cdc_chunk_dup_report,
+    )
+    text = " ".join(f"tok{i % 37}x{i % 11}" for i in range(150))
+    df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    out = cdc_chunk_dup_report(df, "doc_id", "text").collect()[0]
+    assert out["n_chunks"] >= 1
+    # independent reassembly check in pure python with the same rule
+    import hashlib
+    ws = text.split(" ")
+    bpos = [i for i in range(1, len(ws) + 1)
+            if int(hashlib.md5(ws[i - 1].encode()).hexdigest()[:8], 16)
+            % 4 == 0]
+    starts = [0] + bpos
+    ends = bpos + [len(ws)]
+    chunks = [" ".join(ws[s:e]) for s, e in zip(starts, ends) if e > s]
+    assert " ".join(chunks) == text
+    assert out["n_chunks"] == len(chunks)

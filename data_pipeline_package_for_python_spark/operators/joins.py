@@ -287,3 +287,80 @@ def bloom_semi_reduce(
         keys, "__k", expected_items=expected_items, fpp=fpp
     )
     return fact.filter(bloom_member(sketch, fk))
+
+
+def sorted_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_col: str,
+    right_key: str,
+    right_col: str,
+    *,
+    window: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo, SIGMOD
+    '95): union both sides, ONE global sort on the match column, then
+    compare each row only against the next ``window`` rows — candidates
+    are generated by ``window`` map-side ``lead`` columns over that
+    sort, so the candidate volume is exactly (|L|+|R|)·window instead
+    of |L|·|R|, with NO blocking key to get wrong (the failure mode of
+    equality blocking is a typo in the block key itself; a sort keeps
+    typo'd records adjacent as long as the corruption is not in the
+    first characters — the two methods are complementary tiers).
+
+    Verification is ``levenshtein ≤ max_distance`` in codegen on
+    candidates only.  Returns matched (left_key, left_val, right_key,
+    right_val, distance) pairs.  At scale the sort range-partitions and
+    the lead window crosses partition boundaries correctly (one
+    logical sort, the engine's problem to parallelize — same posture
+    as any global ORDER BY); determinism comes from the total sort
+    order (value, side, key).
+    """
+    lhs = left.select(
+        F.col(left_key).alias("k"),
+        F.col(left_col).alias("v"),
+        F.lit(0).alias("side"),
+    )
+    rhs = right.select(
+        F.col(right_key).alias("k"),
+        F.col(right_col).alias("v"),
+        F.lit(1).alias("side"),
+    )
+    both = lhs.unionAll(rhs)
+    w = Window.orderBy("v", "side", "k")
+    cols = ["k", "v", "side"]
+    led = both.select(
+        *cols,
+        *[
+            F.lead(c, j).over(w).alias(f"{c}_{j}")
+            for j in range(1, window + 1)
+            for c in cols
+        ],
+    )
+    pairs = None
+    for j in range(1, window + 1):
+        cand = led.filter(
+            F.col(f"side_{j}").isNotNull()
+            & (F.col("side") != F.col(f"side_{j}"))
+        ).select(
+            F.when(F.col("side") == 0, F.col("k"))
+            .otherwise(F.col(f"k_{j}")).alias("left_key"),
+            F.when(F.col("side") == 0, F.col("v"))
+            .otherwise(F.col(f"v_{j}")).alias("left_val"),
+            F.when(F.col("side") == 0, F.col(f"k_{j}"))
+            .otherwise(F.col("k")).alias("right_key"),
+            F.when(F.col("side") == 0, F.col(f"v_{j}"))
+            .otherwise(F.col("v")).alias("right_val"),
+        )
+        pairs = cand if pairs is None else pairs.unionAll(cand)
+    out = (
+        pairs.distinct()
+        .withColumn(
+            "distance",
+            F.levenshtein("left_val", "right_val").cast("bigint"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+    return out

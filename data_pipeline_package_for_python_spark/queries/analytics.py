@@ -2428,3 +2428,157 @@ def analytics_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(d, F.lit(0.75)).alias("p75_s"),
         F.sum("delta_s").cast("bigint").alias("total_s"),
     )
+
+
+@query(
+    "analytics_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS ym,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_units
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.ym AS ym,
+           CAST(cur.ym // 12 AS BIGINT) AS year,
+           CAST(cur.ym % 12 + 1 AS BIGINT) AS month,
+           cur.rev_units,
+           prev.rev_units AS prev_year_units,
+           CAST(cur.rev_units - prev.rev_units AS BIGINT) AS delta_units,
+           CASE WHEN prev.rev_units > 0
+                THEN CAST(cur.rev_units AS DOUBLE)
+                     / CAST(prev.rev_units AS DOUBLE) - 1.0 END AS growth
+    FROM monthly cur JOIN monthly prev ON prev.ym = cur.ym - 12
+    """,
+)
+def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: month buckets as a LINEAR
+    integer index (year·12+month−1) so the lag-12 comparison is an
+    exact equi-join on ym−12 — immune to calendar gaps, unlike a
+    row-lag window that silently compares to whatever HAPPENED to be 12
+    rows back.  Exact cent units end-to-end; the growth ratio is the
+    one derived DOUBLE (identical exact ints → identical IEEE division;
+    signed `div` is AVOIDED entirely because Spark truncates toward
+    zero while DuckDB floors — opposite answers on negative growth).
+    The join is |months| × |months| key-partitioned — dimension-sized,
+    broadcast at any scale."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).cast("bigint").alias("ym")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev_units")
+        )
+        .localCheckpoint(eager=False)  # referenced twice (cur & prev)
+    )
+    cur = monthly
+    prev = monthly.select(
+        (F.col("ym") + 12).alias("ym"),
+        F.col("rev_units").alias("prev_year_units"),
+    )
+    j = cur.join(prev, "ym")
+    return j.select(
+        "ym",
+        F.expr("ym div 12").cast("bigint").alias("year"),
+        (F.col("ym") % 12 + 1).cast("bigint").alias("month"),
+        "rev_units",
+        "prev_year_units",
+        (F.col("rev_units") - F.col("prev_year_units"))
+        .cast("bigint")
+        .alias("delta_units"),
+        F.when(
+            F.col("prev_year_units") > 0,
+            F.col("rev_units").cast("double")
+            / F.col("prev_year_units").cast("double")
+            - 1.0,
+        ).alias("growth"),
+    )
+
+
+@query(
+    "analytics_market_basket",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey % 100 AS item
+      FROM lineitem
+    ),
+    ni AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1
+    ),
+    nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM inc),
+    nij AS (
+      SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS n_ij
+      FROM inc a JOIN inc b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.i, p.j, p.n_ij, ni.n AS n_i, nj.n AS n_j,
+           CAST((1000000 * p.n_ij) // (SELECT n FROM nb) AS BIGINT)
+               AS support_ppm,
+           CAST((1000000 * p.n_ij) // ni.n AS BIGINT) AS conf_i_to_j_ppm,
+           CAST((1000000 * p.n_ij) // nj.n AS BIGINT) AS conf_j_to_i_ppm,
+           CAST((1000000 * p.n_ij * (SELECT n FROM nb))
+                // (ni.n * nj.n) AS BIGINT) AS lift_ppm
+    FROM nij p
+    JOIN ni ON ni.item = p.i
+    JOIN ni nj ON nj.item = p.j
+    WHERE p.n_ij >= 2
+    """,
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over ORDER-scoped baskets
+    (lineitem part buckets): support / directional confidence / lift in
+    exact ppm for every co-purchased item pair with support ≥ 2.  The
+    order-scoped companion to analytics_item_cf's user-scoped
+    incidence: pair enumeration self-joins on the basket key and
+    fan-out is Σ_b items(b)² with the natural per-order basket as the
+    cap (~lineitems per order), so the shape is skew-safe without any
+    frequency gate.  Corpus scalars (basket count) ride as broadcast
+    1-row aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    inc = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            (F.col("l_partkey") % 100).alias("item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # read by ni, nb, and the pair join
+    )
+    ni = inc.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nb = inc.agg(
+        F.count_distinct("basket").cast("bigint").alias("n_baskets")
+    )
+    nij = (
+        inc.select("basket", F.col("item").alias("i"))
+        .join(inc.select("basket", F.col("item").alias("j")), "basket")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+        .filter(F.col("n_ij") >= 2)
+    )
+    out = (
+        nij.join(F.broadcast(ni.select(F.col("item").alias("i"),
+                                       F.col("n").alias("n_i"))), "i")
+        .join(F.broadcast(ni.select(F.col("item").alias("j"),
+                                    F.col("n").alias("n_j"))), "j")
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        "i", "j", "n_ij", "n_i", "n_j",
+        F.expr("(1000000 * n_ij) div n_baskets")
+        .cast("bigint").alias("support_ppm"),
+        F.expr("(1000000 * n_ij) div n_i")
+        .cast("bigint").alias("conf_i_to_j_ppm"),
+        F.expr("(1000000 * n_ij) div n_j")
+        .cast("bigint").alias("conf_j_to_i_ppm"),
+        F.expr("(1000000 * n_ij * n_baskets) div (n_i * n_j)")
+        .cast("bigint").alias("lift_ppm"),
+    )

@@ -3022,3 +3022,64 @@ def scan_file_metadata(spark, sf_dir):
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+def _snm_oracle_sql(window: int = 3, max_distance: int = 2) -> str:
+    cand_selects = []
+    lead_cols = ",\n             ".join(
+        f"lead({c}, {j}) OVER w AS {c}_{j}"
+        for j in range(1, window + 1)
+        for c in ("k", "v", "side")
+    )
+    for j in range(1, window + 1):
+        cand_selects.append(f"""
+      SELECT CASE WHEN side = 0 THEN k ELSE k_{j} END AS left_key,
+             CASE WHEN side = 0 THEN v ELSE v_{j} END AS left_val,
+             CASE WHEN side = 0 THEN k_{j} ELSE k END AS right_key,
+             CASE WHEN side = 0 THEN v_{j} ELSE v END AS right_val
+      FROM led WHERE side_{j} IS NOT NULL AND side <> side_{j}""")
+    return f"""
+    WITH both_s AS (
+      SELECT c_custkey AS k, c_name || 'q' AS v, 0 AS side
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, 1 FROM customer
+    ),
+    led AS (
+      SELECT k, v, side,
+             {lead_cols}
+      FROM both_s WINDOW w AS (ORDER BY v, side, k)
+    ),
+    cand AS (SELECT DISTINCT * FROM ({" UNION ALL ".join(cand_selects)}))
+    SELECT left_key, left_val, right_key, right_val,
+           CAST(levenshtein(left_val, right_val) AS BIGINT) AS distance
+    FROM cand
+    WHERE levenshtein(left_val, right_val) <= {max_distance}
+    """
+
+
+@query("join_sorted_neighborhood", oracle=_snm_oracle_sql())
+def join_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood record linkage (operators/joins.py
+    sorted_neighborhood_join): customer names with a trailing
+    corruption character re-linked to the clean roster by ONE global
+    sort + window-3 lead comparisons — (|L|+|R|)·w candidates instead
+    of |L|·|R|, no blocking key to mistype; levenshtein verifies in
+    codegen.  The fixed-width unique names keep each corrupted record
+    sort-adjacent to its twin (the regime SNM is designed for — a
+    suffix typo); the blocking-free complement to
+    join_fuzzy_levenshtein's equality blocks (SNM survives a typo in
+    the block key; blocking survives a corrupted prefix — production
+    linkage runs both tiers)."""
+    from ..operators.joins import sorted_neighborhood_join
+
+    cust = load(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.concat(F.col("c_name"), F.lit("q")).alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    return sorted_neighborhood_join(
+        dirty, clean, "d_key", "d_name", "c_custkey", "c_name",
+        window=3, max_distance=2,
+    )

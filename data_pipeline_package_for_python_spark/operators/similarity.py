@@ -1108,3 +1108,159 @@ def embedding_drift_report(
         z.alias("z"),
         (F.abs(z) > F.lit(z_threshold)).cast("int").alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------- #
+# product quantization (PQ / ADC) ANN                                   #
+# --------------------------------------------------------------------- #
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 5,
+    shortlist: int = 20,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k cosine via product quantization with asymmetric-distance
+    scoring (Jégou et al., PAMI '11): the vector splits into ``m``
+    subspaces, each corpus subvector is replaced by the id of its
+    nearest codebook entry (``log2(n_codes)·m`` bits per vector — 16
+    codes × 4 subspaces = 4 BYTES for a 64-dim float vector, a 64×
+    compression), queries score candidates through a per-query lookup
+    table (ADC), and only the ``shortlist`` survivors pay the exact
+    double-precision cosine.
+
+    Exactness discipline: all PQ arithmetic is integer — vectors
+    quantize to BIGINT units (floor(x·scale + 0.5)), code assignment is
+    exact-L2 argmin with a lowest-code tie-break, the ADC score is a
+    BIGINT sum of table entries — so codes, shortlists, and final ranks
+    are bit-deterministic and the DuckDB twin hash-matches (the
+    ``kmeans_embeddings_exact`` discipline applied to PQ).
+
+    Codebook = the ``n_codes`` LOWEST-ID corpus vectors (deterministic,
+    engine-reproducible — the stride-centroid argument from
+    ``_stride_centroids``; swap in Lloyd-refined codebooks from
+    ``kmeans_embeddings_exact`` per subspace for production recall).
+    Collected codebook state is n_codes×dim ints — bounded model state,
+    the k-means-centroid exception, never fact data.
+
+    Shape at 100 TB: encoding is ONE map-side projection per corpus
+    vector against literal codebooks (no shuffle, no Python); the
+    query-side LUT is computed on the (small) query frame and ships in
+    the same broadcast as the queries; scoring reads 4 bytes per
+    corpus vector instead of 256 — the memory-bandwidth win PQ exists
+    for.  Same broadcast-queries + salted-top-k posture as sq8_topk.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    uexpr = (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {int(scale)} + 0.5d) AS BIGINT))"
+    )
+    cb_rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.expr(uexpr).alias("u"))
+        .orderBy("__id")
+        .limit(n_codes)
+        .collect()
+    )
+    if len(cb_rows) < n_codes:
+        raise ValueError(f"need ≥ {n_codes} corpus vectors")
+    # codebook[s][j] = integer subvector (dims s·sub .. s·sub+sub-1)
+    codebook = [
+        [list(map(int, r["u"][s * sub:(s + 1) * sub])) for r in cb_rows]
+        for s in range(m)
+    ]
+
+    def cb_sql(s: int) -> str:
+        # the whole per-subspace codebook as ONE parsed SQL literal —
+        # building it from nested F.array(F.lit(...)) costs ~2000 py4j
+        # round-trips (measured 14 s of pure plan CONSTRUCTION); a text
+        # expression is a single call and Catalyst sees the same
+        # array<array<bigint>> node
+        return (
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(f"{int(x)}L" for x in code)
+                + ")"
+                for code in codebook[s]
+            )
+            + ")"
+        )
+
+    def sub_dists(u_slice: str, s: int) -> F.Column:
+        return F.expr(
+            f"transform({cb_sql(s)}, cvec -> aggregate("
+            f"zip_with({u_slice}, cvec, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        )
+
+    def encode(frame: DataFrame, out_col: str) -> DataFrame:
+        # per subspace: argmin over n_codes distances, tie → lowest
+        # code id (array_position returns the FIRST match)
+        frame = frame.withColumn("__u", F.expr(uexpr.replace(vec_col, "__v")))
+        for s in range(m):
+            u_slice = f"slice(__u, {s * sub + 1}, {sub})"
+            dists = sub_dists(u_slice, s)
+            frame = frame.withColumn(
+                f"__c{s}",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int"),
+            )
+        return frame.withColumn(
+            out_col, F.array(*[F.col(f"__c{s}") for s in range(m)])
+        ).drop("__u", *[f"__c{s}" for s in range(m)])
+
+    c = encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        ),
+        "codes",
+    ).select("neighbor_id", F.col("__v").alias("cv"), "codes")
+
+    # query-side ADC lookup table: lut[s][j] = d²(q_s, codebook[s][j])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v")
+    ).withColumn("__u", F.expr(uexpr.replace(vec_col, "__v")))
+    lut_cols = []
+    for s in range(m):
+        u_slice = f"slice(__u, {s * sub + 1}, {sub})"
+        lut_cols.append(sub_dists(u_slice, s).alias(f"__lut{s}"))
+    q = q.select(
+        "query_id", F.col("__v").alias("qv"), *lut_cols
+    )
+
+    adc = sum(
+        F.element_at(F.col(f"__lut{s}"), F.col("codes")[s] + 1)
+        for s in range(m)
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("adc", adc.cast("bigint"))
+
+    from .skew import salted_topk_per_group
+
+    short = salted_topk_per_group(
+        scored.select("query_id", "neighbor_id", "adc", "qv", "cv"),
+        ["query_id"],
+        [F.col("adc").asc(), F.col("neighbor_id")],
+        shortlist,
+    )
+    reranked = short.withColumn(
+        "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

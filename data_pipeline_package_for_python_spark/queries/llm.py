@@ -4760,3 +4760,95 @@ def dedup_cdc_chunks(spark, sf_dir):
     return D.cdc_chunk_dup_report(
         load(spark, sf_dir, "documents"), "doc_id", "text", modulus=4
     )
+
+
+@query(
+    "sim_topk_pq",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    u0 AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
+                 AS u
+      FROM c0
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS cu
+      FROM (SELECT * FROM u0 ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+    enc0 AS (
+      SELECT a.vec_id, subs.s, cb.j,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (a.u[subs.s * 16 + i] - cb.cu[subs.s * 16 + i])
+                  * (a.u[subs.s * 16 + i] - cb.cu[subs.s * 16 + i])))
+                 AS d2
+      FROM u0 a, subs, cb
+    ),
+    enc AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, j) AS r
+        FROM enc0
+      ) WHERE r = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, u AS qu
+      FROM u0 WHERE vec_id % 50 = 0
+    ),
+    lut AS (
+      SELECT q.query_id, subs.s, cb.j,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (q.qu[subs.s * 16 + i] - cb.cu[subs.s * 16 + i])
+                  * (q.qu[subs.s * 16 + i] - cb.cu[subs.s * 16 + i])))
+                 AS d2
+      FROM q, subs, cb
+    ),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adc
+      FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+      WHERE l.query_id <> e.vec_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc, neighbor_id) AS r
+        FROM adc
+      ) WHERE r <= 20
+    ),
+    rr AS (
+      SELECT sh.query_id, sh.neighbor_id, q.qv, c.v AS cv
+      FROM short sh
+      JOIN q ON q.query_id = sh.query_id
+      JOIN c0 c ON c.vec_id = sh.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id,
+             {_DOT} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')})
+                 AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_DOT} / ({_NORM.format(v='qv')}
+                        * {_NORM.format(v='cv')}) DESC, neighbor_id)
+                 AS rank
+      FROM rr
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_pq(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance scoring
+    (operators/similarity.py pq_topk): 4 subspaces × 16 codes = 4 BYTES
+    per 64-dim vector (64× compression), per-query integer lookup
+    tables, exact-cosine re-rank of the shortlist.  The sixth and most
+    compressed tier of the similarity ladder (brute → sign-LSH →
+    multi-probe → IVF → SQ8 → PQ); all PQ arithmetic is exact BIGINT so
+    codes/shortlists/ranks are bit-deterministic and the DuckDB twin
+    hash-matches."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=5, shortlist=20, m=4, n_codes=16, scale=1000,
+    )

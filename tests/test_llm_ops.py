@@ -619,7 +619,7 @@ def test_remove_boilerplate_preserves_order(spark):
 
 def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     """Honesty metric for the ANN tier: recall@5 of each approximate
-    index (hyperplane-LSH, IVF, SQ8) against the exact brute-force
+    index (hyperplane-LSH, IVF, SQ8, PQ) against the exact brute-force
     top-5 on the same query set.  The floors are loose — these are
     pruned indexes on a tiny fixture — but they pin that the
     approximations return mostly-right neighbors, not plausible
@@ -665,7 +665,12 @@ def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     )
     r_ivf = recall(S.ivf_topk(emb, queries, k=5))
     r_sq8 = recall(S.sq8_topk(emb, queries, k=5))
+    r_pq = recall(S.pq_topk(emb, queries, k=5, shortlist=60))
     assert r_sq8 >= 0.9, r_sq8   # quantization only shortlists
+    # PQ at 64x compression on near-orthogonal vectors is the lossiest
+    # tier; with a 60-candidate shortlist it must still beat chance by
+    # a wide margin (random 60/500 shortlist would give ~0.12)
+    assert r_pq >= 0.25, r_pq
     assert r_ivf >= 0.3, r_ivf   # n_probe-pruned
     # Single-probe sign-LSH recall is LOW by math (per-bit agreement
     # ~(1-th/pi); moderate-similarity neighbors land in the same 6-bit

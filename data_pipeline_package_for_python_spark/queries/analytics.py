@@ -2582,3 +2582,85 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_ij * n_baskets) div (n_i * n_j)")
         .cast("bigint").alias("lift_ppm"),
     )
+
+
+@query(
+    "analytics_pareto_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    dec AS (
+      SELECT x, ntile(10) OVER (ORDER BY x DESC, o_custkey) AS decile
+      FROM rev
+    ),
+    agg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(SUM(x) AS BIGINT) AS units
+      FROM dec GROUP BY 1
+    )
+    SELECT decile, n_customers, units,
+           CAST(SUM(units) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_units,
+           CAST(FLOOR(1000000.0
+                * CAST(SUM(units) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE)
+                / CAST(SUM(units) OVER () AS DOUBLE)) AS BIGINT)
+               AS cum_share_ppm
+    FROM agg
+    """,
+)
+def analytics_pareto_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto concentration curve: customers ranked by revenue into
+    deciles (ntile over a total order — ties broken by key), cumulative
+    revenue share per decile — "the top 10% carry X% of revenue", the
+    distributional readout next to analytics_gini's single number.
+    Exact cent units throughout; the share ratio is floor-of-IEEE on
+    identical exact integers (the Gini discipline — raw ppm BIGINT
+    multiply would overflow at sf1)."""
+    from pyspark.sql.window import Window
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("x")
+        )
+    )
+    dec = rev.select(
+        "x",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("x").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("x").cast("bigint").alias("units"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("units").over(wcum).cast("bigint")
+    tot = F.sum("units").over(wtot).cast("bigint")
+    return agg.select(
+        "decile",
+        "n_customers",
+        "units",
+        cum.alias("cum_units"),
+        F.floor(
+            F.lit(1000000.0) * cum.cast("double") / tot.cast("double")
+        ).cast("bigint").alias("cum_share_ppm"),
+    )

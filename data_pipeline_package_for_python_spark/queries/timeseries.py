@@ -1114,3 +1114,158 @@ def ts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             n >= 2, num.cast("double") / den.cast("double")
         ).alias("rho"),
     )
+
+
+@query(
+    "ts_sliding_distinct_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    win AS (
+      SELECT d.day AS target_day, u.user_id
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - 6 AND d.day
+    )
+    SELECT make_timestamp(target_day * 86400 * 1000000) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM win GROUP BY 1
+    """,
+)
+def ts_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """7-day sliding distinct active users per day — the DAU/WAU
+    engagement curve.  Distinct-count does NOT merge across windows
+    (unlike the sums in ts_rolling_1h), so the exact form expands each
+    (user, day) presence row into the ≤7 target days it supports
+    (map-side sequence explode) and counts distinct per target day —
+    7× amplification of the DEDUPLICATED presence frame (|users|·|days|
+    ceiling), never of raw events; the approximate tier at extreme
+    scale is the mergeable-HLL rollup already in
+    ts_distinct_rollup_hll.  Day spine from observed days, so both
+    engines enumerate identical groups."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+        .alias("day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    win = days.select(F.col("day").alias("target_day")).join(
+        ud,
+        (F.col("day") >= F.col("target_day") - 6)
+        & (F.col("day") <= F.col("target_day")),
+    )
+    return (
+        win.groupBy("target_day")
+        .agg(
+            F.count_distinct("user_id").cast("bigint")
+            .alias("active_users_7d")
+        )
+        .select(
+            F.timestamp_micros(
+                F.col("target_day") * 86400 * 1000000
+            ).alias("day"),
+            "active_users_7d",
+        )
+    )
+
+
+@query(
+    "ts_decompose_classical",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_UNITS_SQL}),
+    tr AS (
+      SELECT event_type, bucket, v,
+             CAST(SUM(v) OVER w AS BIGINT) AS sum25,
+             count(*) OVER w AS n_win,
+             CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hod
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    complete AS (
+      SELECT event_type, bucket, hod, v,
+             CAST(25 * v - sum25 AS BIGINT) AS d_num, sum25
+      FROM tr WHERE n_win = 25
+    ),
+    seas AS (
+      SELECT event_type, hod,
+             CAST(SUM(d_num) AS BIGINT) AS s_num,
+             CAST(count(*) AS BIGINT) AS n
+      FROM complete GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.bucket, c.v,
+           CAST(c.sum25 AS DOUBLE) / 25.0 AS trend,
+           CAST(s.s_num AS DOUBLE) / (25.0 * CAST(s.n AS DOUBLE))
+               AS seasonal,
+           CAST(s.n * c.d_num - s.s_num AS DOUBLE)
+               / (25.0 * CAST(s.n AS DOUBLE)) AS resid
+    FROM complete c
+    JOIN seas s ON s.event_type = c.event_type AND s.hod = c.hod
+    """,
+)
+def ts_decompose_classical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of each event-type hourly
+    series: trend = centered 25-hour moving average (complete windows
+    only), seasonal = hour-of-day mean of the detrended series,
+    residual = the rest — STL-lite, the first diagnostic before any
+    forecast.  Exactness: every mean stays a RATIO of exact BIGINTs
+    until the final projection (detrended ≡ (25v − Σ25)/25, seasonal ≡
+    Σd/(25n), resid ≡ (n·d − Σd)/(25n)), so the emitted DOUBLEs are
+    the same IEEE divisions of the same integers on both engines —
+    no float accumulates anywhere.  One window sort per series + one
+    tiny per-(type,hour) aggregate broadcast back."""
+    h = _hourly_units(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-12, 12)
+    )
+    tr = h.select(
+        "event_type",
+        "bucket",
+        "v",
+        F.sum("v").over(w).cast("bigint").alias("sum25"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.hour("bucket").cast("bigint").alias("hod"),
+    )
+    complete = tr.filter(F.col("n_win") == 25).select(
+        "event_type",
+        "bucket",
+        "hod",
+        "v",
+        (25 * F.col("v") - F.col("sum25")).cast("bigint").alias("d_num"),
+        "sum25",
+    )
+    seas = complete.groupBy(
+        F.col("event_type").alias("s_type"), F.col("hod").alias("s_hod")
+    ).agg(
+        F.sum("d_num").cast("bigint").alias("s_num"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    j = complete.join(
+        F.broadcast(seas),
+        (F.col("event_type") == F.col("s_type"))
+        & (F.col("hod") == F.col("s_hod")),
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        "v",
+        (F.col("sum25").cast("double") / F.lit(25.0)).alias("trend"),
+        (
+            F.col("s_num").cast("double")
+            / (F.lit(25.0) * F.col("n").cast("double"))
+        ).alias("seasonal"),
+        (
+            (F.col("n") * F.col("d_num") - F.col("s_num")).cast("double")
+            / (F.lit(25.0) * F.col("n").cast("double"))
+        ).alias("resid"),
+    )

@@ -3083,3 +3083,125 @@ def join_sorted_neighborhood(spark, sf_dir):
         dirty, clean, "d_key", "d_name", "c_custkey", "c_name",
         window=3, max_distance=2,
     )
+
+
+@query(
+    "window_exclude_current",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS units
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(COALESCE(SUM(units) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                EXCLUDE CURRENT ROW), 0) AS BIGINT) AS peer_units,
+           CAST(count(*) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS peer_n
+    FROM u
+    """,
+)
+def window_exclude_current(spark, sf_dir):
+    """``EXCLUDE CURRENT ROW`` window frames — the leave-one-out
+    (jackknife) neighborhood statistic behind self-excluding anomaly
+    baselines.  Spark has no EXCLUDE clause, so the engine EMULATES it
+    by algebra: frame_sum − own_value and frame_count − 1 over the
+    ordinary ±2 ROWS frame — identical semantics, zero extra passes.
+    The oracle runs DuckDB's NATIVE ``EXCLUDE CURRENT ROW``, so the
+    hash-match certifies the emulation against a real implementation,
+    not against itself."""
+    from pyspark.sql.window import Window
+
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("units"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-2, 2)
+    )
+    return u.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum("units").over(w) - F.col("units"))
+        .cast("bigint")
+        .alias("peer_units"),
+        (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("peer_n"),
+    )
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS units
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(SUM(units) AS BIGINT) AS g_units
+      FROM u GROUP BY 1, 2
+    ),
+    gwin AS (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(SUM(g_units) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_orderdate
+                  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS grp_frame_units
+      FROM g
+    )
+    SELECT u.o_orderkey, u.o_orderstatus, u.o_orderdate,
+           w.grp_frame_units
+    FROM u JOIN gwin w
+      ON w.o_orderstatus = u.o_orderstatus
+     AND w.o_orderdate = u.o_orderdate
+    """,
+)
+def window_groups_frame(spark, sf_dir):
+    """``GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW`` frame semantics —
+    every row sees the total of its own ORDER-BY peer group plus the
+    previous peer group.  NEITHER engine implements GROUPS mode (Spark
+    has no GROUPS; DuckDB 1.0 parses but rejects it), so this is the
+    portable decomposition BOTH sides run: aggregate per peer group,
+    ROWS-frame window over the group spine (one row per group — tiny),
+    hash-join back to the detail rows.  The pattern is the standard
+    workaround users need the moment a SQL port hits a GROUPS frame."""
+    from pyspark.sql.window import Window
+
+    u = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("units"),
+    )
+    g = u.groupBy("o_orderstatus", "o_orderdate").agg(
+        F.sum("units").cast("bigint").alias("g_units")
+    )
+    wg = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate")
+        .rowsBetween(-1, 0)
+    )
+    gwin = g.select(
+        F.col("o_orderstatus").alias("gs"),
+        F.col("o_orderdate").alias("gd"),
+        F.sum("g_units").over(wg).cast("bigint").alias("grp_frame_units"),
+    )
+    return u.join(
+        gwin,
+        (F.col("o_orderstatus") == F.col("gs"))
+        & (F.col("o_orderdate") == F.col("gd")),
+    ).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "grp_frame_units"
+    )

@@ -1269,3 +1269,79 @@ def ts_decompose_classical(
             / (F.lit(25.0) * F.col("n").cast("double"))
         ).alias("resid"),
     )
+
+
+@query(
+    "ts_session_duration_hist",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_id
+      FROM o
+    ), durs AS (
+      SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                  AS BIGINT) AS duration_s
+      FROM s GROUP BY user_id, session_id
+    ), spine AS (
+      SELECT unnest(generate_series(0, 24)) AS k
+    ), binned AS (
+      SELECT d.duration_s, sp.k
+      FROM durs d JOIN spine sp
+        ON d.duration_s >= (1::BIGINT << sp.k)
+       AND d.duration_s < (1::BIGINT << (sp.k + 1))
+    )
+    SELECT k AS log2_bucket,
+           CAST((1::BIGINT << k) AS BIGINT) AS bucket_lo_s,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def ts_session_duration_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log₂ histogram of session durations (30-min gap sessions,
+    zero-length sessions excluded by the ≥1 s bucket floor): the
+    dwell-time distribution readout.  The power-of-two bucketing joins
+    against a TINY shift-literal spine (k = 0..24 ⇒ up to 194 days)
+    with exact integer range predicates — no floating log2 anywhere,
+    so bucket edges cannot ulp-flip between engines (floor(ln(x)/ln 2)
+    does, at exact powers of two).  One sessionize sort + one
+    broadcast range join on 25 rows."""
+    from ..operators.timeseries import sessionize
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(
+        ev, "ts", ("user_id",), gap="30 minutes", order_tie=("event_id",)
+    )
+    durs = s.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
+        ).cast("bigint").alias("duration_s")
+    )
+    spine = spark.range(0, 25).select(
+        F.col("id").cast("int").alias("k"),
+        F.expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)")
+        .alias("lo"),
+    )
+    binned = durs.join(
+        F.broadcast(spine),
+        (F.col("duration_s") >= F.col("lo"))
+        & (F.col("duration_s") < 2 * F.col("lo")),
+    )
+    return binned.groupBy("k", "lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    ).select(
+        F.col("k").alias("log2_bucket"),
+        F.col("lo").cast("bigint").alias("bucket_lo_s"),
+        "n_sessions",
+    )

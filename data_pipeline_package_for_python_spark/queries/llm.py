@@ -4852,3 +4852,134 @@ def sim_topk_pq(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") % 50 == 0),
         k=5, shortlist=20, m=4, n_codes=16, scale=1000,
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH {_SCORED_DOCS_SQL},
+    binned AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY s, doc_id) AS BIGINT)
+                 AS bin, s, y
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(s) AS BIGINT) AS score_lo,
+           CAST(max(s) AS BIGINT) AS score_hi,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST((1000000 * SUM(y)) // count(*) AS BIGINT)
+               AS pos_rate_ppm
+    FROM binned GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability / calibration readout for the linear quality gate:
+    documents ranked by score into deciles (ntile over a total order —
+    ties broken by doc id), per-bin positive rate in exact ppm.  With
+    AUC (ranking power) and the confusion matrix (threshold behavior)
+    this completes the standard classifier-eval triptych; a monotone
+    pos_rate over bins is what "the score means something" looks like.
+    One rank pass + one tiny aggregate."""
+    from pyspark.sql import Window
+
+    # _scored_docs drops the doc id; rebuild with it retained for the
+    # deterministic ntile tie-break
+    from ..operators.text import linear_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    sc = linear_quality_score(docs, "doc_id", "text").join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        F.col("id") == F.col("doc_id"),
+    ).select(F.col("doc_id"), F.col("score_units").alias("s"), "y")
+    binned = sc.select(
+        F.ntile(10).over(Window.orderBy("s", "doc_id"))
+        .cast("bigint").alias("bin"),
+        "s",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("s").cast("bigint").alias("score_lo"),
+        F.max("s").cast("bigint").alias("score_hi"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.expr("(1000000 * sum(y)) div count(1)")
+        .cast("bigint").alias("pos_rate_ppm"),
+    )
+
+
+@query(
+    "ml_ks_statistic",
+    oracle=f"""
+    WITH {_SCORED_DOCS_SQL},
+    per_score AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(1 - y) AS BIGINT) AS q
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s,
+             CAST(SUM(p) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cp,
+             CAST(SUM(q) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cq
+      FROM per_score
+    ),
+    tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(q) AS BIGINT) AS nq
+      FROM per_score
+    )
+    SELECT np AS n_pos, nq AS n_neg,
+           CAST(MAX(abs(cp * nq - cq * np)) AS BIGINT) AS ks_num,
+           CAST(np * nq AS BIGINT) AS ks_den,
+           CAST((1000000 * MAX(abs(cp * nq - cq * np))) // (np * nq)
+                AS BIGINT) AS ks_ppm
+    FROM cum, tot GROUP BY np, nq
+    """,
+)
+def ml_ks_statistic(spark, sf_dir):
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the score
+    distributions of positive and negative documents — the standard
+    separation/drift readout (credit scoring's "KS").  The sup of
+    |CDF₊ − CDF₋| is reached at an observed score, so it cross-
+    multiplies to max|cp·n₋ − cq·n₊| / (n₊·n₋) in pure BIGINTs — no
+    float CDFs, no approximation.  Like ml_auc_exact, the only ordered
+    pass runs over DISTINCT scores (groupBy first), never rows."""
+    from pyspark.sql import Window
+
+    scored = _scored_docs(spark, sf_dir)
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("q"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        F.sum("p").over(w).cast("bigint").alias("cp"),
+        F.sum("q").over(w).cast("bigint").alias("cq"),
+    )
+    tot = per_score.agg(
+        F.sum("p").cast("bigint").alias("np"),
+        F.sum("q").cast("bigint").alias("nq"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.groupBy("np", "nq").agg(
+        F.max(
+            F.abs(F.col("cp") * F.col("nq") - F.col("cq") * F.col("np"))
+        ).cast("bigint").alias("ks_num"),
+        (F.first("np") * F.first("nq")).cast("bigint").alias("ks_den"),
+        F.expr(
+            "(1000000 * max(abs(cp * nq - cq * np))) div (np * nq)"
+        ).cast("bigint").alias("ks_ppm"),
+    ).select(
+        F.col("np").alias("n_pos"),
+        F.col("nq").alias("n_neg"),
+        "ks_num",
+        "ks_den",
+        "ks_ppm",
+    )

@@ -960,3 +960,56 @@ def test_incremental_agg_view_scans_only_the_delta(spark, sf_dir):
     assert r.text.count("orders.parquet") == 1
     flat = ";".join(f for fs in r.pushed_filters for f in fs)
     assert "o_orderdate" in flat
+
+
+def test_auc_and_ks_rank_over_distinct_scores_not_rows(spark, sf_dir):
+    """The exact-AUC/KS discipline: the single-partition ordered pass
+    (the unavoidable global prefix-sum) must consume the per-SCORE
+    aggregate, never the document rows — i.e. a HashAggregate sits
+    BELOW every Window, so the sort is |distinct scores|, not |corpus|.
+    """
+    for name in ("ml_auc_exact", "ml_ks_statistic"):
+        r = rep(name, spark, sf_dir)
+        # in the formatted outline (top-down: output first), an
+        # aggregate on a DEEPER line than the Window feeds it — i.e.
+        # the rank pass consumes the per-score aggregate, not rows
+        outline = r.text.split("\n\n", 1)[0].splitlines()
+        w_line = next(
+            i for i, l in enumerate(outline) if "Window" in l
+        )
+        assert any(
+            "HashAggregate" in l for l in outline[w_line + 1:]
+        ), (name, outline)
+
+
+def test_cdc_chunking_is_map_only_before_count(spark, sf_dir):
+    """CDC chunking must be one map-side codegen projection: exactly
+    the shuffles of (chunk-count groupBy + join back + per-doc agg) —
+    no extra exchange from the HOF chunk expansion itself."""
+    r = rep("dedup_cdc_chunks", spark, sf_dir)
+    # chunk-count partial/final + join-back + per-doc agg = 4 exchanges
+    assert r.n_shuffles <= 4, r.n_shuffles
+    assert all(("chunk_hash" in k) or ("id" in k) for k in r.shuffle_keys)
+    assert "CartesianProduct" not in ";".join(r.joins)
+
+
+def test_pq_scoring_broadcasts_queries_not_corpus(spark, sf_dir):
+    """PQ-ADC: the corpus side must stream; only the (tiny) query+LUT
+    frame broadcasts.  A corpus-side broadcast would ship the whole
+    encoded corpus to every executor at 100 TB."""
+    r = rep("sim_topk_pq", spark, sf_dir)
+    assert r.n_broadcasts >= 1
+    # corpus scan feeds a non-broadcast side: the embeddings table is
+    # read twice (codebook collect happens at build time, not in-plan);
+    # assert the plan keeps a streamed scan of embeddings
+    assert "embeddings" in r.text
+
+
+def test_corpus_overlap_pair_stage_touches_sketches_only(spark, sf_dir):
+    """KMV overlap: after the per-group top-k, every join operates on
+    sketch rows.  The documents scan appears exactly once in the plan
+    (localCheckpoint truncates re-reads of the sketch subtree)."""
+    r = rep("dedup_corpus_overlap", spark, sf_dir)
+    assert r.text.count("documents.parquet") <= 1, r.text.count(
+        "documents.parquet"
+    )

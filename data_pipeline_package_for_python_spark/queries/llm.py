@@ -4983,3 +4983,89 @@ def ml_ks_statistic(spark, sf_dir):
         "ks_den",
         "ks_ppm",
     )
+
+
+@query(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH {_minhash_sig_sql(16)},
+    bands AS (
+      {_band_union_sql(4, 4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    j AS (
+      SELECT COALESCE(c.id_a, t.id_a) AS id_a,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_cand,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+      FROM cand c FULL OUTER JOIN truth t
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+           CAST(SUM(in_cand) AS BIGINT) AS n_cand,
+           CAST(SUM(in_cand * in_truth) AS BIGINT) AS tp,
+           CAST(SUM(in_truth * (1 - in_cand)) AS BIGINT) AS missed,
+           CAST(SUM(in_cand * (1 - in_truth)) AS BIGINT) AS wasted,
+           CAST((1000000 * SUM(in_cand * in_truth))
+                // NULLIF(SUM(in_truth), 0) AS BIGINT) AS recall_ppm,
+           CAST((1000000 * SUM(in_cand * in_truth))
+                // NULLIF(SUM(in_cand), 0) AS BIGINT) AS precision_ppm
+    FROM j
+    """,
+)
+def dedup_lsh_eval(spark, sf_dir):
+    """In-engine honesty metric for the LSH tier: candidate pairs from
+    16-hash/4-band MinHash banding, truth = exact shingle-Jaccard ≥ 0.1
+    pairs; one full-outer join yields banding recall (missed true
+    pairs) and precision (wasted verifications) in exact ppm.  This is
+    the eval a curation team runs on a SAMPLE before trusting banding
+    parameters at 100 TB — the exact-pairs side is quadratic-bounded by
+    the shared-shingle join, so it stays a sampled/offline query while
+    the LSH side is the production path."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+    cand = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).select(
+        "id_a", "id_b", F.lit(1).alias("in_cand")
+    )
+    truth = D.jaccard_similar_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    ).select("id_a", "id_b", F.lit(1).alias("in_truth"))
+    j = cand.join(truth, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("in_cand"), F.lit(0)).alias("in_cand"),
+        F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+    )
+    return j.agg(
+        F.sum("in_truth").cast("bigint").alias("n_truth"),
+        F.sum("in_cand").cast("bigint").alias("n_cand"),
+        F.sum(F.col("in_cand") * F.col("in_truth"))
+        .cast("bigint").alias("tp"),
+        F.sum(F.col("in_truth") * (1 - F.col("in_cand")))
+        .cast("bigint").alias("missed"),
+        F.sum(F.col("in_cand") * (1 - F.col("in_truth")))
+        .cast("bigint").alias("wasted"),
+        F.expr(
+            "(1000000 * sum(in_cand * in_truth))"
+            " div nullif(sum(in_truth), 0)"
+        ).cast("bigint").alias("recall_ppm"),
+        F.expr(
+            "(1000000 * sum(in_cand * in_truth))"
+            " div nullif(sum(in_cand), 0)"
+        ).cast("bigint").alias("precision_ppm"),
+    )

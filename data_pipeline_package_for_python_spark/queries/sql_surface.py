@@ -121,3 +121,100 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (p_size, p_retailprice))
         """
     )
+
+
+@query(
+    "func_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name AS decrypted, 1 AS roundtrip_ok
+    FROM customer
+    """,
+)
+def func_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: ``aes_encrypt`` →
+    ``aes_decrypt`` round-trip in ECB mode (deterministic — GCM, the
+    secure default, salts a random IV per call and cannot be
+    differentially checked; real deployments use GCM and give up
+    equality, documented here).  The oracle is the IDENTITY — a correct
+    round-trip must reproduce the plaintext bit-for-bit, which is
+    exactly what the hash compares.  JVM-side codegen; at 100 TB this
+    is a map-only pass like any cast."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               CAST(aes_decrypt(
+                    aes_encrypt(c_name, '0000111122223333', 'ECB'),
+                    '0000111122223333', 'ECB') AS STRING) AS decrypted,
+               CAST(CAST(aes_decrypt(
+                    aes_encrypt(c_name, '0000111122223333', 'ECB'),
+                    '0000111122223333', 'ECB') AS STRING) = c_name
+                    AS INT) AS roundtrip_ok
+        FROM customer
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4 dynamic SQL): a query TEXT built
+    at runtime executes with positional parameter binding — the
+    stored-procedure-style front door on top of the parameterized-SQL
+    row (`sql_parameterized_binding` binds through the API; this binds
+    through SQL itself).  The dynamic string compiles to the same
+    Catalyst plan as the static query the oracle runs."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
+        USING 150000.0
+        """
+    )
+
+
+@query(
+    "func_xpath_scalar",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS brand,
+           CAST(p_size AS VARCHAR) AS size_s,
+           CAST(2 AS BIGINT) AS n_fields
+    FROM part
+    """,
+)
+def func_xpath_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath scalar extraction (``xpath_string`` / ``xpath`` array
+    form) over per-row XML documents built from table values — the
+    §2.2.7 family row for XML-embedded payloads (the document-level XML
+    SOURCE is scan_xml_roundtrip; this is the in-cell tier).  The
+    oracle computes the same fields relationally, so the hash certifies
+    Spark's XPath engine against ground truth rather than against
+    itself.  Map-only codegen."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT p_partkey,
+                 concat('<part><brand>', p_brand, '</brand><size>',
+                        CAST(p_size AS STRING), '</size></part>')
+                     AS doc
+          FROM part
+        )
+        SELECT p_partkey,
+               xpath_string(doc, '/part/brand') AS brand,
+               xpath_string(doc, '/part/size') AS size_s,
+               CAST(size(xpath(doc, '/part/*/text()')) AS BIGINT)
+                   AS n_fields
+        FROM x
+        """
+    )

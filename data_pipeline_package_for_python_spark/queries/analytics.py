@@ -2664,3 +2664,103 @@ def analytics_pareto_deciles(
             F.lit(1000000.0) * cum.cast("double") / tot.cast("double")
         ).cast("bigint").alias("cum_share_ppm"),
     )
+
+
+@query(
+    "etl_gdpr_erasure_audit",
+    oracle="""
+    WITH tomb AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 3
+    ),
+    flagged AS (
+      SELECT e.event_type,
+             CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS gone
+      FROM events e LEFT JOIN tomb t ON t.user_id = e.user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(SUM(gone) AS BIGINT) AS rows_removed,
+           CAST(count(*) - SUM(gone) AS BIGINT) AS rows_after
+    FROM flagged GROUP BY 1
+    """,
+)
+def etl_gdpr_erasure_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten sweep audit: a tombstone list (synthetic
+    deterministic cohort — every 17th user) anti-joins the fact table,
+    and the audit reports per-event-type rows before / removed / after
+    in ONE pass (left join against the broadcast tombstone set +
+    conditional sums — no second scan to count survivors).  The erasure
+    itself is the anti-join projection; the audit is what compliance
+    actually signs off on, and at 100 TB the tombstone side is always
+    the broadcast side."""
+    ev = load(spark, sf_dir, "events")
+    tomb = (
+        ev.filter(F.col("user_id") % 17 == 3)
+        .select("user_id")
+        .distinct()
+        .withColumn("gone", F.lit(1))
+    )
+    flagged = ev.join(F.broadcast(tomb), "user_id", "left").select(
+        "event_type", F.coalesce(F.col("gone"), F.lit(0)).alias("gone")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+        F.sum("gone").cast("bigint").alias("rows_removed"),
+        (F.count(F.lit(1)) - F.sum("gone"))
+        .cast("bigint")
+        .alias("rows_after"),
+    )
+
+
+@query(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    days AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events GROUP BY 1, 2
+    )
+    SELECT make_timestamp(d.day * 86400 * 1000000) AS day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM days d JOIN fd f ON f.user_id = d.user_id
+    GROUP BY 1
+    """,
+)
+def analytics_new_vs_returning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily new-vs-returning active-user split: first-seen day per
+    user (one aggregate), joined back to the distinct (user, day)
+    presence frame — the growth-accounting readout between the DAU
+    curve (ts_sliding_distinct_users) and the weekly cohort matrix.
+    All integer day buckets; the first-seen dim is |users|-sized and
+    key-partitioned with the presence frame."""
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+    days = ev.select("user_id", day.alias("day")).distinct()
+    fd = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = days.join(fd, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("bigint").alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("bigint").alias("returning_users"),
+        )
+        .select(
+            F.timestamp_micros(F.col("day") * 86400 * 1000000)
+            .alias("day"),
+            "new_users",
+            "returning_users",
+        )
+    )

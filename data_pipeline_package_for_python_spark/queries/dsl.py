@@ -136,3 +136,92 @@ def dsl_common_elementwise(spark, sf_dir):
             >> p.projected
         )
     return p.projected
+
+
+@query(
+    "dsl_curation_graph_bridge",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, ws,
+             list_filter(generate_series(1, len(ws)),
+               i -> (CAST(('0x' || substring(md5(ws[i]), 1, 8)) AS BIGINT)
+                     % 4) = 0) AS bpos
+      FROM w
+    ),
+    s AS (
+      SELECT doc_id, lang, ws,
+             list_prepend(0, bpos) AS starts,
+             list_append(bpos, len(ws)) AS ends
+      FROM b
+    ),
+    ch AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(ws[starts[j]+1:ends[j]], ' '))
+                 AS chunk_hash
+      FROM s, unnest(generate_series(1, len(starts))) AS t(j)
+      WHERE array_to_string(ws[starts[j]+1:ends[j]], ' ') != ''
+    ),
+    cnt AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ
+      FROM ch GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT ch.doc_id, ch.lang,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN cnt.n_occ > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup
+      FROM ch JOIN cnt USING (chunk_hash)
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS chunks,
+           CAST(SUM(n_dup) AS BIGINT) AS dup_chunks,
+           CAST((1000000 * SUM(n_dup)) // SUM(n_chunks) AS BIGINT)
+               AS dup_ratio_ppm
+    FROM per_doc GROUP BY 1
+    """,
+)
+def dsl_curation_graph_bridge(spark, sf_dir):
+    """Round-4 operators routed through the reference DSL: a
+    ``sequence`` whose first step runs the CDC chunk-duplication
+    report (operators/dedup.cdc_chunk_dup_report) and whose second
+    step, reading the slot via ``PREV``, joins language labels back
+    and rolls the report up per language — proving the §2.1
+    combinators compose with the newest §2.2.10 operators exactly as
+    with the launch set (slots are lazy plans; the combinators add
+    zero computation)."""
+    from ..operators.dedup import cdc_chunk_dup_report
+
+    docs = load(spark, sf_dir, "documents")
+    with Pipeline(docs=docs) as p:
+        p.sequence(
+            p.docs
+            >> (
+                lambda df: cdc_chunk_dup_report(
+                    df, "doc_id", "text", modulus=4
+                )
+            )
+            >> p.report,
+            PREV
+            >> (
+                lambda rep: rep.join(
+                    docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+                )
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("n_chunks").cast("bigint").alias("chunks"),
+                    F.sum("n_dup_chunks").cast("bigint")
+                    .alias("dup_chunks"),
+                    F.expr(
+                        "(1000000 * sum(n_dup_chunks)) div sum(n_chunks)"
+                    ).cast("bigint").alias("dup_ratio_ppm"),
+                )
+            )
+            >> p.by_lang,
+        )
+    return p.by_lang

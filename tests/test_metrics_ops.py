@@ -1,0 +1,184 @@
+"""Hand-computed / pure-Python oracles for the round-4 metric queries
+(AUC, KS, Gini, market basket, sorted-neighborhood) — independent of
+the DuckDB differential gate: the same numbers derived from first
+principles on fixtures small enough to verify by eye."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_package_for_python_spark.queries import QUERIES, _registry
+
+
+def _run(spark, name, tmp_path, **tables):
+    sf = str(tmp_path)
+    for t, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
+    _registry._SCAN_CACHE.clear()
+    try:
+        return QUERIES[name].spark_fn(spark, sf)
+    finally:
+        _registry._SCAN_CACHE.clear()
+
+
+# --------------------------------------------------------------------- #
+# Gini                                                                  #
+# --------------------------------------------------------------------- #
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, ck, "O", float(tp), "1995-06-01", "1-URGENT")
+            for i, (ck, tp) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+
+
+def test_gini_perfect_equality_is_zero(spark, tmp_path):
+    out = _run(
+        spark, "analytics_gini", tmp_path,
+        orders=_orders(spark, [(c, 100.0) for c in range(8)]),
+    ).collect()[0]
+    assert out["gini_ppm"] == 0
+
+
+def test_gini_total_concentration_approaches_one(spark, tmp_path):
+    # one customer holds everything except epsilon: G = (n-1)/n - eps
+    rows = [(0, 1_000_000.0)] + [(c, 0.01) for c in range(1, 10)]
+    out = _run(
+        spark, "analytics_gini", tmp_path, orders=_orders(spark, rows)
+    ).collect()[0]
+    # (n-1)/n = 0.9 for n=10
+    assert 880_000 < out["gini_ppm"] <= 900_000, out["gini_ppm"]
+
+
+# --------------------------------------------------------------------- #
+# AUC / KS vs pure-python                                               #
+# --------------------------------------------------------------------- #
+
+def _docs(spark, rows):
+    # rows: (doc_id, text, lang)
+    return spark.createDataFrame(
+        [(d, t, l, "src0", len(t)) for d, t, l in rows],
+        "doc_id string, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+def _py_scores(texts):
+    import hashlib
+
+    def score(text):
+        s = 0
+        for w in text.split(" "):
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            s += ((h % 100003) * 31 + 7) % 1001 - 500
+        return s
+
+    return [score(t) for t in texts]
+
+
+def test_auc_matches_pair_counting(spark, tmp_path):
+    rows = [
+        (f"d{i}", f"tok{i}a word{i % 7} tail{i % 3}", "en" if i % 3 else "de")
+        for i in range(30)
+    ]
+    out = _run(
+        spark, "ml_auc_exact", tmp_path, documents=_docs(spark, rows)
+    ).collect()[0]
+    scores = _py_scores([t for _, t, _ in rows])
+    ys = [1 if l == "en" else 0 for _, _, l in rows]
+    pos = [s for s, y in zip(scores, ys) if y]
+    neg = [s for s, y in zip(scores, ys) if not y]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert out["auc_num"] / out["auc_den"] == pytest.approx(auc, abs=1e-12)
+
+
+def test_ks_matches_pure_python(spark, tmp_path):
+    rows = [
+        (f"d{i}", f"w{i % 11} x{i % 5} y{i}", "en" if i % 2 else "fr")
+        for i in range(24)
+    ]
+    out = _run(
+        spark, "ml_ks_statistic", tmp_path, documents=_docs(spark, rows)
+    ).collect()[0]
+    scores = _py_scores([t for _, t, _ in rows])
+    ys = [1 if l == "en" else 0 for _, _, l in rows]
+    pos = sorted(s for s, y in zip(scores, ys) if y)
+    neg = sorted(s for s, y in zip(scores, ys) if not y)
+    ks = max(
+        abs(
+            sum(1 for p in pos if p <= s) / len(pos)
+            - sum(1 for n in neg if n <= s) / len(neg)
+        )
+        for s in set(scores)
+    )
+    assert out["ks_num"] / out["ks_den"] == pytest.approx(ks, abs=1e-12)
+
+
+# --------------------------------------------------------------------- #
+# market basket                                                         #
+# --------------------------------------------------------------------- #
+
+def test_market_basket_hand_computed(spark, tmp_path):
+    # 4 baskets over items {1,2,3}: {1,2} {1,2} {1,3} {2}
+    li_rows = []
+    baskets = {10: [1, 2], 20: [1, 2], 30: [1, 3], 40: [2]}
+    ln = 0
+    for ok, items in baskets.items():
+        for it in items:
+            ln += 1
+            li_rows.append((ok, it, 1, ln, 1.0, 10.0, 0.0, 0.0,
+                            "N", "O", "1995-06-01"))
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    rows = {
+        (r["i"], r["j"]): r
+        for r in _run(
+            spark, "analytics_market_basket", tmp_path, lineitem=li
+        ).collect()
+    }
+    # only pair with support >= 2 is (1,2): n_1=3, n_2=3, N=4
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["n_ij"] == 2 and r["n_i"] == 3 and r["n_j"] == 3
+    assert r["support_ppm"] == 500_000          # 2/4
+    assert r["conf_i_to_j_ppm"] == 666_666      # 2/3
+    assert r["lift_ppm"] == 888_888             # 2*4/(3*3)
+
+
+# --------------------------------------------------------------------- #
+# sorted-neighborhood linkage                                           #
+# --------------------------------------------------------------------- #
+
+def test_snm_cross_partition_adjacency(spark):
+    from data_pipeline_package_for_python_spark.operators.joins import (
+        sorted_neighborhood_join,
+    )
+
+    # heavily partitioned input: adjacency must survive the global sort
+    left = spark.createDataFrame(
+        [(i, f"record-{i:04d}x") for i in range(50)], "k long, v string"
+    ).repartition(16)
+    right = spark.createDataFrame(
+        [(i, f"record-{i:04d}") for i in range(50)], "k long, v string"
+    ).repartition(16)
+    out = sorted_neighborhood_join(
+        left, right, "k", "v", "k", "v", window=2, max_distance=1
+    ).collect()
+    self_matches = {(r["left_key"], r["right_key"]) for r in out
+                    if r["left_key"] == r["right_key"]}
+    assert len(self_matches) == 50  # every corrupted record re-linked

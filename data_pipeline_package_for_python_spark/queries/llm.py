@@ -5069,3 +5069,141 @@ def dedup_lsh_eval(spark, sf_dir):
             " div nullif(sum(in_cand), 0)"
         ).cast("bigint").alias("precision_ppm"),
     )
+
+
+# Inverse-CDF thresholds for Poisson(1) scaled to 2^32: weight w =
+# #{t_k <= u} for a 32-bit md5-uniform u reproduces P(w=k) = e^-1/k!
+# (capped at 8).  Same literals on both engines => bit-identical draws.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783,
+           4279248373, 4292415291, 4294609777, 4294923276)
+
+
+@query(
+    "ml_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(1, 100)) AS b),
+    uu AS (
+      SELECT r.b,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS units,
+             CAST(('0x' || substring(md5(
+                 CAST(o.o_orderkey AS VARCHAR) || ':' ||
+                 CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+      FROM orders o, reps r
+    ),
+    drawn AS (
+      SELECT b, units,
+             ({" + ".join(
+                 f"CASE WHEN u >= {t} THEN 1 ELSE 0 END"
+                 for t in _POIS_T)}) AS w
+      FROM uu
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * units) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                 AS m
+      FROM drawn GROUP BY b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means
+    ),
+    full_mean AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_units
+      FROM orders
+    )
+    SELECT f.n_rows,
+           CAST((SELECT count(*) FROM means) AS BIGINT) AS n_replicates,
+           f.mean_units,
+           (SELECT m FROM ranked WHERE r = 3) AS ci_lo_units,
+           (SELECT m FROM ranked WHERE r = 98) AS ci_hi_units
+    FROM full_mean f
+    """,
+)
+def ml_bootstrap_ci(spark, sf_dir):
+    """Distributed Poisson bootstrap (the at-scale bootstrap: each row
+    draws an independent Poisson(1) replication weight per replicate —
+    no global resampling pass) for the mean order value, 100
+    replicates, 95% CI.  Every draw is DETERMINISTIC: the weight comes
+    from an md5-uniform pushed through the exact integer inverse-CDF
+    thresholds of Poisson(1), so both engines reproduce identical
+    resamples and the CI hash-matches.  CI endpoints are ORDER
+    STATISTICS of the replicate means (ranks 3/98 of 100) — no
+    percentile interpolation, whose non-dyadic fractions could ulp-
+    diverge.  Shape: one 100× row expansion (a corpus SAMPLE at real
+    scale — documented), one groupBy(replicate), and a 100-row sort."""
+    from ..operators._util import ensure_parallel
+
+    # the 100x replicate expansion inherits the scan's split count — a
+    # small file would run the whole md5 pass on one core (the shingle
+    # lesson); at 100 TB the input already has thousands of splits
+    orders = ensure_parallel(load(spark, sf_dir, "orders"))
+    reps = spark.range(1, 101).select(F.col("id").cast("int").alias("b"))
+    w = " + ".join(
+        f"(case when __u >= {t} then 1 else 0 end)" for t in _POIS_T
+    )
+    drawn = (
+        orders.crossJoin(F.broadcast(reps))
+        .select(
+            "b",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("units"),
+            F.expr(
+                "cast(conv(substring(md5(concat("
+                "cast(o_orderkey as string), ':',"
+                " cast(b as string))), 1, 8), 16, 10) as bigint)"
+            ).alias("__u"),
+        )
+        .select("b", "units", F.expr(w).alias("w"))
+    )
+    means = (
+        drawn.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("units")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "b",
+            (F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("m"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("r")
+    )
+    n_reps = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates")
+    )
+    ci = (
+        ranked.filter(F.col("r").isin(3, 98))
+        .groupBy()
+        .pivot("r", [3, 98])
+        .agg(F.first("m"))
+        .select(
+            F.col("3").alias("ci_lo_units"),
+            F.col("98").alias("ci_hi_units"),
+        )
+    )
+    full = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_units"),
+    )
+    return (
+        full.crossJoin(F.broadcast(n_reps))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "n_rows", "n_replicates", "mean_units",
+            "ci_lo_units", "ci_hi_units",
+        )
+    )

@@ -2764,3 +2764,155 @@ def analytics_new_vs_returning(
             "returning_users",
         )
     )
+
+
+@query(
+    "analytics_permutation_test",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(
+                  CAST(user_id AS VARCHAR) || ':ab'), 1, 8)) AS BIGINT)
+                  % 2 = 0 THEN 0 ELSE 1 END AS arm,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS units
+      FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN units END) AS HUGEINT)
+                 AS sa,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS na,
+             CAST(SUM(CASE WHEN arm = 1 THEN units END) AS HUGEINT)
+                 AS sb,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS nb
+      FROM base
+    ),
+    reps AS (SELECT unnest(generate_series(1, 100)) AS b),
+    perm AS (
+      SELECT r.b,
+             CASE WHEN CAST(('0x' || substring(md5(
+                  CAST(e.user_id AS VARCHAR) || '#' ||
+                  CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 2 = 0 THEN 0 ELSE 1 END AS parm,
+             e.units
+      FROM base e, reps r
+    ),
+    pm AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN parm = 0 THEN units END) AS HUGEINT)
+                 AS sa,
+             CAST(SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS na,
+             CAST(SUM(CASE WHEN parm = 1 THEN units END) AS HUGEINT)
+                 AS sb,
+             CAST(SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS nb
+      FROM perm GROUP BY b
+      HAVING SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END) > 0
+    ),
+    verdicts AS (
+      SELECT p.b,
+             CASE WHEN abs(p.sa * p.nb - p.sb * p.na) * (o.na * o.nb)
+                       >= abs(o.sa * o.nb - o.sb * o.na) * (p.na * p.nb)
+                  THEN 1 ELSE 0 END AS extreme
+      FROM pm p, obs o
+    )
+    SELECT (SELECT CAST(na AS BIGINT) FROM obs) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM obs) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_perms,
+           CAST(SUM(extreme) AS BIGINT) AS n_extreme,
+           CAST((1000000 * SUM(extreme)) // count(*) AS BIGINT)
+               AS p_value_ppm
+    FROM verdicts
+    """,
+)
+def analytics_permutation_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT (Monte-Carlo, 100 deterministic resamples) permutation
+    test for the A/B mean difference — the nonparametric twin of
+    analytics_ab_ttest for when normality is a lie.  Each permutation
+    reassigns arms by md5(user, replicate) (user-level, preserving
+    cluster randomization); "as extreme" compares |mean diff| by
+    CROSS-MULTIPLICATION of the exact rational means — |s·n' − s'·n|
+    products in HUGEINT/DECIMAL(38) — so not one float enters the
+    verdict and the p-value hash-matches to the ppm.  Shape: one 100×
+    expansion (sampled upstream at real scale, like the bootstrap) +
+    one groupBy(replicate)."""
+    from ..operators._util import ensure_parallel
+
+    ev = load(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = ensure_parallel(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(user_id as string),"
+                " ':ab')), 1, 8), 16, 10) as bigint) % 2"
+            ).alias("arm"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("units"),
+        )
+    ).localCheckpoint(eager=False)  # read by obs and the 100x expansion
+
+    def arm_moments(df, arm_col):
+        return df.agg(
+            F.sum(F.when(F.col(arm_col) == 0, F.col("units")))
+            .cast("bigint").alias("sa"),
+            F.sum((F.col(arm_col) == 0).cast("int"))
+            .cast("bigint").alias("na"),
+            F.sum(F.when(F.col(arm_col) == 1, F.col("units")))
+            .cast("bigint").alias("sb"),
+            F.sum((F.col(arm_col) == 1).cast("int"))
+            .cast("bigint").alias("nb"),
+        )
+
+    obs = arm_moments(base, "arm").select(
+        F.col("sa").alias("osa"), F.col("na").alias("ona"),
+        F.col("sb").alias("osb"), F.col("nb").alias("onb"),
+    )
+    reps = spark.range(1, 101).select(F.col("id").cast("int").alias("b"))
+    perm = base.crossJoin(F.broadcast(reps)).select(
+        "b",
+        "units",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(user_id as string),"
+            " '#', cast(b as string))), 1, 8), 16, 10) as bigint) % 2"
+        ).alias("parm"),
+    )
+    pm = (
+        perm.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("parm") == 0, F.col("units")))
+            .cast("bigint").alias("sa"),
+            F.sum((F.col("parm") == 0).cast("int"))
+            .cast("bigint").alias("na"),
+            F.sum(F.when(F.col("parm") == 1, F.col("units")))
+            .cast("bigint").alias("sb"),
+            F.sum((F.col("parm") == 1).cast("int"))
+            .cast("bigint").alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    j = pm.crossJoin(F.broadcast(obs))
+    extreme = (
+        F.abs(dec(F.col("sa")) * dec(F.col("nb"))
+              - dec(F.col("sb")) * dec(F.col("na")))
+        * (dec(F.col("ona")) * dec(F.col("onb")))
+        >= F.abs(dec(F.col("osa")) * dec(F.col("onb"))
+                 - dec(F.col("osb")) * dec(F.col("ona")))
+        * (dec(F.col("na")) * dec(F.col("nb")))
+    ).cast("int")
+    return j.select(
+        F.col("ona").alias("n_a"),
+        F.col("onb").alias("n_b"),
+        extreme.alias("extreme"),
+    ).groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+        F.sum("extreme").cast("bigint").alias("n_extreme"),
+        F.expr("(1000000 * sum(extreme)) div count(1)")
+        .cast("bigint").alias("p_value_ppm"),
+    )

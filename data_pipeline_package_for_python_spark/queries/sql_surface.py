@@ -218,3 +218,75 @@ def func_xpath_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x
         """
     )
+
+
+@query(
+    "udf_sql_scalar_function",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                      * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)
+               AS charged_units
+    FROM lineitem
+    """,
+)
+def udf_sql_scalar_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL-DEFINED scalar function (Spark 4 ``CREATE FUNCTION …
+    RETURN expr``): business logic declared ONCE in the catalog and
+    reused across query text — the governed alternative to copy-pasted
+    expressions and the zero-cost alternative to Python UDFs (the body
+    INLINES into the plan at analysis time: whole-stage codegen, no
+    serialization boundary, nothing Python).  The oracle runs the
+    inlined expression directly — equality certifies the inlining."""
+    _view(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_units(
+            price DOUBLE, discount DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(FLOOR(price * (1.0 - discount) * (1.0 + tax) * 100
+                          + 0.5) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               charged_units(l_extendedprice, l_discount, l_tax)
+                   AS charged_units
+        FROM lineitem
+        """
+    )
+
+
+@query(
+    "udf_sql_table_function",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS units
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def udf_sql_table_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL-defined TABLE function (``CREATE FUNCTION … RETURNS TABLE``)
+    — a parameterized view: callers select FROM it with arguments, the
+    body inlines into the plan (predicate pushdown still reaches the
+    scan because after inlining it is an ordinary filter).  The
+    §2.2.8 UDTF row's declarative sibling: no Python process, no
+    Arrow boundary, just catalog-managed SQL."""
+    _view(spark, sf_dir, "orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION orders_by_priority(
+            prio STRING)
+        RETURNS TABLE(o_orderkey BIGINT, o_custkey BIGINT, units BIGINT)
+        RETURN SELECT o_orderkey, o_custkey,
+                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               FROM orders WHERE o_orderpriority = prio
+        """
+    )
+    return spark.sql("SELECT * FROM orders_by_priority('1-URGENT')")

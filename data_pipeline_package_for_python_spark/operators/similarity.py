@@ -1264,3 +1264,81 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    n_codes: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-subspace PQ quantization-error report — the QC gate that
+    decides whether a codebook is good enough to serve ``pq_topk``:
+    total/mean squared error between each subvector and its assigned
+    code (exact BIGINTs, same integer arithmetic as the index), plus
+    how many codes the assignment actually uses (dead codes ⇒ wasted
+    bits — the PQ analogue of collapsed k-means clusters).  One
+    map-side encode pass + one m-row aggregate; same lowest-id
+    codebook rule as ``pq_topk`` so the report describes the exact
+    index the queries run against.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    uexpr = (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {int(scale)} + 0.5d) AS BIGINT))"
+    )
+    cb_rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.expr(uexpr).alias("u"))
+        .orderBy("__id")
+        .limit(n_codes)
+        .collect()
+    )
+    codebook = [
+        [list(map(int, r["u"][s * sub:(s + 1) * sub])) for r in cb_rows]
+        for s in range(m)
+    ]
+
+    def cb_sql(s: int) -> str:
+        return (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(x)}L" for x in code) + ")"
+                for code in codebook[s]
+            )
+            + ")"
+        )
+
+    frame = corpus.select(F.expr(uexpr).alias("__u"))
+    per_sub = []
+    for s in range(m):
+        u_slice = f"slice(__u, {s * sub + 1}, {sub})"
+        dists = (
+            f"transform({cb_sql(s)}, cvec -> aggregate("
+            f"zip_with({u_slice}, cvec, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        )
+        per_sub.append(
+            frame.select(
+                F.lit(s).cast("int").alias("subspace"),
+                F.expr(f"array_min({dists})").alias("d2"),
+                (
+                    F.expr(f"array_position({dists}, array_min({dists}))")
+                    - 1
+                ).cast("int").alias("code"),
+            )
+        )
+    allsub = per_sub[0]
+    for f in per_sub[1:]:
+        allsub = allsub.unionAll(f)
+    return allsub.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("d2").cast("bigint").alias("total_d2"),
+        F.expr("sum(d2) div count(1)").cast("bigint").alias("mean_d2"),
+        F.count_distinct("code").cast("bigint").alias("codes_used"),
+    )

@@ -5207,3 +5207,55 @@ def ml_bootstrap_ci(spark, sf_dir):
             "ci_lo_units", "ci_hi_units",
         )
     )
+
+
+@query(
+    "embed_pq_distortion",
+    oracle="""
+    WITH c0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    u0 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
+                 AS u
+      FROM c0
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u AS cu
+      FROM (SELECT * FROM u0 ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+    enc0 AS (
+      SELECT a.vec_id, subs.s, cb.j,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (a.u[subs.s * 16 + i] - cb.cu[subs.s * 16 + i])
+                  * (a.u[subs.s * 16 + i] - cb.cu[subs.s * 16 + i])))
+                 AS d2
+      FROM u0 a, subs, cb
+    ),
+    enc AS (
+      SELECT vec_id, s, j AS code, d2 FROM (
+        SELECT vec_id, s, j, d2, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, j) AS r
+        FROM enc0
+      ) WHERE r = 1
+    )
+    SELECT CAST(s AS INTEGER) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d2) AS BIGINT) AS total_d2,
+           CAST(SUM(d2) // count(*) AS BIGINT) AS mean_d2,
+           CAST(count(DISTINCT code) AS BIGINT) AS codes_used
+    FROM enc GROUP BY s
+    """,
+)
+def embed_pq_distortion(spark, sf_dir):
+    """PQ codebook QC (operators/similarity.py pq_distortion): exact
+    per-subspace quantization error and live-code counts for the SAME
+    lowest-id codebook sim_topk_pq serves — the report that gates a
+    codebook rollout (rising mean_d2 ⇒ the corpus drifted away from
+    the codes; dead codes ⇒ wasted index bits).  One map-side encode
+    over literal codebooks + an m-row aggregate."""
+    return S.pq_distortion(
+        load(spark, sf_dir, "embeddings"), m=4, n_codes=16, scale=1000
+    )

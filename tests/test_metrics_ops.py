@@ -182,3 +182,67 @@ def test_snm_cross_partition_adjacency(spark):
     self_matches = {(r["left_key"], r["right_key"]) for r in out
                     if r["left_key"] == r["right_key"]}
     assert len(self_matches) == 50  # every corrupted record re-linked
+
+
+# --------------------------------------------------------------------- #
+# bootstrap / permutation laws                                          #
+# --------------------------------------------------------------------- #
+
+def test_bootstrap_ci_brackets_true_mean(spark, tmp_path):
+    rows = [(c % 20, 100.0 + (c % 7)) for c in range(200)]
+    out = _run(
+        spark, "ml_bootstrap_ci", tmp_path,
+        orders=_orders(spark, rows),
+    ).collect()[0]
+    # CI in cent units; true mean = mean(100 + c%7)*100
+    true_mean = sum(100.0 + (c % 7) for c in range(200)) / 200 * 100
+    assert out["ci_lo_units"] < true_mean < out["ci_hi_units"], dict(out)
+    assert out["ci_lo_units"] < out["mean_units"] < out["ci_hi_units"]
+    assert out["n_replicates"] == 100
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, value)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=i), u, "purchase", float(v),
+             None)
+            for i, u, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_permutation_test_detects_planted_effect(spark, tmp_path):
+    # arm assignment is md5(user_id || ':ab') % 2 — plant a HUGE effect
+    # aligned with the real arms so no permutation can match it
+    import hashlib
+
+    def arm(u):
+        return int(
+            hashlib.md5(f"{u}:ab".encode()).hexdigest()[:8], 16
+        ) % 2
+
+    rows = [
+        (i, u, 1000.0 if arm(u) == 0 else 1.0)
+        for i, u in enumerate(range(60))
+    ]
+    out = _run(
+        spark, "analytics_permutation_test", tmp_path,
+        events=_events(spark, rows),
+    ).collect()[0]
+    assert out["p_value_ppm"] <= 20_000, dict(out)  # <= 2/100 extreme
+
+
+def test_permutation_test_null_is_not_significant(spark, tmp_path):
+    # no effect: value independent of arm -> p should be large
+    rows = [(i, u, float(100 + (i % 5))) for i, u in enumerate(range(60))]
+    out = _run(
+        spark, "analytics_permutation_test", tmp_path,
+        events=_events(spark, rows),
+    ).collect()[0]
+    assert out["p_value_ppm"] >= 100_000, dict(out)

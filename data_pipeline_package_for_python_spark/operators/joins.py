@@ -364,3 +364,89 @@ def sorted_neighborhood_join(
         .filter(F.col("distance") <= max_distance)
     )
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    *,
+    tie_break: str | Sequence[str] | None = None,
+    how: str = "inner",
+    tolerance: int | float | None = None,
+) -> DataFrame:
+    """As-of join, direction='nearest' (pandas ``merge_asof``'s third
+    direction): each left row takes the right row whose NUMERIC
+    ``right_time`` is closest in either direction, ties to the earlier
+    (backward) side.  Time columns must be numeric (cast timestamps to
+    ``unix_micros`` first) so distances compare exactly.
+
+    One merged stream, ONE sort per key, TWO frames over it: the
+    running ``last`` non-null right (the backward candidate, rights
+    sorted before lefts at equal time so distance-0 matches land here)
+    and the ``first`` non-null right over the FOLLOWING frame (the
+    forward candidate).  No second sort, no self-join — the same
+    merge-scan posture as ``asof_join``, still one shuffle on the key.
+    ``tolerance`` (same numeric units) bounds both directions.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how='inner'|'left', got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    tie_break = (
+        [] if tie_break is None
+        else [tie_break] if isinstance(tie_break, str) else list(tie_break)
+    )
+    right_payload = [c for c in right.columns if c not in on]
+    lu = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__l"),
+    )
+    r_valid = right.filter(F.col(right_time).isNotNull())
+    for k in on:
+        r_valid = r_valid.filter(F.col(k).isNotNull())
+    ru = r_valid.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*right_payload).alias("__r"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tie_break)],
+    )
+    u = lu.unionByName(ru, allowMissingColumns=True)
+    order = [F.col("__t").asc_nulls_first(), F.col("__is_left").asc()]
+    order += [F.col(f"__tb{i}").asc() for i in range(len(tie_break))]
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    m = (
+        u.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+        .filter(F.col("__is_left") == 1)
+    )
+    db = F.col("__t") - F.col("__mb").getField(right_time)
+    df_ = F.col("__mf").getField(right_time) - F.col("__t")
+    pick_b = F.col("__mf").isNull() | (
+        F.col("__mb").isNotNull() & (db <= df_)
+    )
+    m = m.withColumn(
+        "__m", F.when(pick_b, F.col("__mb")).otherwise(F.col("__mf"))
+    ).withColumn(
+        "__dist", F.when(pick_b, db).otherwise(df_)
+    )
+    if tolerance is not None:
+        m = m.withColumn(
+            "__m", F.when(F.col("__dist") <= F.lit(tolerance), F.col("__m"))
+        )
+    if how == "inner":
+        m = m.filter(F.col("__m").isNotNull())
+    return m.select("__l.*", "__m.*")

@@ -2916,3 +2916,45 @@ def analytics_permutation_test(
         F.expr("(1000000 * sum(extreme)) div count(1)")
         .cast("bigint").alias("p_value_ppm"),
     )
+
+
+@query(
+    "etl_scd3_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, 'MOVED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT b.c_custkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment
+                ELSE b.c_mktsegment END AS c_mktsegment,
+           CASE WHEN c.c_custkey IS NOT NULL THEN b.c_mktsegment
+           END AS prev_mktsegment,
+           CAST(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS changed
+    FROM customer b LEFT JOIN changes c ON c.c_custkey = b.c_custkey
+    """,
+)
+def etl_scd3_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 — previous-value column: a segment-change batch
+    applies to the dimension keeping ONE generation of history in a
+    ``prev_`` column (the cheap middle ground between SCD-1's amnesia
+    and SCD-2's row-per-version; completes the SCD 1/2/3 family next
+    to etl_upsert_customers and etl_scd2_*).  One key-partitioned left
+    join; unchanged rows carry NULL prev — unambiguous ("never
+    changed"), exactly the semantics BI tools expect."""
+    base = load(spark, sf_dir, "customer")
+    changes = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit("MOVED").alias("new_seg"))
+    )
+    j = base.join(changes, "c_custkey", "left")
+    return j.select(
+        "c_custkey",
+        F.when(F.col("new_seg").isNotNull(), F.col("new_seg"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("new_seg").isNotNull(), F.col("c_mktsegment"))
+        .alias("prev_mktsegment"),
+        F.col("new_seg").isNotNull().cast("int").alias("changed"),
+    )

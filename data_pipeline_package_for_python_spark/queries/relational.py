@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ._registry import davg, dsum, load, query, ssum
 from ..operators.joins import (
     asof_join,
+    asof_join_nearest,
     broadcast_join,
     fuzzy_join_levenshtein,
     range_join,
@@ -911,6 +912,66 @@ def join_asof_tolerance(spark, sf_dir):
         p, c, on="user_id", left_time="ts", right_time="cts",
         left_key="purchase_id", tie_break="click_id",
         tolerance="2 days",
+    )
+    return j.select("purchase_id", "click_id")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.purchase_id, c.click_id,
+             CASE WHEN c.ct <= p.pt THEN p.pt - c.ct
+                  ELSE c.ct - p.pt END AS dist,
+             CASE WHEN c.ct <= p.pt THEN 1 ELSE 0 END AS bwd
+      FROM p JOIN c ON c.user_id = p.user_id
+    )
+    SELECT purchase_id, click_id FROM (
+      SELECT purchase_id, click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY purchase_id
+               ORDER BY dist ASC, bwd DESC,
+                        CASE WHEN bwd = 1 THEN -click_id
+                             ELSE click_id END ASC
+             ) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, direction='nearest' (pandas merge_asof's third
+    direction; completes the backward/forward/nearest family next to
+    join_asof and join_asof_tolerance): each purchase attributes to the
+    user's CLOSEST click in either direction, ties to the earlier
+    (backward) side.  The engine runs ONE keyed sort over the merged
+    stream with two frames (running-last backward candidate,
+    following-first forward candidate) — same single-shuffle merge-scan
+    posture as the directional as-ofs, no join-then-rank pair blowup on
+    hot users.  The oracle is the brute-force join-then-rank twin with
+    the operator's exact tie ladder (distance, then backward, then
+    largest-tiebreak-backward / smallest-tiebreak-forward)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pt"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("ct"),
+    )
+    j = asof_join_nearest(
+        p, c, on="user_id", left_time="pt", right_time="ct",
+        tie_break="click_id",
     )
     return j.select("purchase_id", "click_id")
 

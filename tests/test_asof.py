@@ -10,7 +10,10 @@ import datetime as dt
 
 import pyspark.sql.functions as F
 
-from data_pipeline_package_for_python_spark.operators.joins import asof_join
+from data_pipeline_package_for_python_spark.operators.joins import (
+    asof_join,
+    asof_join_nearest,
+)
 
 
 def _mk(spark, rows, schema):
@@ -177,3 +180,95 @@ def test_tolerance_bounds_match_staleness(spark):
     )
     assert run("left") == want_left
     assert run("inner") == [r for r in want_left if r[3] is not None]
+
+
+# ---------------------------------------------------------------------- #
+# direction='nearest'                                                    #
+# ---------------------------------------------------------------------- #
+
+
+def _oracle_nearest(left, right, how, tolerance=None):
+    """Row-at-a-time twin of asof_join_nearest's tie ladder: minimum
+    |distance|; equal distance prefers the backward side; ties at the
+    same time pick the largest tie-break backward (the merge-scan's
+    running-`last`) and the smallest forward (the FOLLOWING-frame
+    `first`)."""
+    out = []
+    for lk, lt, lv in left:
+        cands = [
+            (
+                abs(lt - rt),             # distance
+                0 if rt <= lt else 1,     # backward wins ties
+                -rv if rt <= lt else rv,  # side-specific tie-break
+                rt,
+                rv,
+            )
+            for rk, rt, rv in right
+            if rk == lk and rk is not None
+        ]
+        if tolerance is not None:
+            cands = [c for c in cands if c[0] <= tolerance]
+        if cands:
+            best = min(cands)
+            out.append((lk, lt, lv, best[3], best[4]))
+        elif how == "left":
+            out.append((lk, lt, lv, None, None))
+    return sorted(out)
+
+
+def _run_nearest(spark, left, right, how, tolerance=None):
+    got = asof_join_nearest(
+        _mk(spark, left, LEFT_SCHEMA) if left
+        else spark.createDataFrame([], LEFT_SCHEMA),
+        _mk(spark, right, RIGHT_SCHEMA) if right
+        else spark.createDataFrame([], RIGHT_SCHEMA),
+        "k", "lt", "rt", tie_break="rv", how=how, tolerance=tolerance,
+    )
+    return sorted((r.k, r.lt, r.lv, r.rt, r.rv) for r in got.collect())
+
+
+def test_nearest_prefers_backward_on_tie(spark):
+    # (1,10): rt=10 at distance 0 beats rt=15; time tie rv=100 vs 101
+    # resolves to 101 (backward largest).  (1,20): rt=15 (dist 5) is the
+    # only side.  (2,10): only a FORWARD match rt=30 — nearest finds it
+    # where backward would miss.
+    rows = _run_nearest(spark, LEFT, RIGHT, "inner")
+    assert rows == _oracle_nearest(LEFT, RIGHT, "inner")
+    by_lv = {r[2]: (r[3], r[4]) for r in rows}
+    assert by_lv["a"] == (10, 101)
+    assert by_lv["d"] == (30, 103)
+
+
+def test_nearest_left_and_tolerance(spark):
+    for tol in (None, 0, 3, 7):
+        assert _run_nearest(spark, LEFT, RIGHT, "left", tol) == (
+            _oracle_nearest(LEFT, RIGHT, "left", tol)
+        ), tol
+
+
+def test_nearest_equidistant_both_sides(spark):
+    # rt=8 and rt=12 are both distance 2 from lt=10 — backward (rt=8)
+    # must win even though the forward row has a larger tie-break.
+    left = [(1, 10, "x")]
+    right = [(1, 8, 1), (1, 12, 9)]
+    assert _run_nearest(spark, left, right, "inner") == [
+        (1, 10, "x", 8, 1)
+    ]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=side_st,
+    rrows=side_st,
+    how=st.sampled_from(["inner", "left"]),
+    tol=st.sampled_from([None, 0, 2, 5]),
+)
+def test_nearest_matches_python_oracle(spark, lrows, rrows, how, tol):
+    left = [(k, t, str(v)) for k, t, v in lrows]
+    assert _run_nearest(spark, left, rrows, how, tol) == (
+        _oracle_nearest(left, rrows, how, tol)
+    )

@@ -435,6 +435,71 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 5,
+    threshold: float = 0.95,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with the pairwise comparison bounded to k-means
+    cells.  Cluster the corpus (bit-deterministic
+    :func:`kmeans_embeddings_exact`), compare embeddings ONLY within
+    each cluster, and drop every vector that has a lower-id neighbor
+    in its cluster with cosine ≥ ``threshold`` — the deterministic
+    stand-in for the paper's keep-one-exemplar-per-group rule (the
+    survivor of each near-dup group is its minimum id).
+
+    Returns (id_col, cluster, dropped) for every input vector —
+    callers filter ``dropped = 0`` to materialize the deduplicated
+    corpus or aggregate per cluster for the audit report.
+
+    Scale shape: the quadratic term is per-cluster, exactly as
+    published — the paper runs k ∝ corpus size so expected cluster
+    size stays bounded (they use k=50k on LAION); here the cluster
+    equality self-join is one shuffle on the cluster key and never a
+    corpus×corpus product.  The k-means stage is map-only literal
+    assignment with k×d driver state."""
+    assigned = kmeans_embeddings_exact(
+        df, id_col=id_col, vec_col=vec_col, k=k,
+        iterations=iterations, scale=scale,
+    )
+    base = (
+        df.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .localCheckpoint(eager=False)
+    )
+    a_side = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("qv"), "cluster"
+    )
+    b_side = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("cv"), "cluster"
+    )
+    dropped = (
+        a_side.join(b_side, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot("qv", "cv") / (l2_norm("qv") * l2_norm("cv"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        base.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("__drop", F.lit(0)).cast("int").alias("dropped"),
+        )
+    )
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -28,6 +28,7 @@ __all__ = [
     "PII_PATTERNS",
     "TOKEN_REGEX",
     "bigram_lm_scores",
+    "bm25_related_topk",
     "linear_quality_score",
     "bpe_apply",
     "bpe_pair_counts",
@@ -320,6 +321,112 @@ def tf_idf(
         tfidf = (F.col("tf") * F.col("n_docs")) / F.col("df")
     return out.select(
         "id", "term", "tf", "df", "n_docs", tfidf.alias("tfidf")
+    )
+
+
+def bm25_related_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    query_pred: Column,
+    k: int = 5,
+    max_df_ratio_ppm: int = 200_000,
+) -> DataFrame:
+    """Okapi BM25 related-document retrieval, exact-rational score:
+    for each query document (rows matching ``query_pred``), the top-k
+    other documents ranked by Σ over shared terms of
+    ``idf_t · tf-saturation_t`` — (query_id, rank, doc_id, score,
+    n_shared).
+
+    BM25 normally hides two hash-hostile floats (``ln`` idf and an
+    unordered float sum).  Both are removed without changing the
+    ranking family:
+
+      * k1=6/5, b=3/4 (the standard 1.2/0.75 as exact rationals), and
+        the Robertson odds idf ``(2N−2df+1)/(2df+1)`` in place of its
+        ln (monotone in the same odds, same per-term ordering — the
+        same ln-free discipline as :func:`tf_idf`).  Clearing
+        denominators, each term's contribution is ONE correctly-rounded
+        IEEE division of two exact BIGINTs:
+
+          (2N−2df+1)·22·tf·L  /  (2df+1)·(10·tf·L + 3·L + 9·dl·N)
+
+        (L = Σ doc lengths, so dl/avgdl = dl·N/L exactly).
+      * the per-pair sum folds over terms in ascending term order
+        (sorted-array aggregate), so the double total is
+        bit-reproducible across engines and partitionings.
+
+    Query terms are a set (query-side tf weighting — BM25's k3 — is
+    deliberately dropped, the common search-engine simplification).
+    Terms with df > max_df_ratio_ppm·N/1e6 are pruned BEFORE the
+    term join: their idf is near zero AND their posting lists are the
+    quadratic hot spot at 100 TB — the standard max-df/WAND-style cut,
+    which keeps the candidate join bounded by rare-term posting lists
+    (never corpus × corpus).  Overflow headroom: numerator ≈
+    2N·22·tf·L needs N·L·tf ≪ 4e17 — fine through sf1 here; a
+    100 TB corpus would compute the two products as DECIMAL(38,0)
+    before the divide."""
+    words = ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        query_pred.alias("is_q"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = words.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("is_q").alias("is_q")
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("len_total")
+    )
+    posting = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df") * F.lit(1_000_000)
+            <= F.lit(int(max_df_ratio_ppm)) * F.col("n_docs")
+        )
+        .join(dl, "id")
+    )
+    qside = posting.filter(F.col("is_q")).select(
+        F.col("id").alias("query_id"), "term"
+    )
+    n, L = F.col("n_docs"), F.col("len_total")
+    num = (2 * n - 2 * F.col("df") + 1) * 22 * F.col("tf") * L
+    den = (2 * F.col("df") + 1) * (
+        10 * F.col("tf") * L + 3 * L + 9 * F.col("dl") * n
+    )
+    scored = (
+        qside.join(posting, "term")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            "id",
+            "term",
+            (num.cast("double") / den.cast("double")).alias("s"),
+        )
+    )
+    per_pair = scored.groupBy("query_id", "id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_shared"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("id").alias("doc_id"),
+            "score", "n_shared",
+        )
     )
 
 

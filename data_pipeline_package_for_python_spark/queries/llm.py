@@ -482,6 +482,72 @@ def text_tfidf(spark, sf_dir):
 
 
 @query(
+    "text_bm25_related",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id, doc_id % 37 = 0 AS is_q,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT id, term, CAST(count(*) AS BIGINT) AS tf,
+             bool_or(is_q) AS is_q
+      FROM w GROUP BY id, term
+    ),
+    dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(dl) AS BIGINT) AS L FROM dl),
+    posting AS MATERIALIZED (
+      SELECT tf.id, tf.term, tf.tf, tf.is_q, dl.dl, dfq.df, st.n, st.L
+      FROM tf JOIN dfq USING (term) JOIN dl USING (id), st
+      WHERE dfq.df * 1000000 <= 800000 * st.n
+    ),
+    q AS (SELECT id AS query_id, term FROM posting WHERE is_q),
+    sc AS (
+      SELECT q.query_id, p.id, p.term,
+             CAST((2*p.n - 2*p.df + 1) * 22 * p.tf * p.L AS DOUBLE)
+             / CAST((2*p.df + 1)
+                    * (10*p.tf*p.L + 3*p.L + 9*p.dl*p.n) AS DOUBLE) AS s
+      FROM q JOIN posting p USING (term)
+      WHERE p.id <> q.query_id
+    ),
+    pair AS (
+      SELECT query_id, id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               array_agg(s ORDER BY term)), (a, b) -> a + b) AS score,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sc GROUP BY query_id, id
+    )
+    SELECT query_id, rank, doc_id, score, n_shared FROM (
+      SELECT query_id, id AS doc_id, score, n_shared,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rank
+      FROM pair
+    ) WHERE rank <= 5
+    """,
+)
+def text_bm25_related(spark, sf_dir):
+    """Okapi BM25 related-document retrieval (operators/text.py
+    bm25_related_topk): top-5 most-similar documents per query doc
+    (doc_id % 37), scored with k1=1.2 / b=0.75 BM25 where the idf is
+    the exact Robertson odds (ln-free, same ordering) and every
+    per-term contribution is one IEEE division of exact BIGINTs summed
+    in term order — the whole double score is on the hash, no rounding.
+    Terms in >80% of documents are pruned before the posting-list join
+    (near-zero idf AND the join's quadratic hot spot at 100 TB; the
+    fixture's 31-term vocabulary is stopword-heavy, so the cut sits
+    high here — production retrieval uses ~10-20%)."""
+    docs = load(spark, sf_dir, "documents")
+    return T.bm25_related_topk(
+        docs, "doc_id", "text",
+        query_pred=F.col("doc_id") % 37 == 0,
+        k=5, max_df_ratio_ppm=800_000,
+    )
+
+
+@query(
     "text_vocab_encode",
     oracle="""
     WITH tf AS (
@@ -1201,7 +1267,7 @@ def sim_topk_sq8(spark, sf_dir):
 
 def _kmeans_oracle_sql(
     k: int = 8, iterations: int = 5, dim: int = 64,
-    scale: int = 1_000_000,
+    scale: int = 1_000_000, final_select: str | None = None,
 ) -> str:
     """Unrolled exact-integer k-means twin for DuckDB.
 
@@ -1249,10 +1315,14 @@ def _kmeans_oracle_sql(
                 " ON nw.cluster = prev.cluster AND nw.pos = prev.pos)"
             )
             last_c = f"c{i}"
+    if final_select is None:
+        final_select = (
+            "SELECT cluster, CAST(count(*) AS BIGINT) AS n_members"
+            " FROM {a} GROUP BY cluster"
+        )
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT cluster, CAST(count(*) AS BIGINT) AS n_members"
-        f" FROM a{n_assign} GROUP BY cluster"
+        + "\n" + final_select.format(a=f"a{n_assign}")
     )
 
 
@@ -1304,6 +1374,59 @@ def dedup_embedding_cosine(spark, sf_dir):
     near-dup would use ~0.9+."""
     emb = load(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(emb, threshold=0.45, n_bits=4)
+
+
+_SEMDEDUP_TAU = 0.40
+
+_SEMDEDUP_FINAL = f"""
+emb2 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+),
+m AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.ev
+  FROM {{a}} a JOIN emb2 e USING (vec_id)
+),
+drp AS (
+  SELECT DISTINCT y.vec_id FROM m x JOIN m y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE {_DOT.replace('qv', 'x.ev').replace('cv', 'y.ev')}
+        / ({_NORM.format(v='x.ev')} * {_NORM.format(v='y.ev')})
+        >= {_SEMDEDUP_TAU}
+)
+SELECT m.cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
+GROUP BY m.cluster
+"""
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=_kmeans_oracle_sql(final_select=", " + _SEMDEDUP_FINAL),
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the pairwise
+    cosine bounded to k-means cells — cluster with the
+    bit-deterministic exact-integer Lloyd's, compare only within each
+    cluster, drop vectors that have a lower-id neighbor at cosine ≥ τ
+    (min-id survivor per near-dup group).  Per-cluster audit report
+    (cluster, n_members, n_dropped), fully on the hash: the oracle
+    replays the SAME 5-iteration integer k-means (the
+    embed_kmeans_clusters twin) and the same drop rule in DuckDB.
+    τ=0.40 because the fixture's vectors are near-orthogonal (max
+    pairwise cosine ~0.5); production SemDeDup uses ~0.95+.  The
+    quadratic term is per-cluster exactly as published (the paper
+    scales k with the corpus so cells stay bounded)."""
+    emb = load(spark, sf_dir, "embeddings")
+    flags = S.semantic_dedup(
+        emb, k=8, iterations=5, threshold=_SEMDEDUP_TAU
+    )
+    return flags.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+    )
 
 
 # ---------------------------------------------------------------------- #

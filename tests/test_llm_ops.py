@@ -1408,3 +1408,124 @@ def test_cdc_chunks_reassemble_the_document(spark):
     chunks = [" ".join(ws[s:e]) for s, e in zip(starts, ends) if e > s]
     assert " ".join(chunks) == text
     assert out["n_chunks"] == len(chunks)
+
+
+# ---------------------------------------------------------------------- #
+# SemDeDup (cluster-bounded semantic dedup)                              #
+# ---------------------------------------------------------------------- #
+
+
+def test_semdedup_laws(spark, sf_dir):
+    """Drop rule is exactly 'has a lower-id same-cluster neighbor at
+    cosine >= tau': (i) every cluster's minimum id survives, (ii) a
+    brute-force within-cluster cosine replay agrees row-for-row, and
+    (iii) flags cover the full corpus exactly once."""
+    import numpy as np
+
+    from data_pipeline_package_for_python_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    tau = 0.40
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flags = semantic_dedup(emb, k=8, iterations=5, threshold=tau)
+    rows = {r["vec_id"]: r for r in flags.collect()}
+    assert len(rows) == emb.count()
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    by_cluster = {}
+    for vid, r in rows.items():
+        by_cluster.setdefault(r["cluster"], []).append(vid)
+    for cluster, ids in by_cluster.items():
+        ids.sort()
+        assert rows[ids[0]]["dropped"] == 0, (cluster, ids[0])
+        for b in ids:
+            vb = vecs[b]
+            want = any(
+                float(
+                    vecs[a] @ vb
+                    / (np.linalg.norm(vecs[a]) * np.linalg.norm(vb))
+                ) >= tau
+                for a in ids
+                if a < b
+            )
+            assert rows[b]["dropped"] == int(want), (cluster, b)
+
+
+# ---------------------------------------------------------------------- #
+# BM25 related-document retrieval                                        #
+# ---------------------------------------------------------------------- #
+
+
+def test_bm25_matches_python_replay(spark):
+    """The exact-rational BM25 reproduces a row-at-a-time Python replay
+    bit-for-bit (same BIGINT products, same IEEE division, same
+    term-ordered fold), and the ranking follows (score desc, id)."""
+    from data_pipeline_package_for_python_spark.operators.text import (
+        bm25_related_topk,
+    )
+
+    docs = [
+        (0, "apple banana cherry apple"),
+        (1, "apple banana"),
+        (2, "cherry durian cherry cherry"),
+        (3, "banana durian elderberry"),
+        (4, "apple cherry durian banana elderberry fig"),
+        (5, "fig fig fig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_related_topk(
+        df, "doc_id", "text",
+        query_pred=(F.col("doc_id") % 2 == 0),
+        k=3, max_df_ratio_ppm=800_000,
+    ).collect()
+
+    # python replay ------------------------------------------------------
+    tf, dl = {}, {}
+    for i, t in docs:
+        ws = t.split(" ")
+        dl[i] = len(ws)
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfq = {}
+    for (_, w) in tf:
+        dfq[w] = dfq.get(w, 0) + 1
+    N, L = len(docs), sum(dl.values())
+    keep = {w for w, d in dfq.items() if d * 1_000_000 <= 800_000 * N}
+    want = {}
+    for q, _ in docs:
+        if q % 2 != 0:
+            continue
+        qterms = {w for (i, w) in tf if i == q and w in keep}
+        scores = {}
+        for d, _ in docs:
+            if d == q:
+                continue
+            shared = sorted(w for w in qterms if (d, w) in tf)
+            if not shared:
+                continue
+            s = 0.0
+            for w in shared:
+                t_ = tf[(d, w)]
+                num = (2 * N - 2 * dfq[w] + 1) * 22 * t_ * L
+                den = (2 * dfq[w] + 1) * (
+                    10 * t_ * L + 3 * L + 9 * dl[d] * N
+                )
+                s += num / den
+            scores[d] = (s, len(shared))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for r, (d, (s, ns)) in enumerate(ranked[:3], start=1):
+            want[(q, r)] = (d, s, ns)
+
+    got_map = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"], r["n_shared"])
+        for r in got
+    }
+    assert got_map.keys() == want.keys()
+    for key, (d, s, ns) in want.items():
+        gd, gs, gns = got_map[key]
+        assert (gd, gns) == (d, ns), (key, got_map[key], want[key])
+        assert gs == s, (key, gs, s)  # bit-identical, not approx

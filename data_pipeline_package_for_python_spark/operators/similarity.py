@@ -44,6 +44,8 @@ __all__ = [
     "kmeans_embeddings",
     "l2_norm",
     "random_hyperplanes",
+    "rrf_fuse",
+    "semantic_dedup",
     "embedding_drift_report",
     "embedding_health_stats",
     "hard_negatives",
@@ -432,6 +434,60 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 5,
+    c: int = 60,
+    scale: int = 10**12,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR '09)
+    over N rank lists — the standard hybrid-retrieval combiner (lexical
+    BM25 ⊕ embedding ANN): each candidate scores
+    Σ_ranker 1/(c + rank), c=60 as published.
+
+    Hash-exact: each reciprocal is the integer ``scale div (c+rank)``
+    so the fused score is an exact BIGINT sum — no float order
+    sensitivity, and ranker-count ties resolve by id (at scale=1e12 the
+    floor perturbs each term by <1e-12 relative, far below any
+    rank-separation of interest).  Scale shape: a union of the
+    (already top-k-bounded) rank lists, ONE groupBy on
+    (query, candidate), one per-query window — every input list is
+    |queries|·k rows, so the fusion never touches corpus-sized data.
+
+    Returns (query_id, rank, doc_id, rrf_score_e12, n_sources)."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("bigint").alias("__r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.expr(f"CAST({int(scale)} AS BIGINT) div ({int(c)} + __r)")
+        ).alias("rrf_score_e12"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score_e12").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score_e12", "n_sources")
     )
 
 

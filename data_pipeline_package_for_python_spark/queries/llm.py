@@ -25,6 +25,15 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({v}, x -> x * x)), (a, b) -> a + b))"
+)
+
 # ---------------------------------------------------------------------- #
 # shared DuckDB CTE fragments (documents table, 3-word shingles)         #
 # ---------------------------------------------------------------------- #
@@ -481,10 +490,11 @@ def text_tfidf(spark, sf_dir):
     )
 
 
-@query(
-    "text_bm25_related",
-    oracle="""
-    WITH w AS MATERIALIZED (
+def _bm25_ctes(topk: int = 5, out: str = "bm25r") -> str:
+    """The exact-rational BM25 twin as a reusable CTE chain ending in
+    ``{out}(query_id, rank, doc_id, score, n_shared)`` — shared by
+    text_bm25_related and the RRF hybrid-retrieval oracle."""
+    return f"""w AS MATERIALIZED (
       SELECT doc_id AS id, doc_id % 37 = 0 AS is_q,
              unnest(string_split(text, ' ')) AS term
       FROM documents
@@ -519,14 +529,21 @@ def text_tfidf(spark, sf_dir):
                array_agg(s ORDER BY term)), (a, b) -> a + b) AS score,
              CAST(count(*) AS BIGINT) AS n_shared
       FROM sc GROUP BY query_id, id
-    )
-    SELECT query_id, rank, doc_id, score, n_shared FROM (
-      SELECT query_id, id AS doc_id, score, n_shared,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, id) AS rank
-      FROM pair
-    ) WHERE rank <= 5
-    """,
+    ),
+    {out} AS (
+      SELECT query_id, rank, doc_id, score, n_shared FROM (
+        SELECT query_id, id AS doc_id, score, n_shared,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rank
+        FROM pair
+      ) WHERE rank <= {topk}
+    )"""
+
+
+@query(
+    "text_bm25_related",
+    oracle="WITH " + _bm25_ctes(topk=5)
+    + "\nSELECT query_id, rank, doc_id, score, n_shared FROM bm25r",
 )
 def text_bm25_related(spark, sf_dir):
     """Okapi BM25 related-document retrieval (operators/text.py
@@ -538,13 +555,85 @@ def text_bm25_related(spark, sf_dir):
     Terms in >80% of documents are pruned before the posting-list join
     (near-zero idf AND the join's quadratic hot spot at 100 TB; the
     fixture's 31-term vocabulary is stopword-heavy, so the cut sits
-    high here — production retrieval uses ~10-20%)."""
+    high here — production retrieval uses ~10-20%, where the cut is
+    what keeps candidate volume linear; with every fixture term under
+    the cut this query is quadratic by construction, so it belongs to
+    the sf0.01 correctness gate, not the sf1 bench set)."""
     docs = load(spark, sf_dir, "documents")
     return T.bm25_related_topk(
         docs, "doc_id", "text",
         query_pred=F.col("doc_id") % 37 == 0,
         k=5, max_df_ratio_ppm=800_000,
     )
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle="WITH " + _bm25_ctes(topk=10) + f""",
+    qc AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    cc AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    cscored AS (
+      SELECT query_id, neighbor_id,
+             {{dot}} / ({{nq}} * {{nc}}) AS cosine
+      FROM qc, cc WHERE query_id <> neighbor_id
+    ),
+    cosr AS (
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cscored
+      ) WHERE rank <= 10
+    ),
+    u AS (
+      SELECT query_id, doc_id, rank FROM bm25r
+      UNION ALL
+      SELECT query_id, neighbor_id AS doc_id, rank FROM cosr
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(sum(1000000000000 // (60 + rank)) AS BIGINT)
+                 AS rrf_score_e12,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY query_id, doc_id
+    )
+    SELECT query_id, rank, doc_id, rrf_score_e12, n_sources FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_score_e12 DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 5
+    """.format(
+        dot=_DOT,
+        nq=_NORM.format(v="qv"),
+        nc=_NORM.format(v="cv"),
+    ),
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR '09) of the lexical BM25 ranking and the embedding-cosine
+    ranking for the same query set (id % 37) — the standard RAG
+    retrieval combiner.  Each ranker contributes its top-10; fusion
+    scores are exact BIGINT sums of ``1e12 div (60+rank)``
+    (operators/similarity.py rrf_fuse), so ranking and hash are both
+    deterministic.  Scale shape: the rankers bound their own candidate
+    work (max-df-pruned posting join; broadcast query side); the
+    fusion only ever touches |queries|·k rows."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm25 = T.bm25_related_topk(
+        docs, "doc_id", "text",
+        query_pred=F.col("doc_id") % 37 == 0,
+        k=10, max_df_ratio_ppm=800_000,
+    ).select("query_id", "doc_id", "rank")
+    cos = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 37 == 0), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return S.rrf_fuse([bm25, cos], k=5)
 
 
 @query(
@@ -956,16 +1045,6 @@ def text_pack_sequences(spark, sf_dir):
 # ---------------------------------------------------------------------- #
 
 # Ordered double folds, bit-identical to Spark's aggregate() HOF.
-_DOT = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(list_zip(qv, cv), p -> p[1] * p[2])), (a, b) -> a + b)"
-)
-_NORM = (
-    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform({v}, x -> x * x)), (a, b) -> a + b))"
-)
-
-
 @query(
     "sim_topk_bruteforce",
     oracle=f"""

@@ -1529,3 +1529,38 @@ def test_bm25_matches_python_replay(spark):
         gd, gs, gns = got_map[key]
         assert (gd, gns) == (d, ns), (key, got_map[key], want[key])
         assert gs == s, (key, gs, s)  # bit-identical, not approx
+
+
+def test_rrf_fuse_matches_python(spark):
+    """Fused score = Σ scale div (60+rank) per ranker, ranked by
+    (score desc, doc_id): a doc ranked mid-list in BOTH rankers beats a
+    doc that tops only one (RRF's defining property)."""
+    from data_pipeline_package_for_python_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 12, 4)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["rrf_score_e12"], r["n_sources"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    S = 10**12
+    want_scores = {
+        10: S // 61,
+        11: S // 62 + S // 61,
+        12: S // 63 + S // 64,
+        13: S // 62,
+    }
+    ranked = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rank, (d, s) in enumerate(ranked, start=1):
+        n_src = 2 if d in (11, 12) else 1
+        assert got[d] == (rank, s, n_src), (d, got[d])
+    # doc 11 (in both) outranks doc 10 (rank-1 in one ranker only)
+    assert got[11][0] < got[10][0]

@@ -50,6 +50,7 @@ __all__ = [
     "rolling_time_agg",
     "rolling_zscore_flags",
     "ewma_dyadic",
+    "holt_linear",
     "ohlc",
     "series_correlation_pairs",
     "sessionize",
@@ -369,6 +370,70 @@ def ewma_dyadic(
     num = sum(num_terms[1:], num_terms[0]).cast("long")
     den = sum(den_terms[1:], den_terms[0]).cast("long")
     return df.withColumn("ewma_num", num).withColumn("ewma_den", den)
+
+
+def holt_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: tuple[str, ...],
+    *,
+    scale: int = 100,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    per key series, as an IN-PLAN ordered fold — no driver loop, no
+    UDF, no per-row Python.
+
+        l_t = (y_t + l_{t-1} + b_{t-1}) / 2
+        b_t = (l_t − l_{t-1} + b_{t-1}) / 2        (l_1 = y_1, b_1 = 0)
+
+    The recurrence is sequential by nature, so it cannot be a window
+    frame; instead each key's series is gathered into a sorted array
+    (one shuffle, state bounded by series length) and folded with
+    ``aggregate`` over [level, trend] accumulator pairs.  Every
+    operation is a fixed expression tree of IEEE +,−,/2 evaluated in
+    the identical order by any engine, so the resulting doubles are
+    bit-identical and hash-checkable — the fold-not-float-sum
+    discipline that makes iterative smoothing differential-testable.
+    Values are pre-quantized with floor(value·scale) so the inputs
+    match exactly too.
+
+    Returns one row per key: (keys…, n_events, level, trend,
+    forecast_next = level + trend)."""
+    order_key = [
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        (
+            F.col(tie_break) if tie_break is not None else F.lit(0)
+        ).alias("tb"),
+        F.floor(F.col(value_col) * scale).cast("double").alias("v"),
+    ]
+    g = df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(*order_key))),
+            lambda s: s["v"],
+        ).alias("vs")
+    )
+    two = F.lit(2.0)
+    folded = F.aggregate(
+        F.col("vs"),
+        F.array(F.lit(None).cast("double"), F.lit(0.0)),
+        lambda acc, v: F.when(
+            acc[0].isNull(), F.array(v, F.lit(0.0))
+        ).otherwise(
+            F.array(
+                (v + acc[0] + acc[1]) / two,
+                ((v + acc[0] + acc[1]) / two - acc[0] + acc[1]) / two,
+            )
+        ),
+    )
+    return g.select(
+        *keys,
+        F.size("vs").cast("bigint").alias("n_events"),
+        folded[0].alias("level"),
+        folded[1].alias("trend"),
+        (folded[0] + folded[1]).alias("forecast_next"),
+    )
 
 
 def rolling_zscore_flags(

@@ -388,6 +388,60 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_holt_linear",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             {'t': epoch_us(ts), 'tb': event_id,
+              'v': CAST(FLOOR(value * 100) AS DOUBLE)} AS e
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             list_transform(list_sort(array_agg(e)), x -> x.v) AS vs
+      FROM s GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+             list_reduce(
+               list_prepend([CAST(NULL AS DOUBLE), 0.0],
+                            list_transform(vs, v -> [v])),
+               (acc, x) -> CASE WHEN acc[1] IS NULL
+                 THEN [x[1], 0.0]
+                 ELSE [(x[1] + acc[1] + acc[2]) / 2,
+                       ((x[1] + acc[1] + acc[2]) / 2 - acc[1] + acc[2])
+                           / 2]
+                 END
+             ) AS st
+      FROM g
+    )
+    SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_next
+    FROM f
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=β=1/2) per
+    user series, with a one-step-ahead forecast — the trend-aware step
+    up from ts_ewma.  The sequential recurrence runs as an IN-PLAN
+    ordered fold over each user's sorted value array
+    (operators/timeseries.py holt_linear): one shuffle, no driver
+    loop, and because both engines evaluate the identical
+    +,−,/2 expression tree in the identical order, the smoothed
+    doubles are bit-identical and fully on the hash — the pattern that
+    makes iterative models differential-testable without rows-only
+    downgrades."""
+    from ..operators.timeseries import holt_linear
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return holt_linear(
+        ev, "ts", "value", ("user_id",), scale=100, tie_break="event_id"
+    )
+
+
+@query(
     "ts_anomaly_zscore",
     oracle="""
     WITH s AS (

@@ -394,3 +394,67 @@ def test_acf_alternating_series_lag1_negative_lag2_positive(spark, tmp_path):
     assert rows[2]["acf"] > 0.9
     # exact sufficient statistics: num/den are integers cast to double
     assert rows[1]["acf_den"] > 0
+
+
+# ---------------------------------------------------------------------- #
+# Holt double-exponential smoothing (in-plan fold)                       #
+# ---------------------------------------------------------------------- #
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """The in-plan fold reproduces a Python replay bit-for-bit, and on
+    a pure linear ramp the learned trend approaches the true slope."""
+    import datetime as dt
+
+    from data_pipeline_package_for_python_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: linear ramp y = 3t; user 2: constant; user 3: one point
+    for i in range(40):
+        rows.append((i, 1, t0 + dt.timedelta(hours=i), 3.0 * i))
+    for i in range(10):
+        rows.append((100 + i, 2, t0 + dt.timedelta(hours=i), 7.5))
+    rows.append((200, 3, t0, 42.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r
+        for r in holt_linear(
+            df, "ts", "value", ("user_id",), scale=100,
+            tie_break="event_id",
+        ).collect()
+    }
+
+    def replay(vals):
+        l = b = None
+        for y in vals:
+            v = float(__import__("math").floor(y * 100))
+            if l is None:
+                l, b = v, 0.0
+            else:
+                ln = (v + l + b) / 2
+                b = (ln - l + b) / 2
+                l = ln
+        return l, b
+
+    for uid, vals in {
+        1: [3.0 * i for i in range(40)],
+        2: [7.5] * 10,
+        3: [42.0],
+    }.items():
+        l, b = replay(vals)
+        r = got[uid]
+        assert r["n_events"] == len(vals)
+        assert r["level"] == l, (uid, r["level"], l)      # bit-identical
+        assert r["trend"] == b, (uid, r["trend"], b)
+        assert r["forecast_next"] == l + b
+    # ramp: trend converges to the true slope (300 scaled units/step)
+    assert abs(got[1]["trend"] - 300.0) < 1.0
+    # constant series: zero trend, level at the constant
+    assert got[2]["trend"] == 0.0 and got[2]["level"] == 750.0
+    # single point: level = value, no trend
+    assert got[3]["level"] == 4200.0 and got[3]["trend"] == 0.0

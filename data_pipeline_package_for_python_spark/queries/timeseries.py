@@ -442,6 +442,64 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, t, v,
+             max(v) OVER w AS run_peak
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(v) AS BIGINT) AS peak,
+           CAST(min(v - run_peak) AS BIGINT) AS max_drawdown,
+           CAST(min({'dd': v - run_peak, 't': t, 'e': event_id}).e
+                AS BIGINT) AS worst_event_id
+    FROM r GROUP BY user_id
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series — the classic risk statistic:
+    min over t of (v_t − max_{s≤t} v_s), with the peak and the
+    deterministic argmin event (ties resolved by time then event id).
+    The sequential-looking 'running peak' is pure window algebra —
+    ONE sort per key (running max + the grouped min share the
+    partitioning), exact scaled BIGINTs throughout, so every output
+    is on the hash.  At 100 TB this is one shuffle on the series key
+    and a map-side final aggregate — no state beyond the window sort."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.withColumn("run_peak", F.max("v").over(w))
+    dd = (F.col("v") - F.col("run_peak")).alias("dd")
+    return r.select("user_id", "event_id", "t", "v", dd).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("v").alias("peak"),
+        F.min("dd").alias("max_drawdown"),
+        F.min(F.struct("dd", "t", "event_id"))["event_id"].alias(
+            "worst_event_id"
+        ),
+    )
+
+
+@query(
     "ts_anomaly_zscore",
     oracle="""
     WITH s AS (

@@ -458,3 +458,31 @@ def test_holt_linear_matches_python_fold(spark):
     assert got[2]["trend"] == 0.0 and got[2]["level"] == 750.0
     # single point: level = value, no trend
     assert got[3]["level"] == 4200.0 and got[3]["trend"] == 0.0
+
+
+def test_max_drawdown_known_series(spark):
+    """Hand-checkable series: rise to 10, fall to 4 (drawdown -6),
+    recover to 12, dip to 9 (drawdown -3) — max drawdown is -600
+    scaled units at the v=4 event."""
+    import datetime as dt
+
+    from __spark_entry__ import queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [5.0, 10.0, 7.0, 4.0, 12.0, 9.0]
+    rows = [
+        (i, 1, t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = queries()["ts_max_drawdown"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 6
+    assert r["peak"] == 1200
+    assert r["max_drawdown"] == -600
+    assert r["worst_event_id"] == 3

@@ -568,6 +568,86 @@ def text_bm25_related(spark, sf_dir):
 
 
 @query(
+    "text_cooccurrence_glove",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    pairs AS (
+      SELECT d.d AS dist, list_zip(w[1:len(w) - d.d],
+                                   w[d.d + 1:len(w)]) AS z
+      FROM ws, (SELECT unnest([1, 2, 3, 4]) AS d) d
+      WHERE len(w) > d.d
+    ),
+    p AS (
+      SELECT u.z[1] AS term_a, u.z[2] AS term_b,
+             CAST(12 / dist AS BIGINT) AS w12
+      FROM pairs, unnest(pairs.z) AS u(z)
+    ),
+    agg AS (
+      SELECT term_a, term_b,
+             CAST(sum(w12) AS BIGINT) AS x12,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY term_a, term_b
+    )
+    SELECT term_a, term_b, x12, n_pairs
+    FROM agg ORDER BY x12 DESC, term_a, term_b LIMIT 50
+    """,
+)
+def text_cooccurrence_glove(spark, sf_dir):
+    """GloVe co-occurrence substrate (Pennington et al., EMNLP 2014):
+    directional windowed co-occurrence counts with the paper's
+    harmonic 1/d distance weighting, window 4, kept EXACT by scaling
+    to twelfths (12/d ∈ {12,6,4,3} — integer sums, no float
+    accumulation).  Top-50 pairs by weighted count.  Plan shape is the
+    one that survives 100 TB: the window pairing is MAP-ONLY (per
+    offset d, zip the token array against its d-shifted self — no
+    self-join, no positional explode join), then a single (a,b)
+    groupBy with map-side partial aggregation; output is
+    vocabulary-bounded, never corpus-bounded."""
+    ws = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    per_d = []
+    for d in (1, 2, 3, 4):
+        per_d.append(
+            ws.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(
+                            "w", 1,
+                            F.greatest(F.size("w") - d, F.lit(0)),
+                        ),
+                        F.slice(
+                            "w", d + 1,
+                            F.greatest(F.size("w") - d, F.lit(0)),
+                        ),
+                    )
+                ).alias("z"),
+                F.lit(12 // d).cast("long").alias("w12"),
+            )
+        )
+    u = per_d[0]
+    for p in per_d[1:]:
+        u = u.unionByName(p)
+    agg = (
+        u.select(
+            F.col("z").getField("0").alias("term_a"),
+            F.col("z").getField("1").alias("term_b"),
+            "w12",
+        )
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.sum("w12").alias("x12"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return agg.orderBy(
+        F.col("x12").desc(), "term_a", "term_b"
+    ).limit(50)
+
+
+@query(
     "search_hybrid_rrf",
     oracle="WITH " + _bm25_ctes(topk=10) + f""",
     qc AS (

@@ -1564,3 +1564,29 @@ def test_rrf_fuse_matches_python(spark):
         assert got[d] == (rank, s, n_src), (d, got[d])
     # doc 11 (in both) outranks doc 10 (rank-1 in one ranker only)
     assert got[11][0] < got[10][0]
+
+
+def test_glove_cooccurrence_known_counts(spark):
+    """'a b a c' with window 4: pair (a,b) appears at distances 1
+    ('a b') and 1 again reversed? No — directional left-context only:
+    (a,b)@1, (b,a)@1, (a,c)@1, (a,a)@2, (b,c)@2, (a,c)@3 — harmonic
+    twelfths 12,12,12,6,6,4."""
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    df = spark.createDataFrame(
+        [(1, "a b a c", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = queries()["text_cooccurrence_glove"](spark, d).collect()
+    got = {(r["term_a"], r["term_b"]): (r["x12"], r["n_pairs"]) for r in rows}
+    assert got == {
+        ("a", "b"): (12, 1),
+        ("b", "a"): (12, 1),
+        ("a", "c"): (16, 2),   # dist 1 (a@2->c) and dist 3 (a@0->c)
+        ("a", "a"): (6, 1),    # dist 2
+        ("b", "c"): (6, 1),    # dist 2
+    }

@@ -977,6 +977,111 @@ def join_asof_nearest(spark, sf_dir):
 
 
 @query(
+    "join_interval_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ),
+    f AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS nf
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    g AS (
+      SELECT user_id, t,
+             sum(nf) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_id
+      FROM f
+    ),
+    s AS (
+      SELECT user_id, session_id, min(t) AS st, max(t) AS en
+      FROM g GROUP BY user_id, session_id
+    ),
+    p AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
+      FROM s a JOIN s b
+        ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+    )
+    SELECT user_a, user_b,
+           CAST(count(*) AS BIGINT) AS n_session_pairs,
+           CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us
+    FROM p GROUP BY user_a, user_b
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join — the join family point-lookup
+    range joins don't cover: which users' activity sessions overlap in
+    time, and for how long (co-presence analysis).  Sessions come from
+    the gap sessionizer (operators/timeseries.py sessionize, 30-min
+    gap); the overlap join blocks on covered HOUR BUCKETS (each
+    session explodes to its bucket span — bounded by session length),
+    so candidates meet through bucket equality, the exact overlap
+    predicate filters inside the bucket, and duplicate hits from
+    multi-bucket spans collapse with one distinct.  At 100 TB that is
+    one shuffle on the bucket key with per-bucket fan-in bounded by
+    concurrent sessions — never an interval × interval cartesian.  The
+    oracle is the brute-force quadratic twin; overlap microseconds are
+    exact BIGINTs."""
+    from ..operators.timeseries import sessionize
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    g = sessionize(
+        ev, "ts", ("user_id",), gap="30 minutes",
+        order_tie=("event_id",),
+    ).withColumn("t", F.unix_micros(F.col("ts").cast("timestamp")))
+    sess = g.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("st"), F.max("t").alias("en")
+    )
+    hour = 3_600_000_000
+    b = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {hour}"), F.expr(f"en div {hour}")
+            )
+        ),
+    )
+    a_side = b.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sid_a"),
+        F.col("st").alias("sa"),
+        F.col("en").alias("ea"),
+        "bucket",
+    )
+    b_side = b.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sid_b"),
+        F.col("st").alias("sb"),
+        F.col("en").alias("eb"),
+        "bucket",
+    )
+    pairs = (
+        a_side.join(b_side, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select(
+            "user_a", "sid_a", "user_b", "sid_b",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_session_pairs"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )
+
+
+@query(
     "join_fuzzy_levenshtein",
     oracle="""
     WITH dirty AS (

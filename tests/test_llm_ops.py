@@ -1590,3 +1590,41 @@ def test_glove_cooccurrence_known_counts(spark):
         ("a", "a"): (6, 1),    # dist 2
         ("b", "c"): (6, 1),    # dist 2
     }
+
+
+def test_interval_overlap_known_sessions(spark):
+    """Two users: u1 active 00:00-01:30 (one session), u2 in two
+    sessions 01:00-01:10 and 05:00-05:20.  Only the first u2 session
+    overlaps u1 (600s); bucket blocking must not double-count the
+    multi-hour u1 session."""
+    import datetime as dt
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes):
+        return (eid, uid, t0 + dt.timedelta(minutes=minutes), 1.0, "click")
+
+    rows = [
+        # u1: events every 20 min from 0 to 90 -> one session 0..90min
+        *[ev(i, 1, 20 * i) for i in range(5)],  # 0,20,40,60,80
+        ev(5, 1, 90),
+        # u2: 60..70min, then 300..320min (gap > 30min -> new session)
+        ev(10, 2, 60), ev(11, 2, 70),
+        ev(12, 2, 300), ev(13, 2, 320),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, value double,"
+        " event_type string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = queries()["join_interval_overlap"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert r["n_session_pairs"] == 1
+    assert r["total_overlap_us"] == 600 * 1_000_000  # 60..70 min window

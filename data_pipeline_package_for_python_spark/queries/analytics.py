@@ -2958,3 +2958,76 @@ def etl_scd3_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prev_mktsegment"),
         F.col("new_seg").isNotNull().cast("int").alias("changed"),
     )
+
+
+@query(
+    "analytics_activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    n AS (
+      SELECT user_id, day,
+             datediff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, grp,
+             CAST(count(*) AS BIGINT) AS len,
+             min(day) AS start_day
+      FROM n GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(-min({'nl': -len,
+                      'sd': datediff('day', DATE '1970-01-01', start_day)
+                     }).nl AS BIGINT) AS longest_streak_days,
+           CAST(min({'nl': -len,
+                     'sd': datediff('day', DATE '1970-01-01', start_day)
+                    }).sd AS BIGINT) AS longest_streak_start_day
+    FROM s GROUP BY user_id
+    """,
+)
+def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (distinct active days → epoch-day minus
+    row_number labels each maximal run with a constant → one groupBy
+    per island, one per user).  All integer arithmetic; the longest
+    streak's start day resolves ties deterministically to the EARLIEST
+    streak via struct-min over (-len, start).  Two shuffles total
+    (distinct + the shared user_id window/groupBy partitioning) — the
+    engagement-analytics staple done without any self-join."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    n = d.withColumn(
+        "grp", epoch_day - F.row_number().over(w)
+    )
+    s = n.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        ).alias("start_day"),
+    )
+    pick = F.min(
+        F.struct(
+            (-F.col("len")).alias("nl"),
+            F.col("start_day").cast("long").alias("sd"),
+        )
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        (-pick.getField("nl")).cast("bigint").alias("longest_streak_days"),
+        pick.getField("sd").cast("bigint").alias("longest_streak_start_day"),
+    )

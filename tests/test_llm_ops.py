@@ -1628,3 +1628,47 @@ def test_interval_overlap_known_sessions(spark):
     assert (r["user_a"], r["user_b"]) == (1, 2)
     assert r["n_session_pairs"] == 1
     assert r["total_overlap_us"] == 600 * 1_000_000  # 60..70 min window
+
+
+def test_activity_streaks_known_days(spark):
+    """Days {1,2,3, 7, 9,10} -> three streaks; longest = 3 days
+    starting day 1; a later equal-length streak must NOT steal the
+    argmax (earliest-start tie-break)."""
+    import datetime as dt
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    days = [1, 2, 3, 7, 9, 10]
+    rows = [
+        (i, 1, t0 + dt.timedelta(days=d), 1.0, "click")
+        for i, d in enumerate(days)
+    ]
+    # user 2: two 2-day streaks -> earliest wins
+    rows += [
+        (100 + i, 2, t0 + dt.timedelta(days=d), 1.0, "view")
+        for i, d in enumerate([4, 5, 20, 21])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, value double,"
+        " event_type string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in queries()["analytics_activity_streaks"](
+                spark, d
+            ).collect()
+        }
+    base = (dt.date(2024, 1, 2) - dt.date(1970, 1, 1)).days
+    r1 = out[1]
+    assert r1["n_active_days"] == 6
+    assert r1["n_streaks"] == 3
+    assert r1["longest_streak_days"] == 3
+    assert r1["longest_streak_start_day"] == base  # day offset 1
+    r2 = out[2]
+    assert (r2["n_streaks"], r2["longest_streak_days"]) == (2, 2)
+    assert r2["longest_streak_start_day"] == base + 3  # offset 4, earliest

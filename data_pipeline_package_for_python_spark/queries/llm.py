@@ -5541,3 +5541,77 @@ def embed_pq_distortion(spark, sf_dir):
     return S.pq_distortion(
         load(spark, sf_dir, "embeddings"), m=4, n_codes=16, scale=1000
     )
+
+
+@query(
+    "ml_negative_sampling_table",
+    oracle="""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term
+    ),
+    w AS (
+      SELECT term, n,
+             CAST(FLOOR(sqrt(n * CAST(FLOOR(sqrt(n)) AS BIGINT)))
+                  AS BIGINT) AS w34
+      FROM tf
+    ),
+    t AS (SELECT CAST(sum(w34) AS BIGINT) AS tot FROM w),
+    c AS (
+      SELECT term, n, w34, tot,
+             COALESCE(CAST(sum(w34) OVER (
+               ORDER BY w34 DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum
+      FROM w, t
+    )
+    SELECT term, n, w34,
+           (1000000 * w34) // tot AS share_ppm,
+           (1000000 * cum) // tot AS cum_start_ppm
+    FROM c
+    """,
+)
+def ml_negative_sampling_table(spark, sf_dir):
+    """word2vec negative-sampling distribution (Mikolov et al. 2013):
+    p(term) ∝ count^(3/4), the unigram damping every skip-gram trainer
+    uses.  The fractional power stays EXACT: n^(3/4) =
+    floor(sqrt(n · floor(sqrt(n)))) — IEEE sqrt is correctly rounded
+    and exact below 2^52, so both engines agree bit-for-bit, and the
+    shares/cumulative-range columns are BIGINT ppm (the [cum_start,
+    cum_start+share) layout is what a deterministic md5-uniform draw
+    samples against, same discipline as etl_weighted_sample).  The
+    table is vocabulary-bounded model state — the one global window
+    runs over a zipf-bounded frame, never corpus rows."""
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = tf.withColumn(
+        "w34",
+        F.floor(
+            F.sqrt(
+                F.col("n") * F.floor(F.sqrt("n")).cast("long")
+            )
+        ).cast("long"),
+    )
+    from pyspark.sql.window import Window
+
+    tot = w.agg(F.sum("w34").alias("tot"))
+    cum_w = (
+        Window.orderBy(F.col("w34").desc(), "term")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum", F.coalesce(F.sum("w34").over(cum_w), F.lit(0))
+        )
+    )
+    return c.select(
+        "term",
+        "n",
+        "w34",
+        F.expr("(1000000 * w34) div tot").alias("share_ppm"),
+        F.expr("(1000000 * cum) div tot").alias("cum_start_ppm"),
+    )

@@ -1672,3 +1672,33 @@ def test_activity_streaks_known_days(spark):
     r2 = out[2]
     assert (r2["n_streaks"], r2["longest_streak_days"]) == (2, 2)
     assert r2["longest_streak_start_day"] == base + 3  # offset 4, earliest
+
+
+def test_negative_sampling_table_laws(spark, sf_dir):
+    """w34 = floor(n^0.75) within the floor-composition bound, ppm
+    ranges tile [0, 1e6) without overlap in (w desc, term) order, and
+    shares are monotone in n."""
+    from __spark_entry__ import queries
+
+    rows = queries()["ml_negative_sampling_table"](spark, sf_dir).collect()
+    assert rows
+    tot = sum(r["w34"] for r in rows)
+    ordered = sorted(rows, key=lambda r: (-r["w34"], r["term"]))
+    prev_end = 0
+    for r in ordered:
+        # nested floor-sqrt: the inner floor costs at most a
+        # (1 - 1/(2*sqrt(n))) relative factor, the outer floor at most 1
+        true = r["n"] ** 0.75
+        lo = true * (1 - 1 / (2 * r["n"] ** 0.5)) - 1 if r["n"] > 0 else 0
+        assert lo <= r["w34"] <= true + 1, (r["term"], r["n"], r["w34"])
+    # ranges: start of each = 1e6 * cumulative-before // tot
+    cum = 0
+    for r in ordered:
+        assert r["cum_start_ppm"] == (1_000_000 * cum) // tot
+        assert r["share_ppm"] == (1_000_000 * r["w34"]) // tot
+        cum += r["w34"]
+    # damping: shares flatter than raw counts (max share ratio shrinks)
+    n_max = max(r["n"] for r in rows); n_min = min(r["n"] for r in rows)
+    w_max = max(r["w34"] for r in rows); w_min = min(r["w34"] for r in rows)
+    if n_min > 0 and w_min > 0:
+        assert w_max / w_min <= n_max / n_min + 1e-9

@@ -3371,3 +3371,71 @@ def window_groups_frame(spark, sf_dir):
     ).select(
         "o_orderkey", "o_orderstatus", "o_orderdate", "grp_frame_units"
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_c,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (
+      SELECT flag, price_c, CAST(sum(w) AS BIGINT) AS wsum
+      FROM c GROUP BY flag, price_c
+    ),
+    r AS (
+      SELECT flag, price_c, wsum,
+             sum(wsum) OVER (PARTITION BY flag ORDER BY price_c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+             sum(wsum) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag AS l_returnflag,
+           CAST(min(price_c) AS BIGINT) AS weighted_median_cents,
+           CAST(min(tot) AS BIGINT) AS total_weight
+    FROM r WHERE 2 * cum >= tot GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact quantity-weighted median price per return flag — the
+    robust 'typical unit price' a plain median misses when line sizes
+    vary.  Defined as the LOWER weighted median (smallest value whose
+    cumulative weight reaches half the total): a pure order statistic
+    on exact cents/integer weights, so there is no interpolation and
+    nothing float-ordered anywhere.  Shape: pre-aggregate per (group,
+    value) — the windowed cumsum then runs over the distinct-value
+    frame, not raw rows — one sort per group key, map-side partials
+    first.  The 100 TB posture for the approximate tier is the
+    mergeable quantile histogram; this is the exact tier."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").alias("price_c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("long").alias("w"),
+    )
+    g = c.groupBy("flag", "price_c").agg(F.sum("w").alias("wsum"))
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = g.withColumn("cum", F.sum("wsum").over(wc)).withColumn(
+        "tot", F.sum("wsum").over(W.partitionBy("flag"))
+    )
+    return (
+        r.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("price_c").alias("weighted_median_cents"),
+            F.min("tot").alias("total_weight"),
+        )
+    )

@@ -507,3 +507,36 @@ def test_bloom_semi_reduce_laws(spark, sf_dir):
         .toPandas()["o_orderkey"]
     )
     assert plain == reduced
+
+
+def test_weighted_median_is_lower_order_statistic(spark, sf_dir):
+    """Replay: smallest price whose cumulative quantity-weight reaches
+    half the group total, computed row-at-a-time in Python."""
+    from __spark_entry__ import queries
+
+    got = {
+        r["l_returnflag"]: (r["weighted_median_cents"], r["total_weight"])
+        for r in queries()["agg_weighted_median"](spark, sf_dir).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_returnflag, CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT),"
+        f" CAST(FLOOR(l_quantity+0.5) AS BIGINT)"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    by_flag = {}
+    for f, p, w in rows:
+        by_flag.setdefault(f, []).append((p, w))
+    for f, pw in by_flag.items():
+        pw.sort()
+        tot = sum(w for _, w in pw)
+        cum = 0
+        med = None
+        for p, w in pw:
+            cum += w
+            if 2 * cum >= tot:
+                med = p
+                break
+        assert got[f] == (med, tot), f

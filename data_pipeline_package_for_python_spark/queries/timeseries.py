@@ -1457,3 +1457,98 @@ def ts_session_duration_hist(
         F.col("lo").cast("bigint").alias("bucket_lo_s"),
         "n_sessions",
     )
+
+
+@query(
+    "ts_clamped_balance",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             {'t': epoch_us(ts), 'tb': event_id,
+              'd': CAST(FLOOR(value * 100) AS BIGINT) - 500} AS e
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             list_transform(list_sort(array_agg(e)), x -> x.d) AS ds
+      FROM s GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, CAST(len(ds) AS BIGINT) AS n_events,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), 0, 0],
+                            list_transform(ds, d -> [d])),
+               (acc, x) -> [
+                 least(greatest(acc[1] + x[1], 0), 10000),
+                 acc[2] + CASE WHEN acc[1] + x[1] < 0 THEN 1 ELSE 0 END,
+                 acc[3] + CASE WHEN acc[1] + x[1] > 10000 THEN 1
+                          ELSE 0 END
+               ]
+             ) AS st
+      FROM g
+    )
+    SELECT user_id, n_events,
+           st[1] AS final_balance,
+           st[2] AS n_floor_hits,
+           st[3] AS n_cap_hits
+    FROM f
+    """,
+)
+def ts_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user — credit-ledger semantics:
+    balance_t = clamp(balance_{t-1} + delta_t, 0, cap).  The clamp
+    makes each step depend on the SATURATED previous state, so unlike
+    a plain running sum this is NOT window algebra — it is the second
+    member of the in-plan ordered-fold family (with ts_holt_linear):
+    each user's deltas fold in time order with [balance, floor_hits,
+    cap_hits] accumulator triples, every quantity an exact BIGINT, so
+    the ledger replays bit-identically on any engine or partitioning.
+    Deltas are floor(value·100)−500 (both signs), cap 10000."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    g = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(
+                            F.col("ts").cast("timestamp")
+                        ).alias("t"),
+                        F.col("event_id").alias("tb"),
+                        (
+                            F.floor(F.col("value") * 100).cast("long")
+                            - 500
+                        ).alias("d"),
+                    )
+                )
+            ),
+            lambda s: s["d"],
+        ).alias("ds")
+    )
+    zero = F.lit(0).cast("long")
+    folded = F.aggregate(
+        F.col("ds"),
+        F.array(zero, zero, zero),
+        lambda acc, d: F.array(
+            F.least(
+                F.greatest(acc[0] + d, F.lit(0).cast("long")),
+                F.lit(10000).cast("long"),
+            ),
+            acc[1]
+            + F.when(acc[0] + d < 0, F.lit(1).cast("long")).otherwise(
+                zero
+            ),
+            acc[2]
+            + F.when(
+                acc[0] + d > 10000, F.lit(1).cast("long")
+            ).otherwise(zero),
+        ),
+    )
+    return g.select(
+        "user_id",
+        F.size("ds").cast("bigint").alias("n_events"),
+        folded[0].alias("final_balance"),
+        folded[1].alias("n_floor_hits"),
+        folded[2].alias("n_cap_hits"),
+    )

@@ -486,3 +486,41 @@ def test_max_drawdown_known_series(spark):
     assert r["peak"] == 1200
     assert r["max_drawdown"] == -600
     assert r["worst_event_id"] == 3
+
+
+def test_clamped_balance_saturates(spark):
+    """Ledger replay: deltas +700,+600 (cap at 1000? no, cap 10000)...
+    build a series that hits BOTH rails and verify the fold replays a
+    Python ledger exactly."""
+    import datetime as dt
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    # value*100-500 = delta -> choose values for deltas:
+    # +6000, +6000 (cap-hit at 10000), -9000 (ok), -8000 (floor-hit),
+    # +500
+    deltas = [6000, 6000, -9000, -8000, 500]
+    rows = [
+        (i, 1, t0 + dt.timedelta(hours=i), (d + 500) / 100.0)
+        for i, d in enumerate(deltas)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = queries()["ts_clamped_balance"](spark, d).collect()[0]
+    bal, floor_hits, cap_hits = 0, 0, 0
+    for dd in deltas:
+        raw = bal + dd
+        if raw < 0:
+            floor_hits += 1
+        if raw > 10000:
+            cap_hits += 1
+        bal = min(max(raw, 0), 10000)
+    assert out["final_balance"] == bal == 500
+    assert out["n_floor_hits"] == floor_hits == 1
+    assert out["n_cap_hits"] == cap_hits == 1
+    assert out["n_events"] == 5

@@ -3031,3 +3031,104 @@ def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-pick.getField("nl")).cast("bigint").alias("longest_streak_days"),
         pick.getField("sd").cast("bigint").alias("longest_streak_start_day"),
     )
+
+
+@query(
+    "etl_golden_record",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey % 150 AS entity_id, c_custkey, c_name,
+             c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    seg_counts AS (
+      SELECT entity_id, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM src GROUP BY entity_id, c_mktsegment
+    ),
+    seg_mode AS (
+      SELECT entity_id, c_mktsegment FROM (
+        SELECT entity_id, c_mktsegment,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY cnt DESC, c_mktsegment) AS rn
+        FROM seg_counts
+      ) WHERE rn = 1
+    ),
+    pick AS (
+      SELECT entity_id,
+             CAST(count(*) AS BIGINT) AS n_duplicates,
+             CAST(max(c_custkey) AS BIGINT) AS latest_key,
+             CAST(max({'k': c_custkey, 'n': c_nationkey}).n AS BIGINT)
+               AS nationkey_latest,
+             max({'len': length(c_name), 'name': c_name}).name
+               AS name_longest,
+             CAST(max(bal_c) AS BIGINT) AS acctbal_max_cents
+      FROM src GROUP BY entity_id
+    )
+    SELECT p.entity_id, p.n_duplicates, p.latest_key,
+           p.nationkey_latest, p.name_longest, p.acctbal_max_cents,
+           m.c_mktsegment AS segment_mode
+    FROM pick p JOIN seg_mode m USING (entity_id)
+    """,
+)
+def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the merge step of master-data
+    management, downstream of match/cluster): per entity cluster, each
+    field elects its survivor under its own deterministic rule —
+    segment by MODE (count-then-rank, lexicographic tie-break),
+    nation by LATEST (max version key via struct-max), name by LONGEST
+    (length-then-value struct-max), balance by MAX exact cents — plus
+    the duplicate count for stewardship review.  One groupBy pass for
+    the struct-max rules; the mode runs on the (entity, value) partial
+    frame, never raw rows.  Entity ids here come from a synthetic
+    modulus blocking; in production the upstream is
+    join_fuzzy_levenshtein → dedup_clusters, which this composes with."""
+    src = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 150).alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_c"),
+    )
+    from pyspark.sql.window import Window as W
+
+    seg_counts = src.groupBy("entity_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    seg_mode = (
+        seg_counts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("entity_id").orderBy(
+                    F.col("cnt").desc(), "c_mktsegment"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "c_mktsegment")
+    )
+    pick = src.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_duplicates"),
+        F.max("c_custkey").alias("latest_key"),
+        F.max(
+            F.struct(
+                F.col("c_custkey").alias("k"),
+                F.col("c_nationkey").alias("n"),
+            )
+        )["n"].cast("bigint").alias("nationkey_latest"),
+        F.max(
+            F.struct(
+                F.length("c_name").alias("len"),
+                F.col("c_name").alias("name"),
+            )
+        )["name"].alias("name_longest"),
+        F.max("bal_c").alias("acctbal_max_cents"),
+    )
+    return pick.join(
+        seg_mode.withColumnRenamed("c_mktsegment", "segment_mode"),
+        "entity_id",
+    )

@@ -5615,3 +5615,118 @@ def ml_negative_sampling_table(spark, sf_dir):
         F.expr("(1000000 * w34) div tot").alias("share_ppm"),
         F.expr("(1000000 * cum) div tot").alias("cum_start_ppm"),
     )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT doc_id, u.z[1] AS a, u.z[2] AS b
+      FROM (SELECT doc_id,
+                   list_zip(w[1:len(w) - 1], w[2:len(w)]) AS z
+            FROM ws WHERE len(w) > 1),
+           unnest(z) AS u(z)
+    ),
+    top5 AS (
+      SELECT a, b FROM (
+        SELECT a, b, count(*) AS n
+        FROM big GROUP BY a, b
+        ORDER BY n DESC, a, b LIMIT 5
+      )
+    ),
+    flags AS (
+      SELECT t.a, t.b, ws.doc_id,
+             CAST(max(CASE WHEN bg.doc_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS has_phrase,
+             CAST(max(CASE WHEN list_contains(ws.w, t.a)
+                            AND list_contains(ws.w, t.b)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS has_and
+      FROM top5 t
+      CROSS JOIN ws
+      LEFT JOIN (SELECT DISTINCT doc_id, a, b FROM big) bg
+        ON bg.doc_id = ws.doc_id AND bg.a = t.a AND bg.b = t.b
+      GROUP BY t.a, t.b, ws.doc_id
+    )
+    SELECT a AS term_a, b AS term_b,
+           CAST(sum(has_phrase) AS BIGINT) AS n_docs_phrase,
+           CAST(sum(has_and) AS BIGINT) AS n_docs_and,
+           (1000000 * CAST(sum(has_phrase) AS BIGINT))
+             // CAST(sum(has_and) AS BIGINT) AS adjacency_ppm
+    FROM flags GROUP BY a, b
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact PHRASE search vs bag-of-words AND — the retrieval
+    semantics BM25's bag model can't see: for the corpus's top-5
+    bigram phrases, how many documents contain the words ADJACENT
+    (positional match) vs merely co-present, and the adjacency ratio
+    in exact ppm.  Positional postings come free from the map-only
+    shifted-zip bigram pass (no index build, no positional self-join);
+    the 5-phrase probe list broadcasts against per-doc word arrays,
+    so the whole comparison is one scan + one broadcast join at any
+    corpus size."""
+    ws = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    big = (
+        ws.filter(F.size("w") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.col("z").getField("0").alias("a"),
+            F.col("z").getField("1").alias("b"),
+        )
+    )
+    top5 = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(5)
+        .select("a", "b")
+    )
+    phrase_docs = big.select("doc_id", "a", "b").distinct()
+    flags = (
+        ws.crossJoin(F.broadcast(top5))
+        .join(
+            phrase_docs.withColumn("has_phrase_raw", F.lit(1)),
+            ["doc_id", "a", "b"],
+            "left",
+        )
+        .select(
+            "a",
+            "b",
+            "doc_id",
+            F.coalesce("has_phrase_raw", F.lit(0)).alias("has_phrase"),
+            (
+                F.array_contains("w", F.col("a"))
+                & F.array_contains("w", F.col("b"))
+            )
+            .cast("long")
+            .alias("has_and"),
+        )
+        .groupBy("a", "b", "doc_id")
+        .agg(
+            F.max("has_phrase").alias("has_phrase"),
+            F.max("has_and").alias("has_and"),
+        )
+    )
+    return flags.groupBy(
+        F.col("a").alias("term_a"), F.col("b").alias("term_b")
+    ).agg(
+        F.sum("has_phrase").alias("n_docs_phrase"),
+        F.sum("has_and").alias("n_docs_and"),
+        F.expr(
+            "(1000000 * sum(has_phrase)) div sum(has_and)"
+        ).alias("adjacency_ppm"),
+    )

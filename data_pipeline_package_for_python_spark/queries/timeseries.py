@@ -1552,3 +1552,88 @@ def ts_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded[1].alias("n_floor_hits"),
         folded[2].alias("n_cap_hits"),
     )
+
+
+@query(
+    "ts_interval_coalesce",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ),
+    iv AS (
+      -- each event opens a 10-minute activity interval
+      SELECT user_id, t AS st, t + 600000000 AS en FROM e
+    ),
+    flag AS (
+      SELECT user_id, st, en,
+             CASE WHEN st > COALESCE(max(en) OVER (
+               PARTITION BY user_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), -1) THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, st, en,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flag
+    ),
+    m AS (
+      SELECT user_id, island,
+             min(st) AS cov_start, max(en) AS cov_end
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(cov_end - cov_start) AS BIGINT) AS covered_us,
+           CAST(min(cov_start) AS BIGINT) AS first_start,
+           CAST(max(cov_end) AS BIGINT) AS last_end
+    FROM m GROUP BY user_id
+    """,
+)
+def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (coalesce overlapping ranges) per key — the
+    range twin of gaps-and-islands: each event opens a 10-minute
+    activity interval; overlapping/touching intervals merge into
+    maximal covered spans, reporting span count and total covered
+    time WITHOUT double-counting overlap.  An interval starts a new
+    island iff its start exceeds the running max end of all earlier
+    intervals (one window, exact µs BIGINTs); islands then aggregate
+    like any group.  One sort per key — the standard coverage/uptime
+    calculation (SLA windows, sensor liveness) at any scale."""
+    from pyspark.sql.window import Window as W
+
+    ten_min = 600_000_000
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("st"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) + ten_min
+        ).alias("en"),
+    )
+    wp = W.partitionBy("user_id").orderBy("st", "en")
+    prev_max_end = F.max("en").over(
+        wp.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flag = iv.withColumn(
+        "new_island",
+        (F.col("st") > F.coalesce(prev_max_end, F.lit(-1)))
+        .cast("long"),
+    )
+    isl = flag.withColumn(
+        "island",
+        F.sum("new_island").over(
+            wp.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    m = isl.groupBy("user_id", "island").agg(
+        F.min("st").alias("cov_start"), F.max("en").alias("cov_end")
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("cov_end") - F.col("cov_start")).alias("covered_us"),
+        F.min("cov_start").alias("first_start"),
+        F.max("cov_end").alias("last_end"),
+    )

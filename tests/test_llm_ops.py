@@ -1702,3 +1702,32 @@ def test_negative_sampling_table_laws(spark, sf_dir):
     w_max = max(r["w34"] for r in rows); w_min = min(r["w34"] for r in rows)
     if n_min > 0 and w_min > 0:
         assert w_max / w_min <= n_max / n_min + 1e-9
+
+
+def test_phrase_vs_and_distinguishes_adjacency(spark):
+    """'x y' adjacent in doc 1, present-but-separated in doc 2, absent
+    in doc 3 — phrase count 1, AND count 2."""
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    docs = [
+        (1, "x y q q q q", "en", "s", 1),
+        (2, "x q q q q y", "en", "s", 1),
+        (3, "q q q q q q", "en", "s", 1),
+        # make 'x y' the clear top bigram
+        (4, "x y x y x y", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = queries()["text_phrase_search"](spark, d).collect()
+    by_pair = {(r["term_a"], r["term_b"]): r for r in rows}
+    r = by_pair[("x", "y")]
+    assert r["n_docs_phrase"] == 2  # docs 1 and 4
+    assert r["n_docs_and"] == 3     # docs 1, 2, 4
+    assert r["adjacency_ppm"] == (1_000_000 * 2) // 3

@@ -524,3 +524,27 @@ def test_clamped_balance_saturates(spark):
     assert out["n_floor_hits"] == floor_hits == 1
     assert out["n_cap_hits"] == cap_hits == 1
     assert out["n_events"] == 5
+
+
+def test_interval_coalesce_no_double_count(spark):
+    """Events at 0, 5, 30 minutes with 10-min intervals: [0,10] and
+    [5,15] merge (covered 15 min), [30,40] stands alone -> 2 islands,
+    25 min covered (NOT 30)."""
+    import datetime as dt
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(minutes=m), 1.0)
+        for i, m in enumerate([0, 5, 30])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = queries()["ts_interval_coalesce"](spark, d).collect()[0]
+    assert out["n_intervals"] == 2
+    assert out["covered_us"] == 25 * 60 * 1_000_000

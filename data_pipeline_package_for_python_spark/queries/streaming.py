@@ -538,3 +538,66 @@ def stream_python_datasource_sink(
     return back.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("val_sum")
     )
+
+
+@query(
+    "stream_scd2_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1970-01-01' AS valid_from,
+             TIMESTAMP '2024-01-15' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END,
+             TIMESTAMP '2024-01-15', TIMESTAMP '2100-01-01'
+      FROM customer
+    )
+    SELECT d.segment, CAST(count(*) AS BIGINT) AS cnt
+    FROM events e JOIN dim d
+      ON e.user_id = d.c_custkey
+     AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY d.segment
+    """,
+)
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment with POINT-IN-TIME correctness against an
+    SCD-2 dimension: each event joins the dim version valid AT ITS
+    EVENT TIME (half-open [valid_from, valid_to) containment as a
+    residual on the broadcast key join), not the current version —
+    the temporal-correctness upgrade over stream_static_join_enrich
+    that prevents enrichment time-travel when dimensions change
+    mid-stream.  The dim here is a two-version history split at
+    2024-01-15 (segment 'MOVED' for every third customer); events
+    before/after the split resolve to different versions, which the
+    batch twin asserts.  Broadcast per micro-batch, no stream-side
+    state, no shuffle of the stream."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v1 = base.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1970-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("2024-01-15").cast("timestamp").alias("valid_to"),
+    )
+    v2 = base.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("2024-01-15").cast("timestamp").alias("valid_from"),
+        F.lit("2100-01-01").cast("timestamp").alias("valid_to"),
+    )
+    dim = F.broadcast(v1.unionByName(v2))
+    joined = stream_static_join(
+        _stream(spark, sf_dir),
+        dim,
+        on=(F.col("user_id") == F.col("c_custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.groupBy("segment").agg(F.count("*").alias("cnt"))

@@ -3439,3 +3439,93 @@ def agg_weighted_median(spark, sf_dir):
             F.min("tot").alias("total_weight"),
         )
     )
+
+
+@query(
+    "etl_prorate_largest_remainder",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q
+      FROM lineitem
+    ),
+    o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+      FROM orders
+    ),
+    j AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.q, o.total_c,
+             sum(li.q) OVER (PARTITION BY li.l_orderkey) AS qq
+      FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber, q, total_c, qq,
+             (total_c * q) // qq AS base,
+             (total_c * q) % qq AS rem
+      FROM j
+    ),
+    r AS (
+      SELECT l_orderkey, l_linenumber, base,
+             total_c - sum(base) OVER (PARTITION BY l_orderkey)
+               AS leftover,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY rem DESC, l_linenumber, q) AS rn
+      FROM b
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM r
+    """,
+)
+def etl_prorate_largest_remainder(spark, sf_dir):
+    """Exact proration by the largest-remainder method — the finance
+    allocation rule: distribute each order's total (exact cents)
+    across its line items proportionally to quantity with NO lost or
+    invented cents.  floor allocations first, then the leftover cents
+    go to the largest fractional remainders (ties to the lowest line
+    number then quantity — the fixture has duplicate line numbers, and
+    the full ladder makes the allocation MULTISET deterministic even
+    then), so Σ alloc = total per order by construction — an
+    invariant float proration cannot give.  Shape: one key-partitioned
+    join and ONE window partitioning shared by the sum/rank frames —
+    single shuffle on the order key at any scale."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("total_c"),
+    )
+    wp = W.partitionBy("l_orderkey")
+    j = li.join(o, "l_orderkey").withColumn(
+        "qq", F.sum("q").over(wp)
+    )
+    b = j.withColumn(
+        "base", F.expr("(total_c * q) div qq")
+    ).withColumn("rem", F.expr("(total_c * q) % qq"))
+    r = b.withColumn(
+        "leftover", F.col("total_c") - F.sum("base").over(wp)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            wp.orderBy(F.col("rem").desc(), "l_linenumber", "q")
+        ),
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + (F.col("rn") <= F.col("leftover")).cast("long")
+        ).alias("alloc_cents"),
+    )

@@ -540,3 +540,69 @@ def test_weighted_median_is_lower_order_statistic(spark, sf_dir):
                 med = p
                 break
         assert got[f] == (med, tot), f
+
+
+def test_prorate_sum_preserved_and_fair(spark, sf_dir):
+    """Allocation invariants: per order, allocations sum EXACTLY to
+    total cents; each allocation is within 1 cent of the unrounded
+    proportional share."""
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    rows = queries()["etl_prorate_largest_remainder"](
+        spark, sf_dir
+    ).collect()
+    alloc = {}
+    for r in rows:
+        alloc.setdefault(r["l_orderkey"], []).append(
+            (r["l_linenumber"], r["alloc_cents"])
+        )
+    con = duckdb.connect()
+    truth = dict(
+        con.execute(
+            f"""
+        SELECT o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN (SELECT DISTINCT l_orderkey
+              FROM '{sf_dir}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        """
+        ).fetchall()
+    )
+    q = {}
+    for ok, ln, qty in con.execute(
+        f"SELECT l_orderkey, l_linenumber,"
+        f" CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+        f" ORDER BY 1, 2, 3"
+    ).fetchall():
+        q.setdefault(ok, []).append((ln, qty))
+    assert alloc.keys() == truth.keys()
+    for ok, items in alloc.items():
+        total = truth[ok]
+        assert sum(a for _, a in items) == total, ok
+        qq = sum(qty for _, qty in q[ok])
+        # fairness per row: match allocations to quantities greedily —
+        # line numbers repeat in the fixture, so compare as sorted
+        # multisets of (linenumber, alloc) vs per-row bounds
+        shares = sorted(
+            (ln, total * qty // qq, -(-total * qty // qq) + 1)
+            for ln, qty in q[ok]
+        )
+        got = sorted(items)
+        assert len(got) == len(shares), ok
+        for (ln_g, a), (ln_s, lo, hi) in zip(got, shares):
+            assert ln_g == ln_s, (ok, ln_g, ln_s)
+        # every allocation is floor(share) or floor(share)+1 as a
+        # multiset property per (order, linenumber) group
+        from collections import Counter
+        for ln in {ln for ln, _ in q[ok]}:
+            a_multi = sorted(a for l2, a in items if l2 == ln)
+            s_multi = sorted(
+                total * qty // qq
+                for l2, qty in q[ok] if l2 == ln
+            )
+            for a, base in zip(a_multi, s_multi):
+                assert a in (base, base + 1), (ok, ln, a, base)

@@ -3132,3 +3132,110 @@ def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_mode.withColumnRenamed("c_mktsegment", "segment_mode"),
         "entity_id",
     )
+
+
+@query(
+    "etl_merkle_bucket_diff",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 301 <> 0
+    ),
+    b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN 'CHANGED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    ),
+    da AS (
+      SELECT c_custkey // 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substring(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment
+             ), 1, 12)) AS BIGINT)) AS BIGINT) AS digest
+      FROM a GROUP BY 1
+    ),
+    db AS (
+      SELECT c_custkey // 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substring(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment
+             ), 1, 12)) AS BIGINT)) AS BIGINT) AS digest
+      FROM b GROUP BY 1
+    )
+    SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+           COALESCE(da.n_rows, 0) AS n_rows_a,
+           COALESCE(db.n_rows, 0) AS n_rows_b,
+           CAST(CASE WHEN da.digest IS NOT NULL
+                      AND db.digest IS NOT NULL
+                      AND da.digest = db.digest
+                      AND da.n_rows = db.n_rows
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_match
+    FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+    """,
+)
+def etl_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style bucket-digest reconciliation — the anti-entropy
+    audit two replicas run before shipping data: each side reduces
+    every key bucket to (row count, order-insensitive digest = SUM of
+    per-row md5 prefixes), then ONLY the bucket summaries cross the
+    wire and mismatched buckets pinpoint where to re-sync.  The
+    per-row hash is the engine-portable md5-prefix int; SUM makes the
+    bucket digest independent of row order and partitioning, so both
+    engines agree exactly.  Fixture drift: replica B changes every
+    97th segment and misses every 301st row — those buckets (and only
+    those) must flag.  At 100 TB the comparison is two scans + a
+    bucket-count-sized join: the payload never moves."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a = base.filter(F.col("c_custkey") % 301 != 0)
+    b = base.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+
+    def digest(df):
+        h = F.expr(
+            "cast(conv(substring(md5("
+            "cast(c_custkey as string) || '|' || c_mktsegment"
+            "), 1, 12), 16, 10) as bigint)"
+        )
+        return (
+            df.select(
+                F.expr("c_custkey div 64").alias("bucket"),
+                h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("h").alias("digest"),
+            )
+        )
+
+    da = digest(a).select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    db = digest(b).select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("digest").alias("digest_b"),
+    )
+    j = da.join(db, "bucket", "full_outer")
+    return j.select(
+        "bucket",
+        F.coalesce("n_rows_a", F.lit(0)).alias("n_rows_a"),
+        F.coalesce("n_rows_b", F.lit(0)).alias("n_rows_b"),
+        (
+            F.col("digest_a").isNotNull()
+            & F.col("digest_b").isNotNull()
+            & (F.col("digest_a") == F.col("digest_b"))
+            & (F.col("n_rows_a") == F.col("n_rows_b"))
+        )
+        .cast("int")
+        .alias("is_match"),
+    )

@@ -606,3 +606,34 @@ def test_prorate_sum_preserved_and_fair(spark, sf_dir):
             )
             for a, base in zip(a_multi, s_multi):
                 assert a in (base, base + 1), (ok, ln, a, base)
+
+
+def test_merkle_diff_flags_exactly_drifted_buckets(spark, sf_dir):
+    """A bucket mismatches iff it contains a %97 segment change or a
+    %301 missing row — verified bucket-by-bucket from first
+    principles."""
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    got = {
+        r["bucket"]: r
+        for r in queries()["etl_merkle_bucket_diff"](
+            spark, sf_dir
+        ).collect()
+    }
+    keys = [
+        k
+        for (k,) in duckdb.connect()
+        .execute(
+            f"SELECT c_custkey FROM '{sf_dir}/customer.parquet'"
+        )
+        .fetchall()
+    ]
+    drifted = {
+        k // 64 for k in keys if k % 97 == 0 or k % 301 == 0
+    }
+    for bucket, r in got.items():
+        assert r["is_match"] == (0 if bucket in drifted else 1), bucket
+    # every drifted bucket appears in the report
+    assert drifted <= set(got)

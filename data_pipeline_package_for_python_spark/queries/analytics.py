@@ -3239,3 +3239,85 @@ def etl_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_match"),
     )
+
+
+@query(
+    "etl_bitemporal_asof_asat",
+    oracle="""
+    WITH hist AS (
+      -- valid-time version 1, recorded on day 0
+      SELECT c_custkey, c_mktsegment AS segment,
+             0 AS vf, 100 AS vt, 0 AS tf, 9999 AS tt
+      FROM customer
+      UNION ALL
+      -- retroactive correction for every 5th customer: validity
+      -- backdated to day 0 but only RECORDED at tx day 50
+      SELECT c_custkey, 'CORRECTED', 0, 100, 50, 9999
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    probe AS (
+      SELECT 10 AS v, 20 AS t UNION ALL SELECT 10, 60
+    ),
+    visible AS (
+      SELECT p.v, p.t, h.c_custkey, h.segment,
+             row_number() OVER (
+               PARTITION BY p.v, p.t, h.c_custkey
+               ORDER BY h.tf DESC
+             ) AS rn
+      FROM probe p JOIN hist h
+        ON p.v >= h.vf AND p.v < h.vt
+       AND p.t >= h.tf AND p.t < h.tt
+    )
+    SELECT v AS valid_day, t AS tx_day, segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM visible WHERE rn = 1
+    GROUP BY v, t, segment
+    """,
+)
+def etl_bitemporal_asof_asat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal query — AS-OF valid time, AS-AT transaction time:
+    'what did we believe on day T about the state on day V'.  The
+    history carries BOTH interval pairs; a retroactive correction
+    (backdated validity, later transaction time) is invisible to an
+    as-at-day-20 probe but wins for as-at-day-60, with the
+    latest-transaction version per (probe, key) chosen by one window.
+    The same probe valid day therefore returns DIFFERENT answers at
+    the two transaction days — the audit-trail property plain SCD-2
+    cannot express (and the reason regulators require bitemporal
+    ledgers).  Shape: probes broadcast against the key-partitioned
+    history; one window on (probe, key)."""
+    from pyspark.sql.window import Window as W
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v1 = base.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).alias("vf"), F.lit(100).alias("vt"),
+        F.lit(0).alias("tf"), F.lit(9999).alias("tt"),
+    )
+    corr = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("CORRECTED").alias("segment"),
+        F.lit(0).alias("vf"), F.lit(100).alias("vt"),
+        F.lit(50).alias("tf"), F.lit(9999).alias("tt"),
+    )
+    hist = v1.unionByName(corr)
+    probe = spark.createDataFrame([(10, 20), (10, 60)], "v int, t int")
+    j = hist.join(
+        F.broadcast(probe),
+        (F.col("v") >= F.col("vf"))
+        & (F.col("v") < F.col("vt"))
+        & (F.col("t") >= F.col("tf"))
+        & (F.col("t") < F.col("tt")),
+    )
+    w = W.partitionBy("v", "t", "c_custkey").orderBy(F.col("tf").desc())
+    vis = j.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return vis.groupBy(
+        F.col("v").alias("valid_day"),
+        F.col("t").alias("tx_day"),
+        "segment",
+    ).agg(F.count(F.lit(1)).alias("n_customers"))

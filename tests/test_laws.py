@@ -637,3 +637,20 @@ def test_merkle_diff_flags_exactly_drifted_buckets(spark, sf_dir):
         assert r["is_match"] == (0 if bucket in drifted else 1), bucket
     # every drifted bucket appears in the report
     assert drifted <= set(got)
+
+
+def test_bitemporal_correction_visibility(spark, sf_dir):
+    """The retroactive correction is invisible as-at day 20 and wins
+    as-at day 60: CORRECTED appears only in the t=60 probe, and the
+    per-probe customer totals are identical (no rows lost/duplicated)."""
+    from __spark_entry__ import queries
+
+    rows = queries()["etl_bitemporal_asof_asat"](spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["tx_day"], {})[r["segment"]] = (
+            r["n_customers"]
+        )
+    assert "CORRECTED" not in by_probe[20]
+    assert by_probe[60].get("CORRECTED", 0) > 0
+    assert sum(by_probe[20].values()) == sum(by_probe[60].values())

@@ -1637,3 +1637,82 @@ def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cov_start").alias("first_start"),
         F.max("cov_end").alias("last_end"),
     )
+
+
+@query(
+    "ts_rolling_ols_slope",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tu,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    base AS (
+      SELECT event_id, user_id, y,
+             (tu - min(tu) OVER (PARTITION BY user_id)) // 1000000 AS t
+      FROM e
+    ),
+    fr AS (
+      SELECT event_id, user_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_win,
+             CAST(sum(t) OVER w AS BIGINT) AS st,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(t * y) OVER w AS BIGINT) AS sty,
+             CAST(sum(t * t) OVER w AS BIGINT) AS stt
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n_win,
+           CAST(n_win * sty - st * sy AS BIGINT) AS slope_num,
+           CAST(n_win * stt - st * st AS BIGINT) AS slope_den
+    FROM fr WHERE n_win >= 4
+    """,
+)
+def ts_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window OLS trend per series — the closed-form slope
+    over the last 8 observations, kept EXACT: slope = (nΣty − ΣtΣy) /
+    (nΣt² − (Σt)²) reported as BIGINT numerator/denominator (the EWMA
+    num/den discipline — no division, no floats, bit-identical
+    anywhere).  The overflow trap is Σt² on raw epoch values (~1e19 —
+    past int64); re-basing t to seconds since each user's first event
+    keeps every sufficient statistic far inside BIGINT while leaving
+    the slope unchanged (shift-invariance of OLS).  One window sort
+    per key; the five frame sums share one spec."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    base = e.withColumn(
+        "t",
+        F.expr(
+            "(tu - min(tu) OVER (PARTITION BY user_id)) div 1000000"
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    fr = base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("t").over(w).alias("st"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("t") * F.col("y")).over(w).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("stt"),
+    )
+    return fr.filter(F.col("n_win") >= 4).select(
+        "event_id",
+        "user_id",
+        "n_win",
+        (F.col("n_win") * F.col("sty") - F.col("st") * F.col("sy"))
+        .alias("slope_num"),
+        (F.col("n_win") * F.col("stt") - F.col("st") * F.col("st"))
+        .alias("slope_den"),
+    )

@@ -548,3 +548,29 @@ def test_interval_coalesce_no_double_count(spark):
         out = queries()["ts_interval_coalesce"](spark, d).collect()[0]
     assert out["n_intervals"] == 2
     assert out["covered_us"] == 25 * 60 * 1_000_000
+
+
+def test_rolling_ols_slope_linear_series(spark):
+    """On y = 7t the windowed slope must be exactly 7 (num/den reduces
+    to 700/100 in scaled units per second) for every full window."""
+    import datetime as dt
+    import os, tempfile
+    from fractions import Fraction
+
+    from __spark_entry__ import queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(seconds=10 * i), 7.0 * (10 * i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = queries()["ts_rolling_ols_slope"](spark, d).collect()
+    assert out
+    for r in out:
+        # slope in scaled-y units per second: 7.0*100 = 700
+        assert Fraction(r["slope_num"], r["slope_den"]) == 700, dict(r)

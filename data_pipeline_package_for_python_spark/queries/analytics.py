@@ -3321,3 +3321,76 @@ def etl_bitemporal_asof_asat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("tx_day"),
         "segment",
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "etl_cdc_apply_changes",
+    oracle="""
+    WITH log AS (
+      -- v1: initial insert for every customer
+      SELECT c_custkey AS k, 1 AS version, 'U' AS op,
+             c_mktsegment AS segment FROM customer
+      UNION ALL
+      -- v2: segment update for every 4th
+      SELECT c_custkey, 2, 'U', 'UPDATED' FROM customer
+      WHERE c_custkey % 4 = 0
+      UNION ALL
+      -- v3: delete every 10th (wins over the v2 update on %20)
+      SELECT c_custkey, 3, 'D', NULL FROM customer
+      WHERE c_custkey % 10 = 0
+    ),
+    latest AS (
+      SELECT k, op, segment FROM (
+        SELECT k, op, segment,
+               row_number() OVER (PARTITION BY k
+                 ORDER BY version DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT k AS c_custkey, segment
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def etl_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES — materialize current state from a CDC change log
+    (the Debezium-consumer step downstream of etl_cdc_diff's producer
+    side): latest version per key wins, and a delete tombstone
+    suppresses the row entirely even when updates precede it.  ONE
+    window over the key partition (latest-version pick), then a
+    tombstone filter — no join, no driver state; at 100 TB this is a
+    single shuffle on the key, the same plan MERGE-based lakehouses
+    run under the hood.  Log here: insert-all, update every 4th,
+    delete every 10th — so %20 keys exercise update-then-delete
+    ordering."""
+    from pyspark.sql.window import Window as W
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v1 = base.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v2 = base.filter(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        F.lit("UPDATED").alias("segment"),
+    )
+    v3 = base.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(3).alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("segment"),
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    w = W.partitionBy("k").orderBy(F.col("version").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(F.col("op") != "D").select(
+        F.col("k").alias("c_custkey"), "segment"
+    )

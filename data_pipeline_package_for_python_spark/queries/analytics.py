@@ -3394,3 +3394,77 @@ def etl_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("op") != "D").select(
         F.col("k").alias("c_custkey"), "segment"
     )
+
+
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@query(
+    "analytics_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+    e AS (
+      SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        (9, 45757)) AS v(digit, expected_ppm)
+    )
+    SELECT e.digit, COALESCE(c.n, 0) AS n,
+           (1000000 * COALESCE(c.n, 0)) // t.tot AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           (1000000 * COALESCE(c.n, 0)) // t.tot - e.expected_ppm
+               AS delta_ppm
+    FROM e LEFT JOIN c USING (digit), t
+    """,
+)
+def analytics_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud /
+    fabricated-data screen: the leading-digit distribution of order
+    totals vs Benford's log10(1+1/d) expectation, as exact-ppm
+    observed/expected/delta per digit.  The irrational expectations
+    enter as PRECOMPUTED integer literals (floor of 1e6·log10), so no
+    transcendental function runs in either engine and every output
+    column is BIGINT.  All nine digits appear even at zero count
+    (outer join against the digit spine).  One scan + one 9-row
+    aggregate — audit-at-rest cost."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("tot"))
+    spine = spark.createDataFrame(
+        [(k, v) for k, v in sorted(_BENFORD_PPM.items())],
+        "digit long, expected_ppm long",
+    )
+    j = (
+        spine.join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("(1000000 * coalesce(n, 0)) div tot").alias(
+                "observed_ppm"
+            ),
+            "expected_ppm",
+            (
+                F.expr("(1000000 * coalesce(n, 0)) div tot")
+                - F.col("expected_ppm")
+            ).alias("delta_ppm"),
+        )
+    )
+    return j

@@ -654,3 +654,32 @@ def test_bitemporal_correction_visibility(spark, sf_dir):
     assert "CORRECTED" not in by_probe[20]
     assert by_probe[60].get("CORRECTED", 0) > 0
     assert sum(by_probe[20].values()) == sum(by_probe[60].values())
+
+
+def test_benford_spine_and_ppm_conservation(spark, sf_dir):
+    """All nine digits present, counts sum to the filtered row count,
+    observed ppm within integer-floor of exact shares, expectations
+    match floor(1e6*log10(1+1/d))."""
+    import math
+
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    rows = {
+        r["digit"]: r
+        for r in queries()["analytics_benford_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(range(1, 10))
+    total = sum(r["n"] for r in rows.values())
+    (want_total,) = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+        f" WHERE o_totalprice >= 1"
+    ).fetchone()
+    assert total == want_total
+    for d, r in rows.items():
+        assert r["expected_ppm"] == int(1_000_000 * math.log10(1 + 1 / d))
+        assert r["observed_ppm"] == (1_000_000 * r["n"]) // total
+        assert r["delta_ppm"] == r["observed_ppm"] - r["expected_ppm"]

@@ -3468,3 +3468,117 @@ def analytics_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j
+
+
+@query(
+    "analytics_price_volume_mix",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey AS partkey,
+             CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 2 END AS period,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS rev_c,
+             CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per AS (
+      SELECT partkey, period,
+             CAST(sum(rev_c) AS BIGINT) AS rev,
+             CAST(sum(qty) AS BIGINT) AS qty
+      FROM li GROUP BY partkey, period
+    ),
+    both_p AS (
+      SELECT a.partkey,
+             a.rev AS rev1, a.qty AS qty1,
+             b.rev AS rev2, b.qty AS qty2
+      FROM (SELECT * FROM per WHERE period = 1) a
+      JOIN (SELECT * FROM per WHERE period = 2) b USING (partkey)
+      WHERE a.qty > 0 AND b.qty > 0
+    )
+    SELECT partkey, rev1, rev2, qty1, qty2,
+           rev2 - rev1 AS delta_rev_c,
+           CAST(rev2 * qty1 - rev1 * qty2 AS BIGINT)
+             AS price_effect_num,
+           qty2 AS price_effect_den,
+           CAST(rev1 * (qty2 - qty1) AS BIGINT) AS volume_effect_num,
+           qty1 AS volume_effect_den
+    FROM both_p
+    ORDER BY abs(rev2 - rev1) DESC, partkey
+    LIMIT 20
+    """,
+)
+def analytics_price_volume_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price-volume driver decomposition — the BI 'why did revenue
+    move' analysis: for the top-20 parts by absolute revenue change
+    between two periods, split Δrevenue into a PRICE effect
+    ((p₂−p₁)·q₁) and a VOLUME effect (p₁·(q₂−q₁)).  Unit prices are
+    rationals (rev/qty in exact cents), so each effect is reported as
+    an exact BIGINT numerator/denominator — (rev₂q₁−rev₁q₂)/q₂ and
+    rev₁(q₂−q₁)/q₁ after clearing — never a float division.  Shape:
+    one fact join, one (part, period) aggregate, a part-keyed period
+    self-join, TakeOrderedAndProject for the top-20 — all
+    key-partitioned at any scale."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("partkey"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("rev_c"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("qty"),
+        )
+        .join(
+            load(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.when(
+                    F.col("o_orderdate")
+                    < F.lit("1998-01-01").cast("timestamp"),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(2))
+                .alias("period"),
+            ),
+            "l_orderkey",
+        )
+    )
+    per = li.groupBy("partkey", "period").agg(
+        F.sum("rev_c").alias("rev"), F.sum("qty").alias("qty")
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "partkey",
+        F.col("rev").alias("rev1"),
+        F.col("qty").alias("qty1"),
+    )
+    p2 = per.filter(F.col("period") == 2).select(
+        "partkey",
+        F.col("rev").alias("rev2"),
+        F.col("qty").alias("qty2"),
+    )
+    b = p1.join(p2, "partkey").filter(
+        (F.col("qty1") > 0) & (F.col("qty2") > 0)
+    )
+    out = b.select(
+        "partkey",
+        "rev1",
+        "rev2",
+        "qty1",
+        "qty2",
+        (F.col("rev2") - F.col("rev1")).alias("delta_rev_c"),
+        (
+            F.col("rev2") * F.col("qty1") - F.col("rev1") * F.col("qty2")
+        ).alias("price_effect_num"),
+        F.col("qty2").alias("price_effect_den"),
+        (F.col("rev1") * (F.col("qty2") - F.col("qty1"))).alias(
+            "volume_effect_num"
+        ),
+        F.col("qty1").alias("volume_effect_den"),
+    )
+    return out.orderBy(
+        F.abs(F.col("delta_rev_c")).desc(), "partkey"
+    ).limit(20)

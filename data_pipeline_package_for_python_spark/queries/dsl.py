@@ -225,3 +225,60 @@ def dsl_curation_graph_bridge(spark, sf_dir):
             >> p.by_lang,
         )
     return p.by_lang
+
+
+from . import llm as _llm  # noqa: E402  (registers search_hybrid_rrf)
+from ._registry import QUERIES as _Q  # noqa: E402
+
+
+@query(
+    "dsl_retrieval_bridge",
+    oracle=_Q["search_hybrid_rrf"].oracle,
+)
+def dsl_retrieval_bridge(spark, sf_dir):
+    """The round-4 hybrid-retrieval pipeline routed THROUGH the DSL
+    combinators: ``branch`` fans the corpus out to the two rankers
+    (lexical BM25 over documents, cosine ANN over embeddings — each
+    branch a single ``>>`` step over its slot), and ``all`` fans the
+    two rank lists back in through rrf_fuse.  The oracle is literally
+    search_hybrid_rrf's — byte-identical results prove the
+    orchestration layer adds zero computation around the round-4
+    operators, exactly the §2.1↔§2.2 composition contract."""
+    from ..operators import similarity as S
+    from ..operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    with Pipeline(docs=docs, emb=emb) as p:
+        p.branch(
+            (
+                p.docs
+                >> (
+                    lambda df: T.bm25_related_topk(
+                        df, "doc_id", "text",
+                        query_pred=F.col("doc_id") % 37 == 0,
+                        k=10, max_df_ratio_ppm=800_000,
+                    ).select("query_id", "doc_id", "rank")
+                )
+                >> p.lexical
+            ),
+            (
+                p.emb
+                >> (
+                    lambda df: S.cosine_topk(
+                        df, df.filter(F.col("vec_id") % 37 == 0), k=10
+                    ).select(
+                        "query_id",
+                        F.col("neighbor_id").alias("doc_id"),
+                        "rank",
+                    )
+                )
+                >> p.semantic
+            ),
+        )
+        p.all(
+            V(p.lexical, p.semantic)
+            >> (lambda a, b: S.rrf_fuse([a, b], k=5))
+            >> p.fused
+        )
+    return p.fused

@@ -3582,3 +3582,159 @@ def analytics_price_volume_mix(
     return out.orderBy(
         F.abs(F.col("delta_rev_c")).desc(), "partkey"
     ).limit(20)
+
+
+@query(
+    "analytics_kaplan_meier",
+    oracle="""
+    WITH v0 AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS d0
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    pe AS (
+      SELECT e.user_id, CAST(min(e.ts) AS DATE) AS de
+      FROM events e JOIN v0 ON v0.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= CAST(v0.d0 AS TIMESTAMP)
+      GROUP BY e.user_id
+    ),
+    h AS (SELECT CAST(max(ts) AS DATE) AS dh FROM events),
+    u AS (
+      SELECT v0.user_id,
+             CAST(datediff('day', v0.d0,
+                  COALESCE(pe.de, h.dh)) AS BIGINT) AS dur,
+             CASE WHEN pe.de IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM v0 LEFT JOIN pe ON pe.user_id = v0.user_id, h
+    ),
+    durs AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM u GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             CAST(sum(m) OVER () -
+                  COALESCE(sum(m) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n_risk
+      FROM durs
+    ),
+    steps AS (SELECT dur, n_risk, d FROM risk WHERE d > 0),
+    folded AS (
+      SELECT list_reduce(
+        list_prepend(CAST([] AS DOUBLE[]),
+          array_agg([CAST(dur AS DOUBLE), CAST(n_risk AS DOUBLE),
+                     CAST(d AS DOUBLE)] ORDER BY dur)),
+        (acc, x) -> acc || [x[1], x[2], x[3],
+          (CASE WHEN len(acc) = 0 THEN 1.0
+                ELSE acc[len(acc)] END) * (1.0 - x[3] / x[2])]
+      ) AS q FROM steps
+    )
+    SELECT CAST(q[4 * i - 3] AS BIGINT) AS duration_days,
+           CAST(q[4 * i - 2] AS BIGINT) AS n_risk,
+           CAST(q[4 * i - 1] AS BIGINT) AS n_events,
+           q[4 * i] AS survival
+    FROM folded,
+         (SELECT unnest(range(1, 100000)) AS i)
+    WHERE 4 * i <= len(q)
+    """,
+)
+def analytics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for view→purchase conversion — the
+    survival-analysis estimator with RIGHT-CENSORING (users who never
+    purchase are censored at the corpus horizon, not dropped — the
+    property a naive conversion-rate query gets wrong):
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event days.  The risk sets and
+    event counts are exact BIGINTs from one window over the distinct
+    duration frame; the cumulative product is the in-plan ordered
+    MULTIPLICATIVE fold (each factor one IEEE division of exact ints,
+    multiplied in ascending-day order), so the survival doubles are
+    bit-identical across engines — the fold family's third member,
+    extending it from sums (Holt, ledger) to products.  The folded
+    curve is event-day-bounded model state, never user rows."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    v0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    )
+    pe = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v0, "user_id")
+        .filter(F.col("ts") >= F.col("d0").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("de"))
+    )
+    h = ev.agg(F.max(F.col("ts").cast("date")).alias("dh"))
+    u = (
+        v0.join(pe, "user_id", "left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.datediff(F.coalesce("de", "dh"), "d0")
+            .cast("long")
+            .alias("dur"),
+            F.col("de").isNotNull().cast("long").alias("ev"),
+        )
+    )
+    durs = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("ev").alias("d")
+    )
+    wo = W.orderBy("dur")
+    risk = durs.select(
+        "dur",
+        "d",
+        (
+            F.sum("m").over(
+                W.partitionBy()
+            )
+            - F.coalesce(
+                F.sum("m").over(
+                    wo.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0)
+    arr = steps.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dur", "n_risk", "d"))
+        ).alias("s")
+    )
+    folded = arr.select(
+        F.aggregate(
+            "s",
+            F.array().cast("array<struct<dur:long,n_risk:long,"
+                           "d:long,surv:double>>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["dur"].alias("dur"),
+                        x["n_risk"].alias("n_risk"),
+                        x["d"].alias("d"),
+                        (
+                            F.coalesce(
+                                F.try_element_at(acc, F.lit(-1))[
+                                    "surv"
+                                ],
+                                F.lit(1.0),
+                            )
+                            * (
+                                F.lit(1.0)
+                                - x["d"].cast("double")
+                                / x["n_risk"].cast("double")
+                            )
+                        ).alias("surv"),
+                    )
+                ),
+            ),
+        ).alias("q")
+    )
+    return folded.select(F.explode("q").alias("r")).select(
+        F.col("r.dur").alias("duration_days"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.d").alias("n_events"),
+        F.col("r.surv").alias("survival"),
+    )

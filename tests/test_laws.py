@@ -683,3 +683,59 @@ def test_benford_spine_and_ppm_conservation(spark, sf_dir):
         assert r["expected_ppm"] == int(1_000_000 * math.log10(1 + 1 / d))
         assert r["observed_ppm"] == (1_000_000 * r["n"]) // total
         assert r["delta_ppm"] == r["observed_ppm"] - r["expected_ppm"]
+
+
+def test_kaplan_meier_matches_python_replay(spark, sf_dir):
+    """KM curve replayed row-at-a-time in Python (risk sets from first
+    principles, same ordered float product) — bit-identical survival;
+    curve strictly decreasing across event days."""
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    got = sorted(
+        (
+            r["duration_days"],
+            r["n_risk"],
+            r["n_events"],
+            r["survival"],
+        )
+        for r in queries()["analytics_kaplan_meier"](
+            spark, sf_dir
+        ).collect()
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH v0 AS (
+          SELECT user_id, CAST(min(ts) AS DATE) AS d0
+          FROM '{sf_dir}/events.parquet'
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        pe AS (
+          SELECT e.user_id, CAST(min(e.ts) AS DATE) AS de
+          FROM '{sf_dir}/events.parquet' e
+          JOIN v0 ON v0.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts >= CAST(v0.d0 AS TIMESTAMP)
+          GROUP BY e.user_id
+        ),
+        h AS (SELECT CAST(max(ts) AS DATE) AS dh
+              FROM '{sf_dir}/events.parquet')
+        SELECT datediff('day', v0.d0, COALESCE(pe.de, h.dh)),
+               pe.de IS NOT NULL
+        FROM v0 LEFT JOIN pe USING (user_id), h
+        """
+    ).fetchall()
+    durs = sorted(rows)
+    want = []
+    surv = 1.0
+    event_days = sorted({d for d, e in durs if e})
+    for day in event_days:
+        n_risk = sum(1 for d, _ in durs if d >= day)
+        d_i = sum(1 for d, e in durs if d == day and e)
+        surv = surv * (1.0 - d_i / n_risk)
+        want.append((day, n_risk, d_i, surv))
+    assert got == want
+    survs = [s for *_, s in got]
+    assert all(a > b for a, b in zip(survs, survs[1:]))

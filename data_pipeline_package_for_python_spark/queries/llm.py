@@ -5730,3 +5730,110 @@ def text_phrase_search(spark, sf_dir):
             "(1000000 * sum(has_phrase)) div sum(has_and)"
         ).alias("adjacency_ppm"),
     )
+
+
+@query(
+    "text_kwic_concordance",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(w) AS term FROM ws
+      ) GROUP BY term
+    ),
+    dfq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
+        SELECT doc_id, unnest(w) AS term FROM ws
+      ) GROUP BY term
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ws),
+    probe AS (
+      SELECT tf.term FROM tf JOIN dfq USING (term), nd
+      WHERE dfq.df * 1000000 <= 600000 * nd.n_docs
+      ORDER BY tf.n DESC, tf.term LIMIT 1
+    ),
+    hits AS (
+      SELECT ws.doc_id, p.i AS pos, ws.w, probe.term
+      FROM ws, probe,
+           (SELECT unnest(range(1, 100000)) AS i) p
+      WHERE p.i <= len(ws.w) AND ws.w[p.i] = probe.term
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, term,
+           COALESCE(array_to_string(
+               w[greatest(pos - 3, 1):pos - 1], ' '), '') AS left_ctx,
+           COALESCE(array_to_string(
+               w[pos + 1:least(pos + 3, len(w))], ' '), '')
+               AS right_ctx
+    FROM hits
+    """,
+)
+def text_kwic_concordance(spark, sf_dir):
+    """Keyword-in-context concordance — the corpus-linguistics /
+    search-snippet primitive: every occurrence of the probe term (the
+    most frequent term under a 60% max-df cut — deterministic
+    head-term pick) with its ±3-token context windows.  MAP-ONLY
+    after the probe broadcast: posexplode gives positions, context is
+    array slicing on the already-split token array — no self-join, no
+    index build; output volume is occurrence-bounded.  The snippet
+    strings themselves are on the hash."""
+    ws = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    words = ws.select("doc_id", F.explode("w").alias("term"))
+    tf = words.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    dfq = words.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    nd = ws.agg(F.count(F.lit(1)).alias("n_docs"))
+    probe = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df") * 1_000_000 <= F.lit(600_000) * F.col("n_docs")
+        )
+        .orderBy(F.col("n").desc(), "term")
+        .limit(1)
+        .select("term")
+    )
+    hits = (
+        ws.crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            "w",
+            "term",
+            F.posexplode("w").alias("p0", "tok"),
+        )
+        .filter(F.col("tok") == F.col("term"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            "term",
+            "w",
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "pos",
+        "term",
+        F.array_join(
+            F.slice(
+                "w",
+                F.greatest(F.col("pos") - 3, F.lit(1)),
+                F.col("pos") - F.greatest(F.col("pos") - 3, F.lit(1)),
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice(
+                "w",
+                F.col("pos") + 1,
+                F.greatest(
+                    F.least(F.size("w") - F.col("pos"), F.lit(3)),
+                    F.lit(0),
+                ),
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )

@@ -1731,3 +1731,34 @@ def test_phrase_vs_and_distinguishes_adjacency(spark):
     assert r["n_docs_phrase"] == 2  # docs 1 and 4
     assert r["n_docs_and"] == 3     # docs 1, 2, 4
     assert r["adjacency_ppm"] == (1_000_000 * 2) // 3
+
+
+def test_kwic_context_windows_at_boundaries(spark):
+    """Probe occurrences at the first and last token must yield empty
+    (not null) contexts; interior hits get exactly +-3 tokens."""
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    # 'z' is the clear head term under the 60% df cut (1 of 2 docs)
+    df = spark.createDataFrame(
+        [
+            (1, "z a b c z d e f g z", "en", "s", 1),
+            (2, "a b c d e f g h i j", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = sorted(
+            (r["pos"], r["left_ctx"], r["right_ctx"])
+            for r in queries()["text_kwic_concordance"](
+                spark, d
+            ).collect()
+        )
+    assert rows == [
+        (1, "", "a b c"),
+        (5, "a b c", "d e f"),
+        (10, "e f g", ""),
+    ]

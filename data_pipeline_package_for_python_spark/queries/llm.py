@@ -5837,3 +5837,65 @@ def text_kwic_concordance(spark, sf_dir):
             " ",
         ).alias("right_ctx"),
     )
+
+
+@query(
+    "ml_gini_impurity",
+    oracle="""
+    WITH long_form AS (
+      SELECT 'c_mktsegment' AS feature, c_mktsegment AS val
+      FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+    ),
+    c AS (
+      SELECT feature, val, CAST(count(*) AS BIGINT) AS n
+      FROM long_form GROUP BY feature, val
+    ),
+    t AS (
+      SELECT feature,
+             CAST(sum(n) AS BIGINT) AS tot,
+             CAST(sum(n * n) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n_classes
+      FROM c GROUP BY feature
+    )
+    SELECT feature, n_classes, tot AS n_rows,
+           (1000000 * (tot * tot - sq)) // (tot * tot) AS gini_ppm
+    FROM t
+    """,
+)
+def ml_gini_impurity(spark, sf_dir):
+    """Gini impurity per categorical feature — the decision-tree /
+    feature-screening staple: 1 − Σ pᵢ² as EXACT ppm, since
+    Σ pᵢ² = Σ nᵢ² / N² needs no transcendental (the entropy twin,
+    analytics_event_entropy, needs ln; Gini doesn't — which is exactly
+    why CART uses it).  One Expand pass unpivots the audited columns
+    into (feature, value) rows, then two tiny aggregates; per-feature
+    state is class-count-bounded.  Output: classes, rows, impurity ppm
+    per feature."""
+    cust = load(spark, sf_dir, "customer")
+    long_form = cust.select(
+        F.lit("c_mktsegment").alias("feature"),
+        F.col("c_mktsegment").alias("val"),
+    ).unionByName(
+        cust.select(
+            F.lit("c_nationkey").alias("feature"),
+            F.col("c_nationkey").cast("string").alias("val"),
+        )
+    )
+    c = long_form.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("feature").agg(
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    return t.select(
+        "feature",
+        "n_classes",
+        F.col("tot").alias("n_rows"),
+        F.expr(
+            "(1000000 * (tot * tot - sq)) div (tot * tot)"
+        ).alias("gini_ppm"),
+    )

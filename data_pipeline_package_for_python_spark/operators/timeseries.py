@@ -51,6 +51,7 @@ __all__ = [
     "rolling_zscore_flags",
     "ewma_dyadic",
     "holt_linear",
+    "keyed_ordered_fold",
     "ohlc",
     "series_correlation_pairs",
     "sessionize",
@@ -372,6 +373,50 @@ def ewma_dyadic(
     return df.withColumn("ewma_num", num).withColumn("ewma_den", den)
 
 
+def keyed_ordered_fold(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    order_cols: list[Column],
+    value: Column,
+    zero: Column,
+    step,
+    *,
+    state_col: str = "state",
+    values_col: str = "n_values",
+) -> DataFrame:
+    """ENGINE PRIMITIVE for sequential recurrences — the shape behind
+    ts_holt_linear, ts_clamped_balance, and analytics_kaplan_meier:
+    gather each key's ``value`` expressions in ``order_cols`` order
+    (one shuffle; per-key state bounded by series length) and fold
+    them with ``aggregate(zero, step)`` entirely in-plan — no driver
+    loop, no UDF, no window (frames cannot express state that feeds
+    back into the next row).
+
+    Cross-engine determinism contract: ``step`` must be a fixed
+    expression tree of IEEE ops — both engines then evaluate the
+    identical operation sequence, so even float accumulators are
+    bit-identical and differential-hashable (DuckDB twin: list_reduce
+    over list_prepend-seeded homogeneous lists).
+
+    Returns one row per key: (keys…, ``values_col`` count,
+    ``state_col`` = final accumulator)."""
+    order_struct = F.struct(
+        *[c.alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        value.alias("__v"),
+    )
+    g = df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(order_struct)),
+            lambda s: s["__v"],
+        ).alias("__vals")
+    )
+    return g.select(
+        *keys,
+        F.size("__vals").cast("bigint").alias(values_col),
+        F.aggregate(F.col("__vals"), zero, step).alias(state_col),
+    )
+
+
 def holt_linear(
     df: DataFrame,
     ts_col: str,
@@ -401,22 +446,15 @@ def holt_linear(
 
     Returns one row per key: (keys…, n_events, level, trend,
     forecast_next = level + trend)."""
-    order_key = [
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
-        (
-            F.col(tie_break) if tie_break is not None else F.lit(0)
-        ).alias("tb"),
-        F.floor(F.col(value_col) * scale).cast("double").alias("v"),
-    ]
-    g = df.groupBy(*keys).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(*order_key))),
-            lambda s: s["v"],
-        ).alias("vs")
-    )
     two = F.lit(2.0)
-    folded = F.aggregate(
-        F.col("vs"),
+    folded = keyed_ordered_fold(
+        df,
+        keys,
+        [
+            F.unix_micros(F.col(ts_col).cast("timestamp")),
+            F.col(tie_break) if tie_break is not None else F.lit(0),
+        ],
+        F.floor(F.col(value_col) * scale).cast("double"),
         F.array(F.lit(None).cast("double"), F.lit(0.0)),
         lambda acc, v: F.when(
             acc[0].isNull(), F.array(v, F.lit(0.0))
@@ -426,13 +464,15 @@ def holt_linear(
                 ((v + acc[0] + acc[1]) / two - acc[0] + acc[1]) / two,
             )
         ),
+        values_col="n_events",
     )
-    return g.select(
+    st = F.col("state")
+    return folded.select(
         *keys,
-        F.size("vs").cast("bigint").alias("n_events"),
-        folded[0].alias("level"),
-        folded[1].alias("trend"),
-        (folded[0] + folded[1]).alias("forecast_next"),
+        "n_events",
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        (st[0] + st[1]).alias("forecast_next"),
     )
 
 

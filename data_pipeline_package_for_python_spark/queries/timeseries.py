@@ -1504,31 +1504,20 @@ def ts_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap_hits] accumulator triples, every quantity an exact BIGINT, so
     the ledger replays bit-identically on any engine or partitioning.
     Deltas are floor(value·100)−500 (both signs), cap 10000."""
+    from ..operators.timeseries import keyed_ordered_fold
+
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    g = ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.unix_micros(
-                            F.col("ts").cast("timestamp")
-                        ).alias("t"),
-                        F.col("event_id").alias("tb"),
-                        (
-                            F.floor(F.col("value") * 100).cast("long")
-                            - 500
-                        ).alias("d"),
-                    )
-                )
-            ),
-            lambda s: s["d"],
-        ).alias("ds")
-    )
     zero = F.lit(0).cast("long")
-    folded = F.aggregate(
-        F.col("ds"),
+    folded = keyed_ordered_fold(
+        ev,
+        ("user_id",),
+        [
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            F.col("event_id"),
+        ],
+        F.floor(F.col("value") * 100).cast("long") - 500,
         F.array(zero, zero, zero),
         lambda acc, d: F.array(
             F.least(
@@ -1544,13 +1533,15 @@ def ts_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc[0] + d > 10000, F.lit(1).cast("long")
             ).otherwise(zero),
         ),
+        values_col="n_events",
     )
-    return g.select(
+    st = F.col("state")
+    return folded.select(
         "user_id",
-        F.size("ds").cast("bigint").alias("n_events"),
-        folded[0].alias("final_balance"),
-        folded[1].alias("n_floor_hits"),
-        folded[2].alias("n_cap_hits"),
+        "n_events",
+        st[0].alias("final_balance"),
+        st[1].alias("n_floor_hits"),
+        st[2].alias("n_cap_hits"),
     )
 
 

@@ -3738,3 +3738,80 @@ def analytics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.d").alias("n_events"),
         F.col("r.surv").alias("survival"),
     )
+
+
+@query(
+    "etl_fd_violations",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'c_nationkey->c_mktsegment' AS fd,
+             CAST(c_nationkey AS VARCHAR) AS lhs, c_mktsegment AS rhs
+      FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment->c_nationkey',
+             c_mktsegment, CAST(c_nationkey AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT 'c_custkey->c_mktsegment',
+             CAST(c_custkey AS VARCHAR), c_mktsegment
+      FROM customer
+    ),
+    per_lhs AS (
+      SELECT fd, lhs,
+             CAST(count(DISTINCT rhs) AS BIGINT) AS n_rhs
+      FROM pairs GROUP BY fd, lhs
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST((1000000 * sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END))
+               // count(*) AS BIGINT) AS violation_ppm,
+           CAST(max(n_rhs) AS BIGINT) AS worst_fanout
+    FROM per_lhs GROUP BY fd
+    """,
+)
+def etl_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation profiling — the data-profiling
+    sibling of FK inference: for each candidate FD A→B, how many A
+    values map to MORE than one B (exact violation ppm + worst
+    fan-out).  A key column (custkey→segment) must profile at zero
+    violations; attribute pairs expose their real determinacy — the
+    evidence schema designers need before declaring constraints or
+    choosing clustering keys.  One Expand pass stacks the candidate
+    pairs, then two aggregates over (fd, lhs) partials — value-
+    cardinality-bounded state, never row-bounded."""
+    cust = load(spark, sf_dir, "customer")
+    pairs = (
+        cust.select(
+            F.lit("c_nationkey->c_mktsegment").alias("fd"),
+            F.col("c_nationkey").cast("string").alias("lhs"),
+            F.col("c_mktsegment").alias("rhs"),
+        )
+        .unionByName(
+            cust.select(
+                F.lit("c_mktsegment->c_nationkey").alias("fd"),
+                F.col("c_mktsegment").alias("lhs"),
+                F.col("c_nationkey").cast("string").alias("rhs"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.lit("c_custkey->c_mktsegment").alias("fd"),
+                F.col("c_custkey").cast("string").alias("lhs"),
+                F.col("c_mktsegment").alias("rhs"),
+            )
+        )
+    )
+    per_lhs = pairs.groupBy("fd", "lhs").agg(
+        F.count_distinct("rhs").alias("n_rhs")
+    )
+    return per_lhs.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_lhs_values"),
+        F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("violation_ppm"),
+        F.max("n_rhs").cast("bigint").alias("worst_fanout"),
+    )

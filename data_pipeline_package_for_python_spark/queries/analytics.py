@@ -3815,3 +3815,91 @@ def etl_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("violation_ppm"),
         F.max("n_rhs").cast("bigint").alias("worst_fanout"),
     )
+
+
+@query(
+    "analytics_revenue_bridge",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS cust,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 2 END AS period,
+             CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT COALESCE(p1.cust, p2.cust) AS cust,
+             COALESCE(p1.rev, 0) AS r1, COALESCE(p2.rev, 0) AS r2
+      FROM (SELECT * FROM r WHERE period = 1) p1
+      FULL OUTER JOIN (SELECT * FROM r WHERE period = 2) p2
+        ON p1.cust = p2.cust
+    ),
+    c AS (
+      SELECT cust, r1, r2,
+             CASE WHEN r1 = 0 THEN 'new'
+                  WHEN r2 = 0 THEN 'churned'
+                  WHEN r2 > r1 THEN 'expanded'
+                  WHEN r2 < r1 THEN 'contracted'
+                  ELSE 'flat' END AS class
+      FROM b
+    )
+    SELECT class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(r2 - r1) AS BIGINT) AS delta_cents,
+           CAST(sum(r1) AS BIGINT) AS rev_before_cents,
+           CAST(sum(r2) AS BIGINT) AS rev_after_cents
+    FROM c GROUP BY class
+    """,
+)
+def analytics_revenue_bridge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue bridge (the SaaS MoM waterfall): classify every
+    customer's period-over-period revenue movement — new / churned /
+    expanded / contracted / flat — and report each class's headcount
+    and exact-cents delta, so Σ delta_cents across classes reconciles
+    the two period totals BY CONSTRUCTION (the property ad-hoc 'growth
+    by segment' queries silently violate when customers move between
+    segments).  One (customer, period) aggregate, one key-partitioned
+    full-outer self-join, one 5-row class rollup — all exact BIGINT
+    cents."""
+    r = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .alias("period"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_c"),
+    ).groupBy("cust", "period").agg(F.sum("rev_c").alias("rev"))
+    p1 = r.filter(F.col("period") == 1).select(
+        "cust", F.col("rev").alias("r1")
+    )
+    p2 = r.filter(F.col("period") == 2).select(
+        "cust", F.col("rev").alias("r2")
+    )
+    b = (
+        p1.join(p2, "cust", "full_outer")
+        .select(
+            F.coalesce("r1", F.lit(0)).alias("r1"),
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+    )
+    c = b.withColumn(
+        "class",
+        F.when(F.col("r1") == 0, F.lit("new"))
+        .when(F.col("r2") == 0, F.lit("churned"))
+        .when(F.col("r2") > F.col("r1"), F.lit("expanded"))
+        .when(F.col("r2") < F.col("r1"), F.lit("contracted"))
+        .otherwise(F.lit("flat")),
+    )
+    return c.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("r2") - F.col("r1")).alias("delta_cents"),
+        F.sum("r1").alias("rev_before_cents"),
+        F.sum("r2").alias("rev_after_cents"),
+    )

@@ -739,3 +739,39 @@ def test_kaplan_meier_matches_python_replay(spark, sf_dir):
     assert got == want
     survs = [s for *_, s in got]
     assert all(a > b for a, b in zip(survs, survs[1:]))
+
+
+def test_revenue_bridge_reconciles(spark, sf_dir):
+    """Sum of class deltas equals total period-2 minus period-1 revenue
+    exactly, and class membership is exclusive and exhaustive."""
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    rows = queries()["analytics_revenue_bridge"](spark, sf_dir).collect()
+    total_delta = sum(r["delta_cents"] for r in rows)
+    con = duckdb.connect()
+    (r1, r2) = con.execute(
+        f"""
+        SELECT
+          CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+               THEN CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+               THEN CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT)
+        FROM '{sf_dir}/orders.parquet'
+        """
+    ).fetchone()
+    assert total_delta == r2 - r1
+    assert sum(r["rev_before_cents"] for r in rows) == r1
+    assert sum(r["rev_after_cents"] for r in rows) == r2
+    for r in rows:
+        sign = {"new": 1, "expanded": 1, "churned": -1,
+                "contracted": -1, "flat": 0}[r["class"]]
+        if sign > 0:
+            assert r["delta_cents"] > 0, dict(r)
+        elif sign < 0:
+            assert r["delta_cents"] < 0, dict(r)
+        else:
+            assert r["delta_cents"] == 0, dict(r)

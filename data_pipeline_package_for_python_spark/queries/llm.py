@@ -5899,3 +5899,73 @@ def ml_gini_impurity(spark, sf_dir):
             "(1000000 * (tot * tot - sq)) div (tot * tot)"
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 50 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(string_split(text, ' ')) >= 10
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    cell AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n
+      FROM lab GROUP BY a, b
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+               AS agree,
+             CAST(sum(CASE WHEN a = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS a1,
+             CAST(sum(CASE WHEN b = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS b1
+      FROM cell
+    )
+    SELECT nn AS n_docs, agree AS n_agree,
+           CAST(nn * agree - (a1 * b1 + (nn - a1) * (nn - b1))
+                AS BIGINT) AS kappa_num,
+           CAST(nn * nn - (a1 * b1 + (nn - a1) * (nn - b1))
+                AS BIGINT) AS kappa_den,
+           CAST((1000000 * agree) // nn AS BIGINT) AS agreement_ppm
+    FROM tot
+    """,
+)
+def ml_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two labelers — the annotation-QA statistic
+    every labeling pipeline needs (raw agreement overstates consensus
+    when the base rate is skewed; kappa subtracts chance agreement).
+    Kept EXACT: κ = (N·agree − Σᵢmᵢnᵢ) / (N² − Σᵢmᵢnᵢ) after clearing
+    denominators — BIGINT numerator/denominator, no division.  The two
+    'annotators' here are deterministic quality gates (char-length vs
+    token-count); production swaps in any label columns.  Shape: one
+    scan → 4-cell confusion → scalar combine."""
+    docs = load(spark, sf_dir, "documents")
+    lab = docs.select(
+        (F.length("text") >= 50).cast("long").alias("a"),
+        (F.size(F.split("text", " ")) >= 10).cast("long").alias("b"),
+    )
+    cell = lab.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0))
+        .alias("agree"),
+        F.sum(F.when(F.col("a") == 1, F.col("n")).otherwise(0))
+        .alias("a1"),
+        F.sum(F.when(F.col("b") == 1, F.col("n")).otherwise(0))
+        .alias("b1"),
+    )
+    nn, agree = F.col("nn"), F.col("agree")
+    chance = F.col("a1") * F.col("b1") + (nn - F.col("a1")) * (
+        nn - F.col("b1")
+    )
+    return tot.select(
+        nn.alias("n_docs"),
+        agree.alias("n_agree"),
+        (nn * agree - chance).alias("kappa_num"),
+        (nn * nn - chance).alias("kappa_den"),
+        F.expr("(1000000 * agree) div nn").alias("agreement_ppm"),
+    )

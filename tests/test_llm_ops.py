@@ -1762,3 +1762,36 @@ def test_kwic_context_windows_at_boundaries(spark):
         (5, "a b c", "d e f"),
         (10, "e f g", ""),
     ]
+
+
+def test_cohens_kappa_bounds_and_replay(spark, sf_dir):
+    """kappa num/den replays sklearn's definition from the confusion
+    cells (computed independently in Python), and kappa <= 1 with
+    kappa = 1 iff perfect agreement."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    r = queries()["ml_cohens_kappa"](spark, sf_dir).collect()[0]
+    cells = duckdb.connect().execute(
+        f"""
+        SELECT CASE WHEN length(text) >= 50 THEN 1 ELSE 0 END a,
+               CASE WHEN len(string_split(text, ' ')) >= 10
+                    THEN 1 ELSE 0 END b, count(*)
+        FROM '{sf_dir}/documents.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    n = sum(c for _, _, c in cells)
+    agree = sum(c for a, b, c in cells if a == b)
+    a1 = sum(c for a, _, c in cells if a == 1)
+    b1 = sum(c for _, b, c in cells if b == 1)
+    chance = a1 * b1 + (n - a1) * (n - b1)
+    assert (r["n_docs"], r["n_agree"]) == (n, agree)
+    assert r["kappa_num"] == n * agree - chance
+    assert r["kappa_den"] == n * n - chance
+    if r["kappa_den"] != 0:
+        kappa = Fraction(r["kappa_num"], r["kappa_den"])
+        assert kappa <= 1
+        assert (kappa == 1) == (agree == n)

@@ -1707,3 +1707,68 @@ def ts_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_win") * F.col("stt") - F.col("st") * F.col("st"))
         .alias("slope_den"),
     )
+
+
+@query(
+    "ts_vwap_twap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS p
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, t, p,
+             lead(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS t_next
+      FROM e
+    ),
+    b AS (
+      SELECT user_id, (t // 21600000000) AS bucket6h, p,
+             COALESCE(t_next - t, 0) AS hold_us
+      FROM w
+    )
+    SELECT user_id, CAST(bucket6h AS BIGINT) AS bucket6h,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(p) AS BIGINT) AS vwap_num,
+           CAST(count(*) AS BIGINT) AS vwap_den,
+           CAST(sum(p * hold_us) AS BIGINT) AS twap_num,
+           CAST(sum(hold_us) AS BIGINT) AS twap_den
+    FROM b GROUP BY user_id, bucket6h
+    """,
+)
+def ts_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-weighted vs TIME-weighted average price per 6-hour bucket —
+    the finance pair where naive averaging goes wrong: a price held
+    for one second should not weigh like one held for an hour.  TWAP
+    weights each observation by its holding interval (lead(t) − t, the
+    last tick of a series holding zero — a documented boundary
+    choice), VWAP by tick count; both surface as exact BIGINT
+    numerator/denominator so the averages are division-free on the
+    hash.  One window (the lead) and one aggregate share the user
+    partitioning — single shuffle."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("p"),
+    )
+    wspec = W.partitionBy("user_id").orderBy("t", "event_id")
+    w = e.withColumn("t_next", F.lead("t").over(wspec))
+    b = w.select(
+        "user_id",
+        F.expr("t div 21600000000").alias("bucket6h"),
+        "p",
+        F.coalesce(F.col("t_next") - F.col("t"), F.lit(0)).alias(
+            "hold_us"
+        ),
+    )
+    return b.groupBy("user_id", "bucket6h").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("p").alias("vwap_num"),
+        F.count(F.lit(1)).alias("vwap_den"),
+        F.sum(F.col("p") * F.col("hold_us")).alias("twap_num"),
+        F.sum("hold_us").alias("twap_den"),
+    )

@@ -3903,3 +3903,86 @@ def analytics_revenue_bridge(
         F.sum("r1").alias("rev_before_cents"),
         F.sum("r2").alias("rev_after_cents"),
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+    dir AS (
+      SELECT a AS u, b AS v FROM e
+      UNION ALL
+      SELECT b, a FROM e
+    ),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+      FROM dir GROUP BY u
+    ),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM dir JOIN deg du ON du.node = dir.u
+               JOIN deg dv ON dv.node = dir.v
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT n AS n_directed_edges, sx, sxx, sxy,
+           CAST(n * sxy - sx * sx AS BIGINT) AS r_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS r_den
+    FROM s
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman 2002) — do hubs attach to hubs?
+    Pearson correlation of endpoint degrees over the DOUBLED edge
+    list, which is EXACTLY rational for an undirected graph: symmetry
+    makes Sx=Sy and Sxx=Syy, so the usual sqrt denominator collapses
+    and r = (n·Sxy − Sx²)/(n·Sxx − Sx²) — BIGINT numerator/denominator,
+    no sqrt, no floats.  Degrees are one aggregate; the endpoint-degree
+    join is two broadcast-sized dimension joins (the degree table is
+    node-bounded).  Negative r = hub-to-leaf wiring (most real
+    networks), positive = social-style core."""
+    e = _graph_edges(spark, sf_dir)
+    direct = e.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    deg = direct.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        direct.join(
+            deg.select(F.col("node").alias("s"), F.col("d").alias("x")),
+            "s",
+        )
+        .join(
+            deg.select(F.col("node").alias("t"), F.col("d").alias("y")),
+            "t",
+        )
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        "sx",
+        "sxx",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).alias(
+            "r_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "r_den"
+        ),
+    )

@@ -637,3 +637,41 @@ def test_neighbor_jaccard_wedge_cap_drops_hub_middles(spark):
     e = _edges(spark, [(0, i) for i in range(1, 5)])
     assert neighbor_jaccard(e, max_wedge_degree=3).count() == 0
     assert neighbor_jaccard(e).count() == 6
+
+
+def test_degree_assortativity_python_replay(spark, sf_dir):
+    """r_num/r_den replays Newman's doubled-edge Pearson from first
+    principles; a star graph must be perfectly disassortative (r=-1)."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    r = queries()["graph_degree_assortativity"](
+        spark, sf_dir
+    ).collect()[0]
+    edges = duckdb.connect().execute(
+        f"""
+        SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100),
+               greatest(o_custkey % 100, o_orderkey % 100)
+        FROM '{sf_dir}/orders.parquet'
+        WHERE (o_custkey % 100) <> (o_orderkey % 100)
+        """
+    ).fetchall()
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [(deg[a], deg[b]) for a, b in edges]
+    xs += [(y, x) for x, y in xs]
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    assert (r["n_directed_edges"], r["sx"], r["sxx"], r["sxy"]) == (
+        n, sx, sxx, sxy,
+    )
+    assert r["r_num"] == n * sxy - sx * sx
+    assert r["r_den"] == n * sxx - sx * sx
+    assert abs(Fraction(r["r_num"], r["r_den"])) <= 1

@@ -3986,3 +3986,68 @@ def graph_degree_assortativity(
             "r_den"
         ),
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pern AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY id
+    ),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS id FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY id
+    )
+    SELECT deg.id, deg.d AS degree,
+           COALESCE(pern.t, 0) AS n_triangles,
+           CAST(2 * COALESCE(pern.t, 0) AS BIGINT) AS cc_num,
+           CAST(deg.d * (deg.d - 1) AS BIGINT) AS cc_den
+    FROM deg LEFT JOIN pern USING (id)
+    """,
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per node — how close each node's
+    neighborhood is to a clique: C(v) = 2·T(v) / (d(v)·(d(v)−1)),
+    composed from the degree-ordered triangle counter and one degree
+    aggregate, and reported as the exact BIGINT num/den pair
+    (degree-1 nodes get den 0 — undefined by convention, left to the
+    caller rather than silently zeroed).  Same two-shuffle posture as
+    graph_triangles; the degree join hits a node-bounded table."""
+    from ..operators.graph import triangle_count
+
+    e = _graph_edges(spark, sf_dir)
+    tri = triangle_count(e)
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            (2 * F.coalesce("n_triangles", F.lit(0)))
+            .cast("bigint")
+            .alias("cc_num"),
+            (F.col("d") * (F.col("d") - 1)).cast("bigint").alias(
+                "cc_den"
+            ),
+        )
+    )

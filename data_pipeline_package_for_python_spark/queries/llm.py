@@ -6190,3 +6190,63 @@ def search_rbo_rankers(spark, sf_dir):
         ).alias("rbo_num"),
         F.lit(_RBO_DEN).cast("long").alias("rbo_den"),
     )
+
+
+@query(
+    "text_readability_ari",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS c,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             CAST(1 + length(text)
+                  - length(replace(replace(replace(text, '.', ''),
+                                           '!', ''), '?', ''))
+                  AS BIGINT) AS s
+      FROM documents
+    )
+    SELECT doc_id, c AS n_chars_nospace, w AS n_words, s AS n_sentences,
+           CAST(471 * c * s + 50 * w * w - 2143 * w * s AS BIGINT)
+               AS ari_num,
+           CAST(100 * w * s AS BIGINT) AS ari_den
+    FROM m WHERE w > 0
+    """,
+)
+def text_readability_ari(spark, sf_dir):
+    """Automated Readability Index per document — the syllable-free
+    readability score quality classifiers lean on (4.71·chars/words +
+    0.5·words/sentences − 21.43), kept EXACT: the decimal coefficients
+    clear to (471·C·S + 50·W² − 2143·W·S) / (100·W·S) — BIGINT
+    num/den, no float coefficients.  Chars count non-space characters;
+    sentences count terminal punctuation (+1) — the fixture's
+    synthetic text has none, so S=1 degenerates gracefully to
+    chars/words dominance while the formula stays fully exercised on
+    the hash.  Map-only single scan."""
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        F.length(F.regexp_replace("text", " ", ""))
+    ).cast("long")
+    w = F.size(F.split("text", " ")).cast("long")
+    s_cnt = (
+        1
+        + F.length("text")
+        - F.length(F.regexp_replace("text", "[.!?]", ""))
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        c.alias("c"),
+        w.alias("w"),
+        s_cnt.alias("s"),
+    ).filter(F.col("w") > 0)
+    return m.select(
+        "doc_id",
+        F.col("c").alias("n_chars_nospace"),
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        (
+            471 * F.col("c") * F.col("s")
+            + 50 * F.col("w") * F.col("w")
+            - 2143 * F.col("w") * F.col("s")
+        ).alias("ari_num"),
+        (100 * F.col("w") * F.col("s")).alias("ari_den"),
+    )

@@ -601,3 +601,50 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(joined, output_mode="append")
     return out.groupBy("segment").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'purchase'
+                  THEN 3600000000 ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, t, gap_us,
+             CASE WHEN t >= COALESCE(max(t + gap_us) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), -1) THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f
+    )
+    SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
+           count(*) AS cnt
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-gap session windows — Spark's per-event gap form of
+    ``session_window``: purchases hold the session open for 60 minutes,
+    other events for 30, so a purchase near the end of a browse
+    session keeps it alive where the static gap would split it (the
+    'checkout grace period' every commerce funnel wants).  Session
+    merge semantics are interval coalescing: an event starts a new
+    session iff its time reaches the running MAX of earlier events'
+    (ts + per-event gap) — exactly what the batch oracle replays with
+    one window.  State is watermark-bounded as with static sessions."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = session_agg(_stream(spark, sf_dir), gap=gap)
+    return run_available_now(agg, output_mode="complete")

@@ -219,7 +219,7 @@ def sliding_agg(
 
 def session_agg(
     stream: DataFrame,
-    gap: str = "30 minutes",
+    gap: "str | Column" = "30 minutes",
     watermark: str = "2 hours",
     key: str = "user_id",
 ) -> DataFrame:
@@ -227,7 +227,11 @@ def session_agg(
 
     A session absorbs an event when it arrives strictly within ``gap`` of
     the session's current end; sessions merge as micro-batches close gaps.
-    Output one row per closed session: (key, session start µs, event count).
+    ``gap`` may be a STRING (static gap) or a COLUMN evaluating to an
+    interval string per event (dynamic gap — e.g. high-value event types
+    hold sessions open longer), which is Spark's documented
+    ``session_window`` dynamic form.  Output one row per closed session:
+    (key, session start µs, event count).
     """
     return (
         stream.withWatermark("ts", watermark)

@@ -6250,3 +6250,62 @@ def text_readability_ari(spark, sf_dir):
         ).alias("ari_num"),
         (100 * F.col("w") * F.col("s")).alias("ari_den"),
     )
+
+
+@query(
+    "text_vocab_growth_curve",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substring(md5(
+               CAST(doc_id AS VARCHAR) || ':curve'
+             ), 1, 8)) AS BIGINT) AS h
+      FROM documents
+    ),
+    fr AS (SELECT unnest([125000, 250000, 500000, 1000000]) AS f_ppm),
+    member AS (
+      SELECT fr.f_ppm, k.doc_id, k.text
+      FROM fr JOIN keyed k
+        ON k.h % 1000000 < fr.f_ppm
+    ),
+    tok AS (
+      SELECT f_ppm, doc_id, unnest(string_split(text, ' ')) AS term
+      FROM member
+    )
+    SELECT f_ppm,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_types
+    FROM tok GROUP BY f_ppm
+    """,
+)
+def text_vocab_growth_curve(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) curve over NESTED deterministic
+    subsets — the data-scaling probe: token and distinct-type counts at
+    12.5 / 25 / 50 / 100% of the corpus, where each subset is the
+    md5-threshold prefix of the next (h % 1e6 < f_ppm), so the curve
+    measures GROWTH, not sampling noise, and is reproducible across
+    runs and engines.  Marginal new-types-per-token falling fast =
+    vocabulary saturation (more data adds tokens, not words); staying
+    high = open vocabulary / noisy source.  One scan exploded against
+    the 4-row fraction spine — no resampling passes."""
+    from ..operators._util import md5_key_expr
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "h", F.expr(md5_key_expr("doc_id", salt=":curve"))
+    )
+    fr = docs.sparkSession.createDataFrame(
+        [(125_000,), (250_000,), (500_000,), (1_000_000,)],
+        "f_ppm long",
+    )
+    member = docs.crossJoin(F.broadcast(fr)).filter(
+        F.col("h") % 1_000_000 < F.col("f_ppm")
+    )
+    tok = member.select(
+        "f_ppm", "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return tok.groupBy("f_ppm").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("term").alias("n_types"),
+    )

@@ -1795,3 +1795,28 @@ def test_cohens_kappa_bounds_and_replay(spark, sf_dir):
         kappa = Fraction(r["kappa_num"], r["kappa_den"])
         assert kappa <= 1
         assert (kappa == 1) == (agree == n)
+
+
+def test_vocab_growth_curve_is_nested_and_monotone(spark, sf_dir):
+    """Subsets are md5-threshold prefixes of each other, so docs,
+    tokens, and types must all be non-decreasing in the fraction, and
+    the 1e6-ppm row covers the whole corpus."""
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    rows = sorted(
+        (r["f_ppm"], r["n_docs"], r["n_tokens"], r["n_types"])
+        for r in queries()["text_vocab_growth_curve"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert [f for f, *_ in rows] == [125000, 250000, 500000, 1000000]
+    for a, b in zip(rows, rows[1:]):
+        assert a[1] <= b[1] and a[2] <= b[2] and a[3] <= b[3]
+    (nd, nt, ty) = duckdb.connect().execute(
+        f"""SELECT count(DISTINCT doc_id), count(*), count(DISTINCT term)
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+              FROM '{sf_dir}/documents.parquet')"""
+    ).fetchone()
+    assert rows[-1][1:] == (nd, nt, ty)

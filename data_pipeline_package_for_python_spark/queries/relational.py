@@ -3529,3 +3529,67 @@ def etl_prorate_largest_remainder(spark, sf_dir):
             + (F.col("rn") <= F.col("leftover")).cast("long")
         ).alias("alloc_cents"),
     )
+
+
+@query(
+    "agg_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_c,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    per_price AS (
+      SELECT flag, price_c, CAST(max(qty) AS BIGINT) AS qty
+      FROM pts GROUP BY flag, price_c
+    ),
+    run AS (
+      SELECT flag, price_c, qty,
+             max(qty) OVER (PARTITION BY flag ORDER BY price_c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS best_cheaper
+      FROM per_price
+    )
+    SELECT flag AS l_returnflag, price_c, qty
+    FROM run
+    WHERE best_cheaper IS NULL OR qty > best_cheaper
+    """,
+)
+def agg_skyline_pareto(spark, sf_dir):
+    """SKYLINE / Pareto frontier (Börzsönyi et al., ICDE 2001) —
+    the multi-objective dominance operator: per return flag, the
+    (price, quantity) points not dominated by any cheaper-or-equal,
+    larger-quantity point (minimize price, maximize quantity).  The
+    naive formulation is an all-pairs anti-join; the sort-based plan
+    here is LINEAR after one shuffle: collapse ties to max-quantity
+    per price, then one window — a point survives iff its quantity
+    beats the running max over all strictly cheaper prices.  Exact
+    cents/integer quantities keep dominance decisions off floats."""
+    from pyspark.sql.window import Window as W
+
+    pts = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("long")
+        .alias("qty"),
+    )
+    per_price = pts.groupBy("flag", "price_c").agg(
+        F.max("qty").alias("qty")
+    )
+    w = (
+        W.partitionBy("flag")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = per_price.withColumn("best_cheaper", F.max("qty").over(w))
+    return run.filter(
+        F.col("best_cheaper").isNull()
+        | (F.col("qty") > F.col("best_cheaper"))
+    ).select(
+        F.col("flag").alias("l_returnflag"), "price_c", "qty"
+    )

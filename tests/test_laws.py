@@ -775,3 +775,37 @@ def test_revenue_bridge_reconciles(spark, sf_dir):
             assert r["delta_cents"] < 0, dict(r)
         else:
             assert r["delta_cents"] == 0, dict(r)
+
+
+def test_skyline_dominance_law(spark, sf_dir):
+    """No frontier point is dominated, and every non-frontier point IS
+    dominated — checked against brute force per flag."""
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    got = {}
+    for r in queries()["agg_skyline_pareto"](spark, sf_dir).collect():
+        got.setdefault(r["l_returnflag"], set()).add(
+            (r["price_c"], r["qty"])
+        )
+    pts = {}
+    for f, p, q in duckdb.connect().execute(
+        f"""SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT),
+             CAST(FLOOR(l_quantity+0.5) AS BIGINT)
+           FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall():
+        pts.setdefault(f, set()).add((p, q))
+
+    def dominated(p, q, others):
+        return any(
+            (p2 <= p and q2 > q) or (p2 < p and q2 >= q)
+            for p2, q2 in others
+        )
+
+    for f, all_pts in pts.items():
+        frontier = {
+            (p, q) for p, q in all_pts if not dominated(p, q, all_pts)
+        }
+        assert got[f] == frontier, f

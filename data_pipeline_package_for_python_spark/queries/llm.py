@@ -6309,3 +6309,82 @@ def text_vocab_growth_curve(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct("term").alias("n_types"),
     )
+
+
+@query(
+    "search_kendall_tau",
+    oracle="WITH " + _bm25_ctes(topk=10) + """
+    ,
+    alt AS (
+      SELECT query_id, doc_id, rank AS ra, n_shared,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n_shared DESC, doc_id) AS rb
+      FROM bm25r
+    ),
+    pairs AS (
+      SELECT a.query_id,
+             CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+                  THEN 1 ELSE 0 END AS conc
+      FROM alt a JOIN alt b
+        ON a.query_id = b.query_id AND a.doc_id < b.doc_id
+    )
+    SELECT query_id,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+           CAST(2 * sum(conc) - count(*) AS BIGINT) AS tau_num,
+           CAST(count(*) AS BIGINT) AS tau_den
+    FROM pairs GROUP BY query_id
+    """,
+)
+def search_kendall_tau(spark, sf_dir):
+    """Kendall's τ between two orderings of the SAME candidate set —
+    the pairwise-order member of the ranker-agreement triad (RRF
+    fuses, RBO weights the top, τ counts concordant vs discordant
+    pairs): for each query's BM25 top-10, the tf-saturated BM25 order
+    vs the naive shared-term-count order.  τ = (C − D)/(m(m−1)/2) as
+    exact BIGINT num/den; BM25 ranks are unique and the naive order
+    breaks its count ties by doc id, so no tie corrections enter
+    (τ-a).  High τ = tf saturation and idf barely reorder overlap
+    counting; low τ = they matter.  The pair join is 45 pairs per
+    query — rank-list-sized, never corpus-sized."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    bm25 = T.bm25_related_topk(
+        docs, "doc_id", "text",
+        query_pred=F.col("doc_id") % 37 == 0,
+        k=10, max_df_ratio_ppm=800_000,
+    ).select("query_id", "doc_id", F.col("rank").alias("ra"), "n_shared")
+    alt = bm25.withColumn(
+        "rb",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("n_shared").desc(), "doc_id"
+            )
+        ),
+    )
+    a = alt.select(
+        "query_id",
+        F.col("doc_id").alias("d1"),
+        F.col("ra").alias("ra1"),
+        F.col("rb").alias("rb1"),
+    )
+    b = alt.select(
+        "query_id",
+        F.col("doc_id").alias("d2"),
+        F.col("ra").alias("ra2"),
+        F.col("rb").alias("rb2"),
+    )
+    pairs = a.join(b, "query_id").filter(F.col("d1") < F.col("d2"))
+    conc = (
+        (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2"))
+        > 0
+    ).cast("long")
+    return pairs.select("query_id", conc.alias("conc")).groupBy(
+        "query_id"
+    ).agg(
+        F.sum("conc").alias("concordant"),
+        (F.count(F.lit(1)) - F.sum("conc")).alias("discordant"),
+        (2 * F.sum("conc") - F.count(F.lit(1))).alias("tau_num"),
+        F.count(F.lit(1)).alias("tau_den"),
+    )

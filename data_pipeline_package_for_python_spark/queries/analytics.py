@@ -4051,3 +4051,118 @@ def graph_clustering_coefficient(
             ),
         )
     )
+
+
+@query(
+    "analytics_diff_in_diff",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(('0x' || substring(md5(
+               CAST(o_custkey AS VARCHAR) || ':did'
+             ), 1, 8)) AS BIGINT) % 2 AS treated,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 0 ELSE 1 END AS post,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT treated, post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM base GROUP BY treated, post
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated=1 AND post=1 THEN s END) AS s11,
+        max(CASE WHEN treated=1 AND post=1 THEN n END) AS n11,
+        max(CASE WHEN treated=1 AND post=0 THEN s END) AS s10,
+        max(CASE WHEN treated=1 AND post=0 THEN n END) AS n10,
+        max(CASE WHEN treated=0 AND post=1 THEN s END) AS s01,
+        max(CASE WHEN treated=0 AND post=1 THEN n END) AS n01,
+        max(CASE WHEN treated=0 AND post=0 THEN s END) AS s00,
+        max(CASE WHEN treated=0 AND post=0 THEN n END) AS n00
+      FROM cells
+    )
+    SELECT CAST(n11 AS BIGINT) AS n_treat_post,
+           CAST(n10 AS BIGINT) AS n_treat_pre,
+           CAST(n01 AS BIGINT) AS n_ctrl_post,
+           CAST(n00 AS BIGINT) AS n_ctrl_pre,
+           CAST(s11 AS BIGINT) AS s_treat_post,
+           CAST(s10 AS BIGINT) AS s_treat_pre,
+           CAST(s01 AS BIGINT) AS s_ctrl_post,
+           CAST(s00 AS BIGINT) AS s_ctrl_pre,
+           (CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+           - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)
+               AS did_cents
+    FROM wide
+    """,
+)
+def analytics_diff_in_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimate when
+    randomization isn't available: (treated post−pre change) minus
+    (control post−pre change) cancels both group-level baselines and
+    common time shocks.  Arms come from the deterministic md5
+    assignment (the ab_ttest discipline — reproducible, not rand());
+    the four cell sums/counts are exact BIGINTs and the estimate is
+    four correctly-rounded IEEE divisions and three subtractions in a
+    fixed tree, so the double is bit-identical cross-engine.  On this
+    fixture's hash-random 'treatment' the estimate must hover near
+    zero — the null-calibration property a DiD implementation has to
+    pass.  One scan → 4 cells → scalar combine."""
+    from ..operators._util import md5_key_expr
+
+    base = load(spark, sf_dir, "orders").select(
+        (F.expr(md5_key_expr("o_custkey", salt=":did")) % 2).alias(
+            "treated"
+        ),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("post"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    cells = base.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col(col),
+            )
+        )
+
+    wide = cells.agg(
+        cell(1, 1, "s").alias("s11"), cell(1, 1, "n").alias("n11"),
+        cell(1, 0, "s").alias("s10"), cell(1, 0, "n").alias("n10"),
+        cell(0, 1, "s").alias("s01"), cell(0, 1, "n").alias("n01"),
+        cell(0, 0, "s").alias("s00"), cell(0, 0, "n").alias("n00"),
+    )
+    d = F.col
+    return wide.select(
+        d("n11").alias("n_treat_post"),
+        d("n10").alias("n_treat_pre"),
+        d("n01").alias("n_ctrl_post"),
+        d("n00").alias("n_ctrl_pre"),
+        d("s11").alias("s_treat_post"),
+        d("s10").alias("s_treat_pre"),
+        d("s01").alias("s_ctrl_post"),
+        d("s00").alias("s_ctrl_pre"),
+        (
+            (
+                d("s11").cast("double") / d("n11")
+                - d("s10").cast("double") / d("n10")
+            )
+            - (
+                d("s01").cast("double") / d("n01")
+                - d("s00").cast("double") / d("n00")
+            )
+        ).alias("did_cents"),
+    )

@@ -809,3 +809,30 @@ def test_skyline_dominance_law(spark, sf_dir):
             (p, q) for p, q in all_pts if not dominated(p, q, all_pts)
         }
         assert got[f] == frontier, f
+
+
+def test_did_null_calibration(spark, sf_dir):
+    """With a hash-random 'treatment', the DiD estimate must be small
+    relative to the overall mean (null calibration), and the cells
+    partition the table exactly."""
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    r = queries()["analytics_diff_in_diff"](spark, sf_dir).collect()[0]
+    n_total = (
+        r["n_treat_post"] + r["n_treat_pre"]
+        + r["n_ctrl_post"] + r["n_ctrl_pre"]
+    )
+    (want_n,) = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()
+    assert n_total == want_n
+    s_total = (
+        r["s_treat_post"] + r["s_treat_pre"]
+        + r["s_ctrl_post"] + r["s_ctrl_pre"]
+    )
+    mean = s_total / n_total
+    # null effect: |DiD| well under the grand mean (loose, but a sign
+    # of a broken estimator is being on the order of the mean itself)
+    assert abs(r["did_cents"]) < 0.5 * mean, (r["did_cents"], mean)

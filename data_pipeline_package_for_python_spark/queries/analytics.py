@@ -4166,3 +4166,124 @@ def analytics_diff_in_diff(
             )
         ).alias("did_cents"),
     )
+
+
+@query(
+    "analytics_cuped_adjustment",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             CAST(('0x' || substring(md5(
+               CAST(o_custkey AS VARCHAR) || ':cuped'
+             ), 1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) // 100000 AS BIGINT) AS x,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) // 100000 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per_cust
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+             CAST(sum(x) AS BIGINT) AS sx_arm,
+             CAST(sum(y) AS BIGINT) AS sy_arm
+      FROM per_cust GROUP BY arm
+    )
+    SELECT a.arm, a.n_arm, a.sx_arm, a.sy_arm,
+           CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS theta_num,
+           CAST(g.n * g.sxx - g.sx * g.sx AS BIGINT) AS theta_den,
+           (CAST(a.sy_arm AS DOUBLE) / a.n_arm)
+           - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+              / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+             * (CAST(a.sx_arm AS DOUBLE) / a.n_arm
+                - CAST(g.sx AS DOUBLE) / g.n) AS adj_mean_y
+    FROM a, g
+    """,
+)
+def analytics_cuped_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the
+    industry-standard A/B upgrade: adjust each arm's outcome mean by
+    θ·(arm's pre-period covariate mean − global covariate mean) with
+    θ = cov(X,Y)/var(X), which strips pre-existing user-level
+    variance from the readout without biasing the treatment contrast.
+    All sufficient statistics are exact BIGINTs (pre/post per-customer
+    totals quantized to THOUSANDS of dollars — the θ clearing n·Σxy
+    overflows int64 with finer units at sf1; the covariate only needs
+    rank-scale resolution, and both engines quantize identically);
+    θ ships as an exact num/den pair and the adjusted mean is a fixed
+    IEEE tree over those integers, bit-identical cross-engine.  One
+    (customer) aggregate, one 2-row arm rollup, one broadcast scalar
+    combine."""
+    from ..operators._util import md5_key_expr
+
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.expr(md5_key_expr("o_custkey", salt=":cuped")) % 2)
+            .alias("arm"),
+            F.when(
+                F.col("o_orderdate")
+                < F.lit("1998-01-01").cast("timestamp"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("xc"),
+            F.when(
+                F.col("o_orderdate")
+                >= F.lit("1998-01-01").cast("timestamp"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("yc"),
+        )
+        .groupBy("cust", "arm")
+        .agg(
+            F.expr("sum(xc) div 100000").alias("x"),
+            F.expr("sum(yc) div 100000").alias("y"),
+        )
+    )
+    g = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    a = per_cust.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    j = a.crossJoin(F.broadcast(g))
+    tnum = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    tden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return j.select(
+        "arm",
+        "n_arm",
+        "sx_arm",
+        "sy_arm",
+        tnum.alias("theta_num"),
+        tden.alias("theta_den"),
+        (
+            F.col("sy_arm").cast("double") / F.col("n_arm")
+            - (tnum.cast("double") / tden.cast("double"))
+            * (
+                F.col("sx_arm").cast("double") / F.col("n_arm")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+        ).alias("adj_mean_y"),
+    )

@@ -4287,3 +4287,65 @@ def analytics_cuped_adjustment(
             )
         ).alias("adj_mean_y"),
     )
+
+
+@query(
+    "analytics_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CAST(('0x' || substring(md5(
+               CAST(o_custkey AS VARCHAR) || ':cuped'
+             ), 1, 8)) AS BIGINT) % 2 AS arm
+      FROM orders
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_treat,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_ctrl,
+             CAST(count(*) AS BIGINT) AS n
+      FROM arms
+    )
+    SELECT n, o_treat, o_ctrl,
+           CAST((o_treat - o_ctrl) * (o_treat - o_ctrl) AS BIGINT)
+               AS chi2_num,
+           n AS chi2_den,
+           CAST(CASE WHEN
+             (o_treat - o_ctrl) * (o_treat - o_ctrl) * 1000 > 3841 * n
+             THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+    FROM c
+    """,
+)
+def analytics_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-health gate run
+    BEFORE reading any metric: under a 50/50 split the unit counts
+    must pass a χ² test, and a failure means the assignment or logging
+    is broken (the most common silent A/B bug).  For df=1 and equal
+    expectations the statistic collapses to (o₁−o₂)²/n — exact BIGINT
+    num/den — and the α=0.05 verdict is the cross-multiplied integer
+    comparison (o₁−o₂)²·1000 > 3841·n, no float χ² anywhere.  The md5
+    arms here are genuinely 50/50, so the flag must be 0 — the
+    calibration the gate itself needs.  One scan, one scalar row."""
+    from ..operators._util import md5_key_expr
+
+    arms = load(spark, sf_dir, "orders").select(
+        (F.expr(md5_key_expr("o_custkey", salt=":cuped")) % 2).alias(
+            "arm"
+        )
+    )
+    c = arms.agg(
+        F.sum((F.col("arm") == 1).cast("long")).alias("o_treat"),
+        F.sum((F.col("arm") == 0).cast("long")).alias("o_ctrl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    diff = F.col("o_treat") - F.col("o_ctrl")
+    return c.select(
+        "n",
+        "o_treat",
+        "o_ctrl",
+        (diff * diff).alias("chi2_num"),
+        F.col("n").alias("chi2_den"),
+        (diff * diff * 1000 > 3841 * F.col("n"))
+        .cast("int")
+        .alias("srm_flag"),
+    )

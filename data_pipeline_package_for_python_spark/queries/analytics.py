@@ -4349,3 +4349,197 @@ def analytics_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("srm_flag"),
     )
+
+
+@query(
+    "analytics_stratified_ate",
+    oracle="""
+    WITH u AS (
+      SELECT o.o_custkey AS cust, c.c_mktsegment AS stratum,
+             CAST(('0x' || substring(md5(
+               CAST(o.o_custkey AS VARCHAR) || ':cuped'
+             ), 1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT stratum, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM u GROUP BY stratum, arm
+    ),
+    w AS (
+      SELECT stratum,
+             max(CASE WHEN arm = 1 THEN n END) AS nt,
+             max(CASE WHEN arm = 1 THEN sy END) AS st,
+             max(CASE WHEN arm = 0 THEN n END) AS nc,
+             max(CASE WHEN arm = 0 THEN sy END) AS sc
+      FROM s GROUP BY stratum
+    )
+    SELECT stratum,
+           CAST(nt AS BIGINT) AS n_treat,
+           CAST(nc AS BIGINT) AS n_ctrl,
+           CAST(st * nc - sc * nt AS BIGINT) AS effect_num,
+           CAST(nt * nc AS BIGINT) AS effect_den
+    FROM w WHERE nt IS NOT NULL AND nc IS NOT NULL
+    """,
+)
+def analytics_stratified_ate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-stratified treatment-effect estimate — the causal family's
+    confounder-adjustment member (with DiD for time shocks and CUPED
+    for variance): within each stratum, the arm-mean difference
+    ȳ_t − ȳ_c clears to the exact rational (s_t·n_c − s_c·n_t)/(n_t·n_c)
+    — BIGINT num/den per stratum, nothing divided.  Callers combine
+    strata with n_s/N weights (also exact); strata missing an arm drop
+    out explicitly rather than polluting the pooled estimate.  One
+    fact⋈dim join, one (stratum, arm) aggregate, a stratum-bounded
+    pivot."""
+    from ..operators._util import md5_key_expr
+
+    u = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            (F.expr(md5_key_expr("o_custkey", salt=":cuped")) % 2)
+            .alias("arm"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+        .join(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_mktsegment").alias("stratum")
+            ),
+            "c_custkey",
+        )
+    )
+    s = u.groupBy("stratum", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+
+    def pick(arm, col):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    w = s.groupBy("stratum").agg(
+        pick(1, "n").alias("nt"),
+        pick(1, "sy").alias("st"),
+        pick(0, "n").alias("nc"),
+        pick(0, "sy").alias("sc"),
+    )
+    return w.filter(
+        F.col("nt").isNotNull() & F.col("nc").isNotNull()
+    ).select(
+        "stratum",
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        (F.col("st") * F.col("nc") - F.col("sc") * F.col("nt")).alias(
+            "effect_num"
+        ),
+        (F.col("nt") * F.col("nc")).alias("effect_den"),
+    )
+
+
+@query(
+    "analytics_quantile_treatment_effect",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey AS cust,
+             CAST(('0x' || substring(md5(
+               CAST(o_custkey AS VARCHAR) || ':cuped'
+             ), 1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT arm, y,
+             row_number() OVER (PARTITION BY arm ORDER BY y, cust)
+               AS rn,
+             count(*) OVER (PARTITION BY arm) AS n
+      FROM u
+    ),
+    med AS (
+      SELECT arm, CAST(min(y) AS BIGINT) AS median_cents,
+             CAST(min(n) AS BIGINT) AS n_units
+      FROM r WHERE 2 * rn >= n + CASE WHEN n % 2 = 0 THEN 0 ELSE 1 END
+      GROUP BY arm
+    ),
+    w AS (
+      SELECT max(CASE WHEN arm = 1 THEN median_cents END) AS mt,
+             max(CASE WHEN arm = 1 THEN n_units END) AS nt,
+             max(CASE WHEN arm = 0 THEN median_cents END) AS mc,
+             max(CASE WHEN arm = 0 THEN n_units END) AS nc
+      FROM med
+    )
+    SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           CAST(mt AS BIGINT) AS median_treat_cents,
+           CAST(mc AS BIGINT) AS median_ctrl_cents,
+           CAST(mt - mc AS BIGINT) AS qte_cents
+    FROM w
+    """,
+)
+def analytics_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median treatment effect — the robust companion to the mean-based
+    readouts: difference of the two arms' LOWER medians of
+    per-customer spend, a pure order statistic (rank 2·rn ≥ n over a
+    (value, id) total order), so the entire effect is exact BIGINT
+    cents end-to-end — no interpolation, no floats, immune to the
+    heavy-tail whales that dominate a mean lift.  One per-customer
+    aggregate, one rank window per arm, a 2-row combine."""
+    from ..operators._util import md5_key_expr
+    from pyspark.sql.window import Window as W
+
+    u = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.expr(md5_key_expr("o_custkey", salt=":cuped")) % 2)
+            .alias("arm"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("yc"),
+        )
+        .groupBy("cust", "arm")
+        .agg(F.sum("yc").alias("y"))
+    )
+    r = u.select(
+        "arm",
+        "y",
+        F.row_number()
+        .over(W.partitionBy("arm").orderBy("y", "cust"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("arm")).alias("n"),
+    )
+    med = (
+        r.filter(
+            2 * F.col("rn")
+            >= F.col("n")
+            + F.when(F.col("n") % 2 == 0, F.lit(0)).otherwise(F.lit(1))
+        )
+        .groupBy("arm")
+        .agg(
+            F.min("y").alias("median_cents"),
+            F.min("n").alias("n_units"),
+        )
+    )
+
+    def pick(arm, col):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    w = med.agg(
+        pick(1, "median_cents").alias("mt"),
+        pick(1, "n_units").alias("nt"),
+        pick(0, "median_cents").alias("mc"),
+        pick(0, "n_units").alias("nc"),
+    )
+    return w.select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.col("mt").alias("median_treat_cents"),
+        F.col("mc").alias("median_ctrl_cents"),
+        (F.col("mt") - F.col("mc")).alias("qte_cents"),
+    )

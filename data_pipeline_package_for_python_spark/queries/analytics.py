@@ -4543,3 +4543,67 @@ def analytics_quantile_treatment_effect(
         F.col("mc").alias("median_ctrl_cents"),
         (F.col("mt") - F.col("mc")).alias("qte_cents"),
     )
+
+
+@query(
+    "agg_dispersion_index",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS k
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(k * k) AS BIGINT) AS skk
+      FROM per_cust GROUP BY segment
+    )
+    SELECT segment, n, sk AS total_orders,
+           CAST(n * skk - sk * sk AS BIGINT) AS index_num,
+           CAST(n * sk AS BIGINT) AS index_den,
+           CAST(CASE WHEN n * skk - sk * sk > n * sk
+                THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
+    FROM s
+    """,
+)
+def agg_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance-to-mean ratio) of orders-per-customer
+    by segment — the Poisson-adequacy check count models need: index
+    ≈ 1 means Poisson arrivals, > 1 overdispersion (clumpy customers →
+    use negative binomial), < 1 regularity.  Exactly rational:
+    population var/mean clears to (n·Σk² − (Σk)²)/(n·Σk) — BIGINT
+    num/den — and the >1 verdict is the cross-multiplied comparison,
+    never a float ratio.  Zero-order customers enter via the LEFT
+    join (dropping them biases the index up — the classic mistake).
+    One key join, one (segment) aggregate."""
+    per_cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .join(
+            load(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("segment", "c_custkey")
+        .agg(F.count("o_orderkey").alias("k"))
+    )
+    s = per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    num = F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")
+    den = F.col("n") * F.col("sk")
+    return s.select(
+        "segment",
+        "n",
+        F.col("sk").alias("total_orders"),
+        num.alias("index_num"),
+        den.alias("index_den"),
+        (num > den).cast("int").alias("overdispersed"),
+    )

@@ -4607,3 +4607,80 @@ def agg_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("index_den"),
         (num > den).cast("int").alias("overdispersed"),
     )
+
+
+@query(
+    "analytics_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT partkey, r,
+             sum(r) OVER (ORDER BY r DESC, partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(r) OVER () AS tot
+      FROM rev
+    ),
+    cls AS (
+      SELECT partkey, r,
+             CASE WHEN cum * 20 <= 16 * tot THEN 'A'
+                  WHEN cum * 20 <= 19 * tot THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS BIGINT) AS revenue_cents,
+           CAST((1000 * sum(r)) // max(t.tot) AS BIGINT)
+               AS share_pm
+    FROM cls, (SELECT CAST(sum(r) AS BIGINT) AS tot FROM rev) t
+    GROUP BY abc
+    """,
+)
+def analytics_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC inventory classification — the operations staple: rank parts
+    by revenue and tier them at 80% / 95% CUMULATIVE share (A-parts
+    get tight management, C-parts get bulk rules).  The tier test is
+    the cross-multiplied integer comparison cum·20 ≤ {16,19}·total —
+    small multipliers on purpose: a ppm-scale factor overflows int64
+    at sf1 totals — so boundary parts classify identically in both
+    engines; ties in revenue order deterministically by part key.
+    Shares report in exact per-mille for the same overflow headroom.  One aggregate, one ranked cumulative window over the
+    part-bounded frame, a 3-row rollup."""
+    from pyspark.sql.window import Window as W
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("rc"),
+        )
+        .groupBy("partkey")
+        .agg(F.sum("rc").alias("r"))
+    )
+    wc = W.orderBy(F.col("r").desc(), "partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.withColumn("cum", F.sum("r").over(wc)).withColumn(
+        "tot", F.sum("r").over(W.partitionBy())
+    )
+    cls = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum") * 20 <= 16 * F.col("tot"), "A")
+        .when(F.col("cum") * 20 <= 19 * F.col("tot"), "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("r").alias("revenue_cents"),
+        F.expr("(1000 * sum(r)) div max(tot)").alias("share_pm"),
+    )

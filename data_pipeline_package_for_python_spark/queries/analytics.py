@@ -4684,3 +4684,85 @@ def analytics_abc_classification(
         F.sum("r").alias("revenue_cents"),
         F.expr("(1000 * sum(r)) div max(tot)").alias("share_pm"),
     )
+
+
+_FK_EDGES = [
+    # (name, child table, child col, parent table, parent col)
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation",
+     "n_nationkey"),
+    ("orders->customer", "orders", "o_custkey", "customer",
+     "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+]
+
+
+def _fk_edge_sql(name, ct, cc, pt, pc):
+    return f"""
+    SELECT '{name}' AS fk,
+           (SELECT CAST(count(*) AS BIGINT) FROM {ct}) AS n_child_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM {ct} c
+            WHERE c.{cc} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {pt} p
+                              WHERE p.{pc} = c.{cc})) AS n_orphan_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM {pt} p
+            WHERE NOT EXISTS (SELECT 1 FROM {ct} c
+                              WHERE c.{cc} = p.{pc}))
+               AS n_unreferenced_parents"""
+
+
+@query(
+    "etl_fk_scorecard",
+    oracle="\n    UNION ALL\n".join(
+        _fk_edge_sql(*edge) for edge in _FK_EDGES
+    ),
+)
+def etl_fk_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity SCORECARD — every declared FK edge of the
+    star schema audited in one result: child row count, orphan rows
+    (child keys with no parent — broken loads), and unreferenced
+    parents (dead dimension members — retention candidates).  Each
+    edge is one left-anti join per direction on its key — the same
+    plan per edge at any scale, and the whole scorecard is what a
+    nightly data-contract job publishes.  Fully LAZY: each edge is
+    three one-row aggregates cross-joined and the edges union into a
+    single plan — no driver-side action loop.  The single-edge
+    deep-dive (etl_referential_check) stays for incident drill-down;
+    this is the fleet view."""
+    rows = []
+    for name, ct, cc, pt, pc in _FK_EDGES:
+        child = load(spark, sf_dir, ct)
+        parent = load(spark, sf_dir, pt)
+        n_child = child.agg(
+            F.count(F.lit(1)).alias("n_child_rows")
+        )
+        orphans = (
+            child.filter(F.col(cc).isNotNull())
+            .join(parent.select(F.col(pc).alias(cc)), cc, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphan_rows"))
+        )
+        unref = parent.join(
+            child.select(F.col(cc).alias(pc)).distinct(),
+            pc,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_unreferenced_parents"))
+        rows.append(
+            n_child.crossJoin(orphans)
+            .crossJoin(unref)
+            .select(
+                F.lit(name).alias("fk"),
+                "n_child_rows",
+                "n_orphan_rows",
+                "n_unreferenced_parents",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

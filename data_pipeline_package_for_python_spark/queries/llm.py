@@ -6388,3 +6388,92 @@ def search_kendall_tau(spark, sf_dir):
         (2 * F.sum("conc") - F.count(F.lit(1))).alias("tau_num"),
         F.count(F.lit(1)).alias("tau_den"),
     )
+
+
+@query(
+    "embed_twonn_ratios",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    d AS (
+      SELECT query_id, neighbor_id,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(qv, cv),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (a, b) -> a + b)) AS dist
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    r AS (
+      SELECT query_id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor_id) AS rn
+      FROM d
+    )
+    SELECT query_id,
+           max(CASE WHEN rn = 1 THEN dist END) AS d1,
+           max(CASE WHEN rn = 2 THEN dist END) AS d2,
+           max(CASE WHEN rn = 2 THEN dist END)
+             / max(CASE WHEN rn = 1 THEN dist END) AS mu
+    FROM r WHERE rn <= 2 GROUP BY query_id
+    """,
+)
+def embed_twonn_ratios(spark, sf_dir):
+    """TwoNN intrinsic-dimension substrate (Facco et al., Scientific
+    Reports 2017): for each sampled point, the ratio µ = d₂/d₁ of its
+    two nearest-neighbor EUCLIDEAN distances — the µ distribution's
+    shape estimates the manifold's intrinsic dimension (the MLE is
+    d = n/Σln µ; the ln stays OUTSIDE the hash surface per repo
+    discipline — callers fold µ driver-side).  Distances are
+    left-to-right IEEE folds and the d₂/d₁ division is correctly
+    rounded, so every µ is bit-identical cross-engine.  Brute-force
+    over the sampled queries (corpus-bounded candidates — the QC tier,
+    not the ANN serving tier)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "qv", "cv",
+                lambda a, b: (
+                    a.cast("double") - b.cast("double")
+                )
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    d = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("dist"))
+    )
+    r = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        ),
+    ).filter(F.col("rn") <= 2)
+    return r.groupBy("query_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
+        (
+            F.max(F.when(F.col("rn") == 2, F.col("dist")))
+            / F.max(F.when(F.col("rn") == 1, F.col("dist")))
+        ).alias("mu"),
+    )

@@ -6477,3 +6477,110 @@ def embed_twonn_ratios(spark, sf_dir):
             / F.max(F.when(F.col("rn") == 1, F.col("dist")))
         ).alias("mu"),
     )
+
+
+@query(
+    "ml_conformal_interval",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS t,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y,
+             CAST(date_part('hour', ts) AS BIGINT) AS h,
+             event_id % 2 AS split
+      FROM events
+    ),
+    prof AS (
+      SELECT h, CAST(sum(y) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM e WHERE split = 0 GROUP BY h
+    ),
+    cal AS (
+      SELECT abs(CAST(e.y AS DOUBLE) - CAST(p.s AS DOUBLE) / p.c)
+                 AS resid,
+             e.event_id
+      FROM e JOIN prof p USING (h) WHERE e.split = 0
+    ),
+    nq AS (
+      SELECT resid AS q_hat FROM (
+        SELECT resid, row_number() OVER (ORDER BY resid, event_id)
+                 AS rn,
+               count(*) OVER () AS n
+        FROM cal
+      ) WHERE rn = CAST(ceil(0.9 * (n + 1)) AS BIGINT)
+    ),
+    test AS (
+      SELECT abs(CAST(e.y AS DOUBLE) - CAST(p.s AS DOUBLE) / p.c)
+                 AS resid
+      FROM e JOIN prof p USING (h) WHERE e.split = 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cal) AS n_cal,
+           (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+           nq.q_hat,
+           (SELECT CAST((1000000 * sum(
+              CASE WHEN resid <= nq.q_hat THEN 1 ELSE 0 END))
+              // count(*) AS BIGINT) FROM test) AS coverage_ppm
+    FROM nq
+    """,
+)
+def ml_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval — the distribution-free
+    uncertainty wrapper modern ML serving uses: fit a base predictor
+    (hour-of-day mean profile) on the calibration split, take the
+    ⌈0.9(n+1)⌉-th smallest absolute residual as the interval
+    half-width q̂ (an ORDER STATISTIC, no quantile interpolation —
+    the conformal guarantee needs exactly this rank), then report
+    empirical coverage on the held-out split, which must land near
+    90% by the conformal theorem.  Predictions are correctly-rounded
+    divisions of exact integer sums and the rank/coverage comparisons
+    reuse those bit-identical doubles, so q̂ and coverage hash exactly.
+    One profile aggregate, one rank window on the calibration frame,
+    one test scan."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("h"),
+        (F.col("event_id") % 2).alias("split"),
+    )
+    prof = (
+        e.filter(F.col("split") == 0)
+        .groupBy("h")
+        .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    resid = F.abs(
+        F.col("y").cast("double")
+        - F.col("s").cast("double") / F.col("c")
+    )
+    cal = (
+        e.filter(F.col("split") == 0)
+        .join(prof, "h")
+        .select(resid.alias("resid"), "event_id")
+    )
+    ranked = cal.select(
+        "resid",
+        F.row_number()
+        .over(W.orderBy("resid", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    nq = ranked.filter(
+        F.col("rn") == F.ceil(0.9 * (F.col("n") + 1)).cast("long")
+    ).select(F.col("resid").alias("q_hat"))
+    test = (
+        e.filter(F.col("split") == 1)
+        .join(prof, "h")
+        .select(resid.alias("resid"))
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    stats = test.crossJoin(F.broadcast(nq)).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.first("q_hat").alias("q_hat"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN resid <= q_hat THEN 1 ELSE 0"
+            " END)) div count(1)"
+        ).alias("coverage_ppm"),
+    )
+    return n_cal.crossJoin(F.broadcast(stats)).select(
+        "n_cal", "n_test", "q_hat", "coverage_ppm"
+    )

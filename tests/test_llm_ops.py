@@ -1820,3 +1820,18 @@ def test_vocab_growth_curve_is_nested_and_monotone(spark, sf_dir):
               FROM '{sf_dir}/documents.parquet')"""
     ).fetchone()
     assert rows[-1][1:] == (nd, nt, ty)
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """The conformal theorem: held-out coverage at the 0.9 rank must
+    land near 90% (within sampling noise of the test split size)."""
+    from __spark_entry__ import queries
+
+    r = queries()["ml_conformal_interval"](spark, sf_dir).collect()[0]
+    assert r["n_cal"] > 0 and r["n_test"] > 0
+    cov = r["coverage_ppm"] / 1e6
+    # binomial noise bound: 4 sigma at p=0.9
+    import math
+
+    sigma = math.sqrt(0.9 * 0.1 / r["n_test"])
+    assert abs(cov - 0.9) < 4 * sigma + 0.02, (cov, r["n_test"])

@@ -4766,3 +4766,76 @@ def etl_fk_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "etl_encoding_advisor",
+    oracle="""
+    WITH long_form AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    s AS (
+      SELECT col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(sum(length(val)) AS BIGINT) AS raw_bytes
+      FROM long_form GROUP BY col
+    )
+    SELECT col, n_rows, n_distinct, raw_bytes,
+           CAST((1000000 * n_distinct) // n_rows AS BIGINT)
+               AS distinct_ppm,
+           CAST(CASE WHEN n_distinct * 100 <= n_rows
+                THEN 1 ELSE 0 END AS INTEGER) AS dict_encode
+    FROM s
+    """,
+)
+def etl_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor — the storage-layout profile a lakehouse
+    optimizer consults: per column, row count, exact distinct count,
+    raw string bytes, distinct-ratio ppm, and a dictionary-encoding
+    verdict (cardinality ≤ 1% of rows → dictionary pages win; the
+    threshold is the cross-multiplied integer test n_distinct·100 ≤
+    n_rows).  Low-cardinality enum columns flag, the key column
+    doesn't — the evidence behind parquet encoding and Z-order
+    candidate choices.  One Expand pass over the audited columns, one
+    aggregate — profiling at a scan's cost."""
+    o = load(spark, sf_dir, "orders")
+    long_form = (
+        o.select(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("val"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_orderpriority").alias("col"),
+                F.col("o_orderpriority").alias("val"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_custkey").alias("col"),
+                F.col("o_custkey").cast("string").alias("val"),
+            )
+        )
+    )
+    s = long_form.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("val").alias("n_distinct"),
+        F.sum(F.length("val")).alias("raw_bytes"),
+    )
+    return s.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "raw_bytes",
+        F.expr("(1000000 * n_distinct) div n_rows").alias(
+            "distinct_ppm"
+        ),
+        (F.col("n_distinct") * 100 <= F.col("n_rows"))
+        .cast("int")
+        .alias("dict_encode"),
+    )

@@ -1226,3 +1226,94 @@ def func_try_conversions(spark, sf_dir):
             F.lit(1),
         ).alias("maybe_elem"),
     )
+
+
+# Business-day arithmetic: W(d) = number of weekdays (Mon–Fri) among
+# epoch days [0, d).  Epoch day 0 = Thursday, so the remainder lookup
+# walks Thu, Fri, Sat, Sun, Mon, Tue (Sat/Sun contribute nothing).
+_WEEKDAYS_BEFORE = (
+    "(5 * ({d} // 7) + CASE ({d} % 7) WHEN 0 THEN 0 WHEN 1 THEN 1"
+    " WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3"
+    " ELSE 4 END)"
+)
+_WEEKDAYS_BEFORE_SPARK = (
+    "(5 * ({d} div 7) + CASE ({d} % 7) WHEN 0 THEN 0 WHEN 1 THEN 1"
+    " WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3"
+    " ELSE 4 END)"
+)
+
+
+@query(
+    "func_business_days",
+    oracle=f"""
+    WITH lags AS (
+      SELECT l.l_returnflag AS flag,
+             datediff('day', DATE '1970-01-01',
+                      CAST(o.o_orderdate AS DATE)) AS da,
+             datediff('day', DATE '1970-01-01',
+                      CAST(l.l_shipdate AS DATE)) AS db
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    b AS (
+      SELECT flag,
+             CAST({_WEEKDAYS_BEFORE.format(d='db')}
+                  - {_WEEKDAYS_BEFORE.format(d='da')} AS BIGINT)
+               AS bdays
+      FROM lags
+    )
+    SELECT flag AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bdays) AS BIGINT) AS total_bdays,
+           CAST(min(bdays) AS BIGINT) AS min_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM b GROUP BY flag
+    """,
+)
+def func_business_days(spark, sf_dir):
+    """Business-day (Mon–Fri) lag between order and ship dates — the
+    calendar arithmetic every SLA report needs, in CLOSED FORM: the
+    weekday count before epoch day d is 5·(d div 7) plus a 7-case
+    remainder lookup anchored on epoch day 0 being a Thursday, so
+    bdays(a,b) = W(b) − W(a) with no calendar table, no explode, no
+    UDF — pure integer codegen.  Both engines evaluate the identical
+    CASE, and a pytest replays Python's weekday count as the
+    independent law.  Reported as per-flag totals/extremes (exact
+    BIGINT)."""
+    lags = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.col("l_returnflag").alias("flag"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("db"),
+            F.col("l_shipdate"),
+        )
+        .join(
+            load(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                ).alias("da"),
+                F.col("o_orderdate"),
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+    )
+    b = lags.select(
+        "flag",
+        (
+            F.expr(_WEEKDAYS_BEFORE_SPARK.format(d="db"))
+            - F.expr(_WEEKDAYS_BEFORE_SPARK.format(d="da"))
+        ).cast("long").alias("bdays"),
+    )
+    return b.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bdays").alias("total_bdays"),
+        F.min("bdays").alias("min_bdays"),
+        F.max("bdays").alias("max_bdays"),
+    )

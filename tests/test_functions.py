@@ -79,3 +79,42 @@ def test_profile_columns_single_scan_no_python(spark, tables):
     assert rows[("c_custkey", "n")] == float(n)
     assert rows[("c_custkey", "n_distinct")] == float(n)  # key is unique
     assert rows[("c_mktsegment", "n_null")] == 0.0
+
+
+def test_business_days_matches_python_weekday_count(spark, sf_dir):
+    """The closed-form weekday counter replays Python's day-by-day
+    weekday count over the fixture's (orderdate, shipdate) pairs."""
+    import datetime as dt
+
+    import duckdb
+
+    from __spark_entry__ import queries
+
+    got = {
+        r["l_returnflag"]: (r["n"], r["total_bdays"], r["min_bdays"],
+                            r["max_bdays"])
+        for r in queries()["func_business_days"](spark, sf_dir).collect()
+    }
+    rows = duckdb.connect().execute(
+        f"""SELECT l.l_returnflag, CAST(o.o_orderdate AS DATE),
+             CAST(l.l_shipdate AS DATE)
+           FROM '{sf_dir}/lineitem.parquet' l
+           JOIN '{sf_dir}/orders.parquet' o
+             ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_shipdate >= o.o_orderdate"""
+    ).fetchall()
+
+    def bdays(a, b):
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    want = {}
+    for f, a, b in rows:
+        k = bdays(a, b)
+        n, tot, mn, mx = want.get(f, (0, 0, 10**9, -1))
+        want[f] = (n + 1, tot + k, min(mn, k), max(mx, k))
+    assert got == want

@@ -1772,3 +1772,98 @@ def ts_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p") * F.col("hold_us")).alias("twap_num"),
         F.sum("hold_us").alias("twap_den"),
     )
+
+
+@query(
+    "ts_peak_concurrency",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ),
+    f AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS nf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    g AS (
+      SELECT user_id, t,
+             sum(nf) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM f
+    ),
+    s AS (
+      SELECT user_id, sid, min(t) AS st, max(t) + 1 AS en
+      FROM g GROUP BY user_id, sid
+    ),
+    sweep AS (
+      SELECT st AS t, 1 AS delta FROM s
+      UNION ALL
+      SELECT en, -1 FROM s
+    ),
+    run AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+      FROM sweep
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sessions,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(min(CASE WHEN conc = (SELECT max(conc) FROM run)
+                    THEN t END) AS BIGINT) AS peak_at_us
+    FROM run
+    """,
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the sweep-line classic: each session
+    contributes +1 at its start and −1 just past its end, and the
+    running sum over the time-ordered deltas IS the concurrency curve;
+    its max and the earliest time achieving it answer the capacity
+    question ('how many simultaneous users must we size for').  Starts
+    order before ends at equal times (delta DESC) so touching sessions
+    count as concurrent — a deliberate, pinned boundary.  Sessions
+    come from the 30-min gap sessionizer; everything is exact µs
+    BIGINTs, one global sort over the session-bounded (not
+    event-bounded) sweep."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.timeseries import sessionize
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    g = sessionize(
+        ev, "ts", ("user_id",), gap="30 minutes",
+        order_tie=("event_id",),
+    ).withColumn("t", F.unix_micros(F.col("ts").cast("timestamp")))
+    s = g.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("st"), (F.max("t") + 1).alias("en")
+    )
+    sweep = s.select(
+        F.col("st").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        s.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = sweep.withColumn(
+        "conc",
+        F.sum("delta").over(
+            W.orderBy(F.col("t"), F.col("delta").desc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    n_sessions = s.agg(F.count(F.lit(1)).alias("n_sessions"))
+    peak = run.agg(F.max("conc").alias("peak_concurrency"))
+    peak_at = (
+        run.crossJoin(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .agg(F.min("t").alias("peak_at_us"))
+    )
+    return (
+        n_sessions.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(peak_at))
+        .select("n_sessions", "peak_concurrency", "peak_at_us")
+    )

@@ -574,3 +574,35 @@ def test_rolling_ols_slope_linear_series(spark):
     for r in out:
         # slope in scaled-y units per second: 7.0*100 = 700
         assert Fraction(r["slope_num"], r["slope_den"]) == 700, dict(r)
+
+
+def test_peak_concurrency_touching_sessions(spark):
+    """Three users: u1 00:00-00:10, u2 00:05-00:15 (overlaps u1),
+    u3 starts exactly when u1's last event lands (00:10) — the
+    starts-before-ends boundary counts it, so the peak is 3."""
+    import datetime as dt
+    import os, tempfile
+
+    from __spark_entry__ import queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes):
+        return (eid, uid, t0 + dt.timedelta(minutes=minutes), 1.0)
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 10),
+        ev(3, 2, 5), ev(4, 2, 15),
+        ev(5, 3, 10), ev(6, 3, 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = queries()["ts_peak_concurrency"](spark, d).collect()[0]
+    assert out["n_sessions"] == 3
+    assert out["peak_concurrency"] == 3
+    assert out["peak_at_us"] == int(
+        (t0 + dt.timedelta(minutes=10)).timestamp() * 1_000_000
+    )

@@ -4839,3 +4839,75 @@ def etl_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("dict_encode"),
     )
+
+
+@query(
+    "ml_grouped_ols_slopes",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS flag,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) // 100
+               AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY flag
+    )
+    SELECT flag AS l_returnflag, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy AS DOUBLE) / n
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / n) AS intercept
+    FROM s
+    """,
+)
+def ml_grouped_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price-per-unit regression by return
+    flag) — the grouped member of the OLS family (global sufficient
+    stats, rolling window, and now GROUPED, the model-per-segment
+    shape feature stores serve): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    as an exact BIGINT num/den pair from one partial-aggregated scan;
+    the intercept reports as mean_y − slope·mean_x through a fixed
+    IEEE tree over those exact integers (its fully-cleared rational
+    form Σy·den − Σx·num overflows int64 already at sf0.01 — measured,
+    not guessed).  Price quantized to whole dollars for Σxy headroom
+    at sf1.  One groupBy — map-side combine does the work."""
+    d = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            " div 100"
+        ).alias("y"),
+    )
+    s = d.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (
+            F.col("sy").cast("double") / F.col("n")
+            - (num.cast("double") / den.cast("double"))
+            * (F.col("sx").cast("double") / F.col("n"))
+        ).alias("intercept"),
+    )

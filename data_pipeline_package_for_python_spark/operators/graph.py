@@ -441,6 +441,7 @@ def bfs_distances(
     dst: str = "v",
     *,
     rounds: int = 4,
+    seed_id: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS as ``rounds`` fixed Bellman–Ford relaxations:
     (id, dist) with dist = hops from the nearest seed, NULL if no seed
@@ -456,13 +457,26 @@ def bfs_distances(
     ``pagerank_exact``; lineage is truncated per round with
     ``localCheckpoint`` exactly like ``connected_components``.
 
+    The node universe is edge endpoints ∪ seed ids: a seed with no
+    incident edge still reports dist=0 instead of being silently
+    dropped (round-4 advice).  ``seed_id`` names the seed column
+    explicitly; it defaults to the frame's first column for
+    compatibility with the positional contract.
+
     Reference parity: the reference DSL (dpp.py) has no graph stage;
     BFS-from-seed-set is the standard reachability primitive its users
     hand-roll (influence radius, contamination spread, citation depth).
     """
+    seed_col = seed_id if seed_id is not None else seeds.columns[0]
+    seed_ids = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
+        .union(seed_ids)
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -470,8 +484,7 @@ def bfs_distances(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
     ).localCheckpoint(eager=False)
     dist = nodes.join(
-        seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
-        .withColumn("dist", F.lit(0).cast("bigint")),
+        seed_ids.withColumn("dist", F.lit(0).cast("bigint")),
         "id",
         "left",
     )

@@ -47,14 +47,23 @@ def ols_sufficient_stats(
     by n·U² and n·U·Y — for unit scales ~1e4 and 1e9 rows that is
     ~1e17 < 2⁶³, but Spark's non-ANSI BIGINT sum WRAPS SILENTLY past
     that, so when n·U·Y approaches 2⁶³ (≳1e11 rows at warehouse unit
-    scales) pass ``decimal=True``: sums accumulate in DECIMAL(38,0) —
-    still exact and order-independent, 1e38 of headroom — at a modest
+    scales) pass ``decimal=True``: operands are widened to
+    DECIMAL(19,0) BEFORE the multiply (so the per-row product u_i·u_j
+    cannot wrap either — protection starts at the product, not just
+    the accumulation) and sums accumulate in DECIMAL(38,0) — exact and
+    order-independent end-to-end, 1e38 of headroom — at a modest
     per-row cost.  The default stays BIGINT for codegen speed."""
-    feats = [F.lit(1).cast("bigint")] + [
-        c.cast("bigint") for c in feature_units
-    ]
-    y = label_units.cast("bigint")
+    # With decimal=True the OPERANDS are widened before the multiply,
+    # not just the accumulator: a BIGINT ui*uj product can itself wrap
+    # silently when |u| > ~3e9, which would poison the exact DECIMAL
+    # sum.  decimal(19,0) operands make Spark produce a decimal(38,0)
+    # product — exact end-to-end.
+    unit_t = "decimal(19,0)" if decimal else "bigint"
     acc = "decimal(38,0)" if decimal else "bigint"
+    feats = [F.lit(1).cast(unit_t)] + [
+        c.cast("bigint").cast(unit_t) for c in feature_units
+    ]
+    y = label_units.cast("bigint").cast(unit_t)
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, ui in enumerate(feats):
         for j, uj in enumerate(feats):

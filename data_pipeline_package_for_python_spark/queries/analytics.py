@@ -4880,7 +4880,15 @@ def ml_grouped_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE tree over those exact integers (its fully-cleared rational
     form Σy·den − Σx·num overflows int64 already at sf0.01 — measured,
     not guessed).  Price quantized to whole dollars for Σxy headroom
-    at sf1.  One groupBy — map-side combine does the work."""
+    at sf1.  One groupBy — map-side combine does the work.
+
+    Headroom discipline (round-4 advice): the cleared products n·Σxy
+    and Σx·Σy sit at ~95% of int64 at sf1, so the clearing is done in
+    DECIMAL(38,0) — Spark's non-ANSI BIGINT multiply would WRAP
+    silently while DuckDB (int128) raises, i.e. a silent wrong slope.
+    The reported num/den pair stays BIGINT (the differences are n²·cov
+    sized, far below the product magnitudes); only the intermediates
+    widen."""
     d = load(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_quantity") + F.lit(0.5))
@@ -4898,8 +4906,15 @@ def ml_grouped_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dec = "decimal(19,0)"
+    n_d = F.col("n").cast(dec)
+    sx_d = F.col("sx").cast(dec)
+    num = (
+        n_d * F.col("sxy").cast(dec) - sx_d * F.col("sy").cast(dec)
+    ).cast("long")
+    den = (
+        n_d * F.col("sxx").cast(dec) - sx_d * sx_d
+    ).cast("long")
     return s.select(
         F.col("flag").alias("l_returnflag"),
         "n",

@@ -606,16 +606,20 @@ def run_until_offset(
     _NODATA_KEY = "spark.sql.streaming.noDataProgressEventInterval"
     prev_nodata = spark.conf.get(_NODATA_KEY, None)
     spark.conf.set(_NODATA_KEY, "100ms")
-    with _scoped_state_parallelism(spark, 4):
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(processingTime="50 milliseconds")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
+    # query start lives INSIDE the protected region: if start() raises,
+    # the finally below still restores the session-wide conf override
+    # (round-4 advice — the set-before-try shape leaked it permanently).
+    q = None
     try:
+        with _scoped_state_parallelism(spark, 4):
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(processingTime="50 milliseconds")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
         deadline = _time.time() + timeout_s
         while _time.time() < deadline:
             _time.sleep(poll_s)
@@ -634,7 +638,7 @@ def run_until_offset(
             if is_drained(src) and p.get("numInputRows", -1) == 0:
                 break
     finally:
-        if q.isActive:
+        if q is not None and q.isActive:
             q.stop()
         if prev_nodata is None:
             spark.conf.unset(_NODATA_KEY)
@@ -665,16 +669,18 @@ def drain_to_sink(
     _NODATA_KEY = "spark.sql.streaming.noDataProgressEventInterval"
     prev_nodata = spark.conf.get(_NODATA_KEY, None)
     spark.conf.set(_NODATA_KEY, "100ms")
-    with _scoped_state_parallelism(spark, 4):
-        q = (
-            result.writeStream.format(fmt)
-            .options(**options)
-            .outputMode(output_mode)
-            .trigger(processingTime="50 milliseconds")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
+    # start() inside the protected region — see run_until_offset.
+    q = None
     try:
+        with _scoped_state_parallelism(spark, 4):
+            q = (
+                result.writeStream.format(fmt)
+                .options(**options)
+                .outputMode(output_mode)
+                .trigger(processingTime="50 milliseconds")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
         deadline = _time.time() + timeout_s
         while _time.time() < deadline:
             _time.sleep(poll_s)
@@ -693,7 +699,7 @@ def drain_to_sink(
             if is_drained(src) and p.get("numInputRows", -1) == 0:
                 break
     finally:
-        if q.isActive:
+        if q is not None and q.isActive:
             q.stop()
         if prev_nodata is None:
             spark.conf.unset(_NODATA_KEY)

@@ -593,6 +593,28 @@ def test_bfs_multi_source_takes_nearest_seed(spark):
     assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
 
 
+def test_bfs_isolated_seed_reports_dist_zero(spark):
+    """A seed with no incident edge is part of the node universe and
+    reports dist=0 (round-4 advice: it used to be silently dropped);
+    the explicit seed_id parameter selects a non-first column."""
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    e = _edges(spark, [(0, 1)])
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = spark.createDataFrame(
+        [("x", 0), ("y", 42)], "tag string, node long"
+    )
+    out = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(
+            bidir, seeds, rounds=2, seed_id="node"
+        ).collect()
+    }
+    assert out == {0: 0, 1: 1, 42: 0}
+
+
 def test_k_core_peels_pendant_then_dependent(spark):
     from data_pipeline_package_for_python_spark.operators.graph import (
         k_core,

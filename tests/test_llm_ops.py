@@ -1210,6 +1210,24 @@ def test_ols_decimal_mode_matches_bigint(spark):
         assert int(a[k]) == int(b[k]), k
 
 
+def test_ols_decimal_mode_survives_product_overflow(spark):
+    """decimal=True widens the OPERANDS before the multiply: a unit
+    value of 4e9 has u² ≈ 1.6e19 > 2⁶³, which wraps in the BIGINT path
+    per row — the decimal path must still return the exact square
+    (regression for the round-4 advice on operators/ml.py)."""
+    from data_pipeline_package_for_python_spark.operators.ml import (
+        ols_sufficient_stats,
+    )
+
+    u = 4_000_000_000  # u*u = 1.6e19 — past the int64 ceiling
+    df = spark.createDataFrame([(u, 1)], "x1 long, y long")
+    row = ols_sufficient_stats(
+        df, [F.col("x1")], F.col("y"), decimal=True
+    ).collect()[0]
+    assert int(row["g11"]) == u * u
+    assert int(row["b1"]) == u
+
+
 def test_bpe_apply_rank_order_and_chaining(spark):
     """The real BPE loop: merges apply in RANK order and chain (a
     merged token participates in later merges) — the behaviors the

@@ -8,9 +8,10 @@ round's ``queries/__init__.py``:
      received a green driver row — hash or rows-only);
   2. any RED driver rows (fix these first — they got credit slots and
      failed);
-  3. the never-driver-checked names in current registration order — the
-     candidate pool for the next ``_FRONT`` (cap it at 50: the observed
-     per-round budget);
+  3. the never-driver-checked names in current registration order —
+     the first 50 are the next round's window (the rotation in
+     ``queries/__init__.py`` is a single ``_PRIORITY`` queue and
+     self-promotes from disk, so normally NOTHING needs editing);
   4. whether ``zz_canary`` ever appeared (budget reached the end of the
      registry → rotation no longer needed).
 
@@ -76,18 +77,15 @@ def main() -> None:
         for n, why in sorted(red.items()):
             print(f"#   {n}: {why[:160]}")
     print(f"\n# never-driver-checked ({len(never)}), registration order.")
-    print("# The registry already stages the next TWO windows "
+    print("# Rotation is the self-promoting _PRIORITY queue "
           "(queries/__init__.py):")
-    print("#   positions 0-49   = _FRONT     (this round's window)")
-    print("#   positions 50-99  = _FRONT_R5  (next round: promote to "
-          "_FRONT verbatim)")
-    print("#   positions 100+   = the round-after window (below), then "
-          "already-credited")
+    print("#   positions 0-49 = this round's window; 50+ = staged for "
+          "later rounds;")
+    print("#   credited names park at the back automatically at import.")
     pos = {n: i for i, n in enumerate(names)}
     for n in never:
         i = pos[n]
-        tag = ("FRONT" if i < 50
-               else "FRONT_R5" if i < 100 else "next-after")
+        tag = "window" if i < 50 else "staged"
         print(f"    {n!r},  # {tag} (pos {i})")
     print("\n_DRIVER_CHECKED = frozenset({")
     for n in sorted(green):

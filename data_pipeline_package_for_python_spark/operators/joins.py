@@ -299,24 +299,43 @@ def sorted_neighborhood_join(
     *,
     window: int = 3,
     max_distance: int = 2,
+    range_len: int = 1,
 ) -> DataFrame:
     """Sorted-neighborhood record linkage (Hernández & Stolfo, SIGMOD
-    '95): union both sides, ONE global sort on the match column, then
-    compare each row only against the next ``window`` rows — candidates
-    are generated by ``window`` map-side ``lead`` columns over that
-    sort, so the candidate volume is exactly (|L|+|R|)·window instead
-    of |L|·|R|, with NO blocking key to get wrong (the failure mode of
+    '95): union both sides, sort on the match column, then compare
+    each row only against the next ``window`` rows in that sort —
+    candidates are generated by ``window`` map-side ``lead`` columns,
+    so the candidate volume is exactly (|L|+|R|)·window instead of
+    |L|·|R|, with NO blocking key to get wrong (the failure mode of
     equality blocking is a typo in the block key itself; a sort keeps
     typo'd records adjacent as long as the corruption is not in the
     first characters — the two methods are complementary tiers).
 
     Verification is ``levenshtein ≤ max_distance`` in codegen on
     candidates only.  Returns matched (left_key, left_val, right_key,
-    right_val, distance) pairs.  At scale the sort range-partitions and
-    the lead window crosses partition boundaries correctly (one
-    logical sort, the engine's problem to parallelize — same posture
-    as any global ORDER BY); determinism comes from the total sort
+    right_val, distance) pairs; determinism comes from the total sort
     order (value, side, key).
+
+    Scale posture — DISTRIBUTED sorted neighborhoods, not one global
+    window.  The sort key's leading ``range_len`` characters define
+    deterministic, sort-contiguous ranges (a prefix is monotone in the
+    lexicographic order, so equal-prefix rows are adjacent in the
+    global sort).  Each range becomes one window partition, and the
+    global semantics are restored EXACTLY by duplicating boundary
+    rows: for every range r, the first rows of the following ranges —
+    just enough of them that r's tail can see its next ``window``
+    global successors (each interior range holds ≥ 1 row, so at most
+    ``window`` ranges ahead ever contribute; the per-range row counts
+    that size this pull are a range-METADATA table, one row per
+    distinct prefix, ≪ data, and its cum-sum runs over that metadata
+    only).  Duplicated rows may only be lead TARGETS, never anchors,
+    so every global adjacent pair is generated exactly once and
+    nothing else is.  ``range_len=1`` suits generically-distributed
+    strings; pass a longer prefix when values share a common head
+    (the same granularity lever as any blocking choice — but unlike
+    equality blocking, a neighbor straddling a range boundary is still
+    caught, by construction).  Degenerate single-range inputs fall
+    back to one partition, the declared small tier.
     """
     lhs = left.select(
         F.col(left_key).alias("k"),
@@ -328,17 +347,82 @@ def sorted_neighborhood_join(
         F.col(right_col).alias("v"),
         F.lit(1).alias("side"),
     )
-    both = lhs.unionAll(rhs)
-    w = Window.orderBy("v", "side", "k")
+    both = lhs.unionAll(rhs).withColumn(
+        "rng", F.substring("v", 1, range_len)
+    )
+    # Range metadata: one row per distinct leading prefix.  pos orders
+    # the ranges; cum is the inclusive running row count in range
+    # order.  The unpartitioned window here runs over range METADATA
+    # (|distinct prefixes| rows), not over data.
+    wr = Window.orderBy("rng")
+    meta = both.groupBy("rng").agg(F.count(F.lit(1)).alias("n")).select(
+        "rng",
+        "n",
+        F.sum("n").over(wr).alias("cum"),
+        F.row_number().over(wr).alias("pos"),
+    )
+    # Range r needs head rows from following range s iff fewer than
+    # ``window`` rows lie strictly between them: between(r, s) =
+    # cum(s-1) - cum(r) = (s.cum - s.n) - r.cum.  Each interior range
+    # holds >= 1 row, so s.pos - r.pos <= window — an EQUALITY join on
+    # the exploded pos offset, never a theta join.
+    a = meta.select(
+        F.col("rng").alias("dst_rng"),
+        F.col("cum").alias("a_cum"),
+        F.explode(
+            F.array(*[F.col("pos") + j for j in range(1, window + 1)])
+        ).alias("pos"),
+    )
+    b = meta.select(
+        F.col("rng").alias("src_rng"),
+        (F.col("cum") - F.col("n")).alias("b_prev_cum"),
+        "pos",
+    )
+    needs = (
+        a.join(b, "pos")
+        .filter(F.col("b_prev_cum") - F.col("a_cum") < window)
+        .select(
+            "dst_rng",
+            "src_rng",
+            (window - (F.col("b_prev_cum") - F.col("a_cum"))).alias(
+                "need"
+            ),
+        )
+    )
+    # First ``window`` rows of every range, in sort order.
+    wh = Window.partitionBy("rng").orderBy("v", "side", "k")
+    heads = both.withColumn("rn", F.row_number().over(wh)).filter(
+        F.col("rn") <= window
+    )
+    # Duplicate just enough head rows backward into each needing range.
+    # Their prefix is strictly greater than the destination range's, so
+    # they sort after every native row — i.e. exactly where the global
+    # order puts them.
+    extra = (
+        heads.join(F.broadcast(needs), heads["rng"] == needs["src_rng"])
+        .filter(F.col("rn") <= F.col("need"))
+        .select(
+            "k",
+            "v",
+            "side",
+            F.col("dst_rng").alias("rng"),
+            F.lit(1).alias("xtra"),
+        )
+    )
+    aug = both.select(
+        "k", "v", "side", "rng", F.lit(0).alias("xtra")
+    ).unionAll(extra)
+    w = Window.partitionBy("rng").orderBy("v", "side", "k")
     cols = ["k", "v", "side"]
-    led = both.select(
+    led = aug.select(
         *cols,
+        "xtra",
         *[
             F.lead(c, j).over(w).alias(f"{c}_{j}")
             for j in range(1, window + 1)
             for c in cols
         ],
-    )
+    ).filter(F.col("xtra") == 0)
     pairs = None
     for j in range(1, window + 1):
         cand = led.filter(

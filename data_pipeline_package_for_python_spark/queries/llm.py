@@ -6394,11 +6394,13 @@ def search_kendall_tau(spark, sf_dir):
     "embed_twonn_ratios",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_bucket_expr('embedding')} AS bucket
       FROM embeddings WHERE vec_id % 10 = 0
     ),
     c AS (
-      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_bucket_expr('embedding')} AS bucket
       FROM embeddings
     ),
     d AS (
@@ -6407,7 +6409,7 @@ def search_kendall_tau(spark, sf_dir):
                list_transform(list_zip(qv, cv),
                  p -> (p[1] - p[2]) * (p[1] - p[2]))),
                (a, b) -> a + b)) AS dist
-      FROM q, c WHERE query_id <> neighbor_id
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
     ),
     r AS (
       SELECT query_id, dist,
@@ -6431,17 +6433,30 @@ def embed_twonn_ratios(spark, sf_dir):
     d = n/Σln µ; the ln stays OUTSIDE the hash surface per repo
     discipline — callers fold µ driver-side).  Distances are
     left-to-right IEEE folds and the d₂/d₁ division is correctly
-    rounded, so every µ is bit-identical cross-engine.  Brute-force
-    over the sampled queries (corpus-bounded candidates — the QC tier,
-    not the ANN serving tier)."""
+    rounded, so every µ is bit-identical cross-engine.
+
+    Scale posture: the candidate side is BOUNDED by the same sign-LSH
+    buckets the ANN family uses (operators/similarity.py sign_buckets,
+    n_bits=4) — each sampled query meets only corpus vectors in its own
+    bucket, so the pair space is Σ_b |q_b|·|c_b| (≈ n²/(10·2^n_bits)
+    under balanced occupancy, and the join is a plain equality
+    shuffle-hash join, never a cartesian).  Within a sign-LSH cell the
+    nearest neighbors are overwhelmingly the true ones (same quadrant
+    of the leading dimensions), and TwoNN's µ statistic only needs the
+    LOCAL neighborhood scale, so the bucket-bounded d₁/d₂ is the
+    standard blocked estimator — the QC tier, not the ANN serving
+    tier.  The DuckDB oracle applies the identical bucket literals, so
+    the estimator (not an unbounded idealization) is what's hashed."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+    q = S.sign_buckets(emb.filter(F.col("vec_id") % 10 == 0), n_bits=4).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        "bucket",
     )
-    c = emb.select(
+    c = S.sign_buckets(emb, n_bits=4).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
+        "bucket",
     )
     dist = F.sqrt(
         F.aggregate(
@@ -6459,7 +6474,7 @@ def embed_twonn_ratios(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
     d = (
-        q.crossJoin(c)
+        q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("dist"))
     )

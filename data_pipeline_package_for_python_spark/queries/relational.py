@@ -3228,15 +3228,19 @@ def _snm_oracle_sql(window: int = 3, max_distance: int = 2) -> str:
 def join_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood record linkage (operators/joins.py
     sorted_neighborhood_join): customer names with a trailing
-    corruption character re-linked to the clean roster by ONE global
-    sort + window-3 lead comparisons — (|L|+|R|)·w candidates instead
-    of |L|·|R|, no blocking key to mistype; levenshtein verifies in
-    codegen.  The fixed-width unique names keep each corrupted record
-    sort-adjacent to its twin (the regime SNM is designed for — a
-    suffix typo); the blocking-free complement to
-    join_fuzzy_levenshtein's equality blocks (SNM survives a typo in
-    the block key; blocking survives a corrupted prefix — production
-    linkage runs both tiers)."""
+    corruption character re-linked to the clean roster by sorted
+    window-3 lead comparisons — (|L|+|R|)·w candidates instead of
+    |L|·|R|, no blocking key to mistype; levenshtein verifies in
+    codegen.  The sort is DISTRIBUTED over deterministic name-prefix
+    ranges (range_len=16 → one range per hundred customer keys) with
+    boundary head rows duplicated backward, so the result is exactly
+    the global-sort pair set — the DuckDB oracle keeps the one-window
+    formulation and the hash pins the equivalence.  The fixed-width
+    unique names keep each corrupted record sort-adjacent to its twin
+    (the regime SNM is designed for — a suffix typo); the
+    blocking-free complement to join_fuzzy_levenshtein's equality
+    blocks (SNM survives a typo in the block key; blocking survives a
+    corrupted prefix — production linkage runs both tiers)."""
     from ..operators.joins import sorted_neighborhood_join
 
     cust = load(spark, sf_dir, "customer")
@@ -3247,7 +3251,7 @@ def join_sorted_neighborhood(spark, sf_dir):
     clean = cust.select("c_custkey", "c_name")
     return sorted_neighborhood_join(
         dirty, clean, "d_key", "d_name", "c_custkey", "c_name",
-        window=3, max_distance=2,
+        window=3, max_distance=2, range_len=16,
     )
 
 

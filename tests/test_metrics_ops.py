@@ -184,6 +184,44 @@ def test_snm_cross_partition_adjacency(spark):
     assert len(self_matches) == 50  # every corrupted record re-linked
 
 
+def test_snm_range_blocked_matches_global_semantics(spark):
+    """Pin the distributed tier: range_len=10 splits record-00NN into 5
+    prefix ranges; the boundary pairs (e.g. record-0009x ↔ record-0010)
+    straddle ranges and must still surface via the duplicated head
+    rows.  The result set must be IDENTICAL to the degenerate
+    single-range run (range_len=1 here → one 'r' range = the old
+    global-window shape), and the data window must be partitioned."""
+    from data_pipeline_package_for_python_spark.operators.joins import (
+        sorted_neighborhood_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, f"record-{i:04d}x") for i in range(50)], "k long, v string"
+    ).repartition(16)
+    right = spark.createDataFrame(
+        [(i, f"record-{i:04d}") for i in range(50)], "k long, v string"
+    ).repartition(16)
+    blocked = sorted_neighborhood_join(
+        left, right, "k", "v", "k", "v",
+        window=2, max_distance=1, range_len=10,
+    )
+    # 5 ranges record-000 .. record-004, 20 rows each.
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    # every lead/lag window is PARTITIONED on rng — no global window
+    assert "windowspecdefinition(rng#" in plan
+    got = {tuple(r) for r in blocked.collect()}
+    ref = {
+        tuple(r)
+        for r in sorted_neighborhood_join(
+            left, right, "k", "v", "k", "v",
+            window=2, max_distance=1, range_len=1,
+        ).collect()
+    }
+    assert got == ref and len(
+        {(a, c) for a, _, c, _, _ in got if a == c}
+    ) == 50
+
+
 # --------------------------------------------------------------------- #
 # bootstrap / permutation laws                                          #
 # --------------------------------------------------------------------- #

@@ -95,8 +95,15 @@ def main() -> None:
     # first several executions).  A long-lived cluster pays this once
     # per session, not per query, so the steady state is the honest
     # throughput number.  Applied to both engines for fairness.
-    prev_pass = float("inf")
-    for _ in range(5):
+    # Plateau detection compares against the BEST pass so far, not the
+    # previous one, and never exits before 3 passes: on a loaded box two
+    # consecutive slow passes (e.g. 22 s then 21 s) would satisfy a
+    # prev-pass-only break while HotSpot is still cold — the round-5
+    # driver bench recorded a 3× outlier exactly this way.  All pass
+    # times are kept and emitted in the JSON so an unwarmed session is
+    # self-documenting.
+    warmup_passes: list[float] = []
+    for i in range(6):
         t0 = time.perf_counter()
         for names in BENCH_SET.values():
             for name in names:
@@ -105,10 +112,15 @@ def main() -> None:
                 if q.oracle:
                     con.execute(q.oracle).fetchall()
         this_pass = time.perf_counter() - t0
-        print(f"warmup pass: {this_pass:.2f}s", file=sys.stderr)
-        if this_pass > prev_pass * 0.9:
+        print(f"warmup pass {i + 1}: {this_pass:.2f}s", file=sys.stderr)
+        # Plateau = this pass failed to beat the best PRIOR pass by
+        # >10%; never before pass 3.
+        plateau = (
+            i >= 2 and this_pass > min(warmup_passes) * 0.9
+        )
+        warmup_passes.append(round(this_pass, 3))
+        if plateau:
             break
-        prev_pass = this_pass
 
     spark_sec: dict[str, float] = {}
     duck_sec: dict[str, float] = {}
@@ -149,6 +161,7 @@ def main() -> None:
             for b in spark_sec
         },
         "startup_sec": round(startup, 2),
+        "warmup_passes": warmup_passes,
     }
     print(json.dumps(out))
 

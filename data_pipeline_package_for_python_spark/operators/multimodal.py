@@ -5,13 +5,17 @@ to a typed metadata struct — the layout every large-scale multimodal
 corpus uses (payload bytes + {modality, mime, width/height/duration}).
 Spark moves the bytes; only explicitly-invoked transforms look inside.
 
-The decode stage is STUBBED: the real image/audio codecs (Pillow,
-libav) are not in this environment, so ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (byte-histogram "pixels") exercises the full
-Spark plumbing — schemas, Arrow batches, ``mapInPandas`` signatures,
-partition shapes — with real data movement.  Swapping in a real codec
-is a one-function change inside the pandas iterator.
+Decode status — REAL codecs, pure-Python, implemented in this module
+and :mod:`.jpeg`: PPM (raw pixels), PNG (zlib inflate + all five
+filters), baseline JPEG (full entropy decode: Huffman, dequantize,
+IDCT, YCbCr upsample), WAV/PCM, and mu-law audio all decode the actual
+bytes inside Arrow-batched ``mapInPandas``.  STUBBED remnants, both
+explicit: MP3 (entropy-coded audio is declared out of scope — raises
+``NotImplementedError`` with that contract) and the generic
+``decode_media`` feature path, whose ``fake=True`` deterministic
+decoder (byte-histogram "pixels") remains for plumbing tests that
+want schema/batch shape without codec cost.  Swapping another codec
+in is a one-function change inside the pandas iterator.
 
 Scale posture:
 - payloads stay in the JVM/Arrow layer until a pandas batch needs them;

@@ -144,6 +144,7 @@ class PlanReport:
     n_shuffles: int = 0
     n_broadcasts: int = 0
     n_codegen_spans: int = 0
+    n_global_windows: int = 0
     text: str = ""
 
     @property
@@ -160,6 +161,56 @@ class PlanReport:
             if any(table_hint in c for c in cols):
                 return len(cols)
         return None
+
+
+_WINDOWSPEC = "windowspecdefinition("
+
+
+def _count_global_windows(text: str) -> int:
+    """Count DISTINCT window specs with an EMPTY partition clause.
+
+    In explain text a spec prints its partition expressions first
+    (bare, no sort direction) and its order expressions after (each
+    carrying ``ASC``/``DESC``), so a spec whose FIRST top-level
+    argument ends with a sort direction has no partitioning — it
+    executes as a single-partition WindowExec, the 100 TB anti-pattern
+    this report exists to catch.  Specs are deduped on their full
+    argument text: one logical window reused by many expressions (or
+    reprinted across AQE sections) is one finding.
+    """
+    seen: set[str] = set()
+    n = 0
+    i = 0
+    while True:
+        i = text.find(_WINDOWSPEC, i)
+        if i < 0:
+            return n
+        j = i + len(_WINDOWSPEC)
+        depth, args, start = 1, [], j
+        while j < len(text) and depth:
+            ch = text[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(text[start:j].strip())
+            elif ch == "," and depth == 1:
+                args.append(text[start:j].strip())
+                start = j + 1
+            j += 1
+        spec = text[i:j]
+        i = j
+        if spec in seen or not args:
+            continue
+        seen.add(spec)
+        first = args[0]
+        # order-first (no partition exprs) or frame-first (over ()):
+        # either way the partition clause is empty.
+        if re.search(r"\b(ASC|DESC)\b", first) or first.startswith(
+            "specifiedwindowframe("
+        ):
+            n += 1
 
 
 def plan_report(df: DataFrame, *, execute: bool = False) -> PlanReport:
@@ -195,6 +246,7 @@ def plan_report(df: DataFrame, *, execute: bool = False) -> PlanReport:
         cols = [c.split(":")[0].strip() for c in body.split(",") if c.strip()]
         rep.read_schemas.append(cols)
     rep.joins = _JOIN_RE.findall(text)
+    rep.n_global_windows = _count_global_windows(text)
     rep.n_shuffles = len(_SHUFFLE_RE.findall(text))
     rep.shuffle_keys = _SHUFFLE_KEY_RE.findall(text)
     rep.n_broadcasts = text.count("BroadcastExchange")

@@ -41,7 +41,8 @@ from . import (  # noqa: E402,F401
 # first 50 uncredited names in this order form the driver window, and    #
 # newly credited names park themselves at import time (self-rotating).  #
 #                                                                        #
-# REAL schedule arithmetic (registry frozen at 400 + canary): 180        #
+# REAL schedule arithmetic (registry frozen at 399 queries + canary,    #
+# 400 entries total): 180                                                #
 # credited after r4; r5 → 230, r6 → 280, r7 → 330, r8 → 380, r9 →        #
 # sweep closes (the last ~20 + zz_canary confirms).  Full credit lands   #
 # round 9 at the 50/round budget — sooner only if the budget grows.      #

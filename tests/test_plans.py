@@ -487,6 +487,35 @@ _INTENTIONAL_CROSS = {
     "join_cross",
 }
 
+# Queries whose plan INTENTIONALLY contains an UNPARTITIONED window
+# (single-partition WindowExec) — each with the reason it is allowed.
+# Two legitimate classes:
+#   metadata — the window runs over a derived metadata/aggregate table
+#     (one row per range prefix / day bucket / file / distinct time /
+#     vocab term), orders of magnitude smaller than the data;
+#   order-statistic — the query's CONTRACT is an exact global ordered
+#     statistic (Gini, ROC-AUC, KS, conformal/bootstrap quantile,
+#     cumulative-share ranking): exactness requires one total order
+#     over per-entity aggregates, and the aggregate is already ≪ raw
+#     events.  Anything not listed here must have ZERO unpartitioned
+#     windows — that is the 100 TB anti-pattern this pin exists for.
+_GLOBAL_WINDOW_ALLOWED = {
+    "join_sorted_neighborhood": "metadata: range-prefix cumsum",
+    "ts_peak_concurrency": "metadata: day-bucket offset cumsum",
+    "etl_compaction_plan": "metadata: one row per data FILE",
+    "ml_negative_sampling_table": "metadata: vocab-bounded cumsum",
+    "analytics_kaplan_meier": "order-statistic: distinct event times",
+    "analytics_gini": "order-statistic: Lorenz cumsum per customer agg",
+    "analytics_pareto_deciles": "order-statistic: cumulative share",
+    "analytics_abc_classification": "order-statistic: cumulative share",
+    "ml_auc_exact": "order-statistic: exact ROC rank of score aggs",
+    "ml_calibration_bins": "order-statistic: global score deciles",
+    "ml_ks_statistic": "order-statistic: exact sup over pooled CDFs",
+    "ml_bootstrap_ci": "order-statistic: CI endpoints by rank",
+    "ml_conformal_interval": "order-statistic: calibration quantile",
+    "window_ntile_percent": "contract row: §2.2.5 global ntile demo",
+}
+
 # Excluded from the sweep: streaming queries EXECUTE their stream during
 # construction (run_available_now) and sink/binary queries write or
 # stage files — the sweep would turn into a full run.  Their join
@@ -512,6 +541,25 @@ def test_registry_no_unintended_cartesian(name, spark, sf_dir):
         # fences); a CartesianProduct never is.
         assert "CartesianProduct" not in ";".join(r.joins), r.joins
         assert "BroadcastExchange" in r.text, r.joins
+    # Same sweep, second posture pin: no single-partition WindowExec
+    # anywhere except the enumerated metadata / order-statistic cases.
+    if name not in _GLOBAL_WINDOW_ALLOWED:
+        assert r.n_global_windows == 0, (
+            f"{name}: {r.n_global_windows} unpartitioned window spec(s) "
+            "— partition it or justify it in _GLOBAL_WINDOW_ALLOWED"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(_GLOBAL_WINDOW_ALLOWED))
+def test_global_window_allowlist_not_stale(name, spark, sf_dir):
+    """Every allowlisted query must still HAVE an unpartitioned window;
+    once one is repartitioned (like ts_peak_concurrency's data sweep
+    was), dropping its entry keeps the allowlist honest — except that
+    metadata cumsums legitimately remain."""
+    assert rep(name, spark, sf_dir).n_global_windows > 0, (
+        f"{name} no longer has a global window — remove its allowlist "
+        "entry"
+    )
 
 
 def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):

@@ -267,15 +267,28 @@ def test_stream_static_join_matches_batch(spark, stream_dir, tables):
     assert streamed.count() == batch_n
 
 
-@pytest.mark.skip(
+def _protobuf_available() -> bool:
+    """Runtime probe, so this pin SELF-HEALS: the moment the
+    environment gains google.protobuf the test below runs for real
+    instead of skipping."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
     reason="transformWithState's Python driver worker requires "
     "google.protobuf, which this container lacks (no installs). "
     "Verified: the StatefulProcessor below fails with ImportError "
     "'cannot import name descriptor from google.protobuf' inside "
     "TransformWithStateInPySparkExec.validateAndMaybeEvolveStateSchema. "
-    "applyInPandasWithState covers arbitrary state meanwhile."
+    "applyInPandasWithState covers arbitrary state meanwhile.",
 )
-def test_transform_with_state_env_blocked(spark, stream_dir):  # pragma: no cover
+def test_transform_with_state_env_blocked(spark, stream_dir):
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 

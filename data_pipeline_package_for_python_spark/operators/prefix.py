@@ -1,0 +1,109 @@
+"""Distributed prefix aggregation — two-phase running sums.
+
+A running sum over one global ``ORDER BY`` executes as a
+SINGLE-PARTITION WindowExec: every row moves to one task, the
+canonical 100 TB anti-pattern (the registry-wide plan pin in
+tests/test_plans.py fails any query that does it unannounced).  This
+module generalizes the two-phase pattern already used by
+``ts_peak_concurrency`` (day buckets) and ``sorted_neighborhood_join``
+(prefix ranges) into one engine primitive:
+
+phase 1 — bucket every row with an expression MONOTONE NON-DECREASING
+  in the leading sort column (equal sort values must share a bucket,
+  and buckets must be contiguous intervals of the sort order — any
+  floor-division / date-truncation / string-prefix qualifies), then
+  compute bucket-LOCAL running sums in a bucket-partitioned window;
+
+phase 2 — aggregate one total per bucket (a METADATA table, one row
+  per bucket, orders of magnitude smaller than the data), turn it into
+  exclusive bucket offsets with a cumsum over that metadata only, and
+  broadcast-join the offsets back: global prefix = offset + local.
+
+Exactness: bit-identical to the global window for integral / decimal
+sums (addition is associative there).  For float columns the
+reassociation can differ in the last ulp — keep floats off the hash
+surface (repo discipline) or use one bucket.
+
+The reference system has no ordered aggregation at all (its engine is
+an eager scalar loop, /root/reference/dpp.py:283-296); this primitive
+exists for the §2.2 engine contract's order-statistic family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["prefix_sums"]
+
+
+def prefix_sums(
+    df: DataFrame,
+    *,
+    order: list,
+    cols: dict[str, str],
+    bucket: Column,
+    end: str = "current",
+) -> DataFrame:
+    """Add running-sum columns over one total order, without a global
+    window.
+
+    Parameters
+    ----------
+    order:
+        Columns (names or Columns) defining the total order.  Rows with
+        equal full order keys get frame-order-dependent running sums —
+        same caveat as any ROWS-frame window; pre-aggregate to distinct
+        keys (the usual shape) or include a tiebreaker.
+    cols:
+        ``{source_column: result_column}`` running sums to compute.
+    bucket:
+        Expression monotone non-decreasing in ``order[0]`` whose level
+        sets are contiguous sort intervals (e.g. ``F.expr("s div
+        1000")``, ``F.date_trunc('day', ts)``, ``F.substring(v, 1,
+        4)``).  Rows with equal ``order[0]`` MUST share a bucket.
+    end:
+        ``"current"`` — inclusive frame (UNBOUNDED PRECEDING..CURRENT
+        ROW); ``"preceding"`` — exclusive (..1 PRECEDING), 0 on each
+        bucket's first row before the offset is added.
+    """
+    if end not in ("current", "preceding"):
+        raise ValueError(f"end='current'|'preceding', got {end!r}")
+    frame_end = Window.currentRow if end == "current" else -1
+    b = df.withColumn("__bkt", bucket)
+    wl = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    out = b
+    for src, dst in cols.items():
+        out = out.withColumn(
+            dst, F.coalesce(F.sum(src).over(wl), F.lit(0))
+        )
+    # Bucket metadata: one row per bucket; the unpartitioned cumsum
+    # below runs over THIS table only, never over data rows.
+    wm = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = b.groupBy("__bkt").agg(
+        *[F.sum(src).alias(f"__t_{dst}") for src, dst in cols.items()]
+    )
+    offs = totals.select(
+        "__bkt",
+        *[
+            (F.sum(f"__t_{dst}").over(wm) - F.col(f"__t_{dst}")).alias(
+                f"__o_{dst}"
+            )
+            for dst in cols.values()
+        ],
+    )
+    res = out.join(F.broadcast(offs), "__bkt")
+    for dst in cols.values():
+        res = res.withColumn(
+            dst, F.col(dst) + F.coalesce(F.col(f"__o_{dst}"), F.lit(0))
+        )
+    return res.drop(
+        "__bkt", *[f"__o_{dst}" for dst in cols.values()]
+    )

@@ -4891,25 +4891,25 @@ def ml_auc_exact(spark, sf_dir):
     — the standard classifier-eval metric computed without floats or
     sampling.  Tie-correct midranks come from per-SCORE-VALUE group
     counts (2·midrank = 2·cum_before + n + 1), so the only window runs
-    over DISTINCT scores, not rows — at 100 TB the rank pass is a
-    groupBy(score) plus a tiny ordered prefix-sum, never a global
-    row sort.  AUC = (ΣR₁·2 − n₊(n₊+1)) / (2·n₊·n₋) in pure BIGINTs;
+    over DISTINCT scores, not rows — and even that pass is TWO-PHASE
+    (operators/prefix.prefix_sums: score-range buckets + bucket-offset
+    metadata cumsum), so no data-scale rows ever cross one partition.
+    AUC = (ΣR₁·2 − n₊(n₊+1)) / (2·n₊·n₋) in pure BIGINTs;
     emitted as exact num/den plus ppm floor division."""
-    from pyspark.sql import Window
+    from ..operators.prefix import prefix_sums
 
     scored = _scored_docs(spark, sf_dir)
     per_score = scored.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n1"),
     )
-    w = (
-        Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = per_score.withColumn(
-        "cum_before",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint"),
-    )
+    cum = prefix_sums(
+        per_score,
+        order=["s"],
+        cols={"n": "cum_before"},
+        bucket=F.expr("s div 1000"),
+        end="preceding",
+    ).withColumn("cum_before", F.col("cum_before").cast("bigint"))
     tot = cum.agg(
         F.sum(
             F.col("n1") * (2 * F.col("cum_before") + F.col("n") + 1)
@@ -5230,20 +5230,25 @@ def ml_ks_statistic(spark, sf_dir):
     |CDF₊ − CDF₋| is reached at an observed score, so it cross-
     multiplies to max|cp·n₋ − cq·n₊| / (n₊·n₋) in pure BIGINTs — no
     float CDFs, no approximation.  Like ml_auc_exact, the only ordered
-    pass runs over DISTINCT scores (groupBy first), never rows."""
-    from pyspark.sql import Window
+    pass runs over DISTINCT scores (groupBy first), never rows — and
+    it is TWO-PHASE (operators/prefix.prefix_sums: score-range buckets
+    + bucket-offset metadata cumsum)."""
+    from ..operators.prefix import prefix_sums
 
     scored = _scored_docs(spark, sf_dir)
     per_score = scored.groupBy("s").agg(
         F.sum("y").cast("bigint").alias("p"),
         F.sum(1 - F.col("y")).cast("bigint").alias("q"),
     )
-    w = Window.orderBy("s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_score.select(
-        F.sum("p").over(w).cast("bigint").alias("cp"),
-        F.sum("q").over(w).cast("bigint").alias("cq"),
+    cum = prefix_sums(
+        per_score,
+        order=["s"],
+        cols={"p": "cp", "q": "cq"},
+        bucket=F.expr("s div 1000"),
+        end="current",
+    ).select(
+        F.col("cp").cast("bigint").alias("cp"),
+        F.col("cq").cast("bigint").alias("cq"),
     )
     tot = per_score.agg(
         F.sum("p").cast("bigint").alias("np"),

@@ -1828,15 +1828,15 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the 30-min gap sessionizer; everything is exact µs
     BIGINTs.
 
-    The running sum is TWO-PHASE, never one global window: deltas
-    bucket by UTC day, each day computes its local prefix sum in a
-    day-partitioned window, and the day offsets (cumulative day totals)
-    come from a day-METADATA table — one row per day, ≪ data — joined
-    back by broadcast.  Equal timestamps share a bucket, so the
-    boundary tie rule is preserved exactly; the only unpartitioned
-    window left runs over the day metadata."""
-    from pyspark.sql.window import Window as W
-
+    The running sum is TWO-PHASE, never one global window
+    (operators/prefix.prefix_sums): deltas bucket by UTC day, each day
+    computes its local prefix sum in a day-partitioned window, and the
+    day offsets (cumulative day totals) come from a day-METADATA table
+    — one row per day, ≪ data — joined back by broadcast.  Equal
+    timestamps share a bucket, so the boundary tie rule is preserved
+    exactly; the only unpartitioned window left runs over the day
+    metadata."""
+    from ..operators.prefix import prefix_sums
     from ..operators.timeseries import sessionize
 
     ev = load(spark, sf_dir, "events").select(
@@ -1855,33 +1855,12 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
     )
     day_us = 86_400_000_000
-    sweep = sweep.withColumn("bkt", F.floor(F.col("t") / day_us))
-    local = sweep.withColumn(
-        "run_local",
-        F.sum("delta").over(
-            W.partitionBy("bkt")
-            .orderBy(F.col("t"), F.col("delta").desc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    # Day-metadata offsets: one row per day, exclusive prefix of totals.
-    offsets = (
-        sweep.groupBy("bkt")
-        .agg(F.sum("delta").alias("tot"))
-        .select(
-            "bkt",
-            (
-                F.sum("tot").over(
-                    W.orderBy("bkt").rowsBetween(
-                        W.unboundedPreceding, W.currentRow
-                    )
-                )
-                - F.col("tot")
-            ).alias("off"),
-        )
-    )
-    run = local.join(F.broadcast(offsets), "bkt").withColumn(
-        "conc", F.col("off") + F.col("run_local")
+    run = prefix_sums(
+        sweep,
+        order=[F.col("t"), F.col("delta").desc()],
+        cols={"delta": "conc"},
+        bucket=F.floor(F.col("t") / day_us),
+        end="current",
     )
     n_sessions = s.agg(F.count(F.lit(1)).alias("n_sessions"))
     peak = run.agg(F.max("conc").alias("peak_concurrency"))

@@ -223,6 +223,57 @@ def test_snm_range_blocked_matches_global_semantics(spark):
 
 
 # --------------------------------------------------------------------- #
+# two-phase prefix sums                                                  #
+# --------------------------------------------------------------------- #
+
+def test_prefix_sums_equal_global_window_both_frames(spark):
+    """prefix_sums must reproduce the single-window running sum exactly
+    — inclusive and exclusive frames, negative values, negative bucket
+    boundaries (div truncates toward zero: bucket 0 spans [-9, 9], still
+    a contiguous sort interval), and a partitioned plan."""
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_package_for_python_spark.operators.prefix import (
+        prefix_sums,
+    )
+
+    rows = [(k, (k * 37) % 23 - 11) for k in range(-40, 40)]
+    df = spark.createDataFrame(rows, "s long, x long").repartition(16)
+    for end, frame_end in (("current", W.currentRow), ("preceding", -1)):
+        got = {
+            (r["s"], r["cum"])
+            for r in prefix_sums(
+                df, order=["s"], cols={"x": "cum"},
+                bucket=F.expr("s div 10"), end=end,
+            ).collect()
+        }
+        ref = {
+            (r["s"], r["cum"])
+            for r in df.withColumn(
+                "cum",
+                F.coalesce(
+                    F.sum("x").over(
+                        W.orderBy("s").rowsBetween(
+                            W.unboundedPreceding, frame_end
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            ).collect()
+        }
+        assert got == ref, end
+    # the data window is bucket-partitioned in the plan
+    plan = (
+        prefix_sums(
+            df, order=["s"], cols={"x": "cum"},
+            bucket=F.expr("s div 10"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(__bkt#" in plan
+
+
+# --------------------------------------------------------------------- #
 # bootstrap / permutation laws                                          #
 # --------------------------------------------------------------------- #
 

@@ -508,9 +508,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "analytics_gini": "order-statistic: Lorenz cumsum per customer agg",
     "analytics_pareto_deciles": "order-statistic: cumulative share",
     "analytics_abc_classification": "order-statistic: cumulative share",
-    "ml_auc_exact": "order-statistic: exact ROC rank of score aggs",
+    "ml_auc_exact": "metadata: prefix_sums score-bucket offset cumsum",
     "ml_calibration_bins": "order-statistic: global score deciles",
-    "ml_ks_statistic": "order-statistic: exact sup over pooled CDFs",
+    "ml_ks_statistic": "metadata: prefix_sums score-bucket offset cumsum",
     "ml_bootstrap_ci": "order-statistic: CI endpoints by rank",
     "ml_conformal_interval": "order-statistic: calibration quantile",
     "window_ntile_percent": "contract row: §2.2.5 global ntile demo",

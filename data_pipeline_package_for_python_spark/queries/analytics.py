@@ -4652,9 +4652,15 @@ def analytics_abc_classification(
     small multipliers on purpose: a ppm-scale factor overflows int64
     at sf1 totals — so boundary parts classify identically in both
     engines; ties in revenue order deterministically by part key.
-    Shares report in exact per-mille for the same overflow headroom.  One aggregate, one ranked cumulative window over the
-    part-bounded frame, a 3-row rollup."""
-    from pyspark.sql.window import Window as W
+    Shares report in exact per-mille for the same overflow headroom.
+
+    The cumulative share is TWO-PHASE (operators/prefix.prefix_sums):
+    per-part revenues bucket by descending revenue range (-(r div 1e6)
+    is monotone along the r DESC order), each bucket computes a local
+    running sum, and bucket offsets come from the one-row-per-bucket
+    metadata cumsum; the corpus total is a broadcast one-row
+    aggregate, not a global window."""
+    from ..operators.prefix import prefix_sums
 
     rev = (
         load(spark, sf_dir, "lineitem")
@@ -4667,13 +4673,15 @@ def analytics_abc_classification(
         .groupBy("partkey")
         .agg(F.sum("rc").alias("r"))
     )
-    wc = W.orderBy(F.col("r").desc(), "partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    ranked = prefix_sums(
+        rev,
+        order=[F.col("r").desc(), F.col("partkey")],
+        cols={"r": "cum"},
+        bucket=-F.expr("r div 1000000"),
+        end="current",
     )
-    ranked = rev.withColumn("cum", F.sum("r").over(wc)).withColumn(
-        "tot", F.sum("r").over(W.partitionBy())
-    )
-    cls = ranked.withColumn(
+    tot = rev.agg(F.sum("r").alias("tot"))
+    cls = ranked.crossJoin(F.broadcast(tot)).withColumn(
         "abc",
         F.when(F.col("cum") * 20 <= 16 * F.col("tot"), "A")
         .when(F.col("cum") * 20 <= 19 * F.col("tot"), "B")

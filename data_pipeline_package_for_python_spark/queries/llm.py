@@ -5162,8 +5162,18 @@ def ml_calibration_bins(spark, sf_dir):
     AUC (ranking power) and the confusion matrix (threshold behavior)
     this completes the standard classifier-eval triptych; a monotone
     pos_rate over bins is what "the score means something" looks like.
-    One rank pass + one tiny aggregate."""
+
+    The decile assignment is TWO-PHASE, never a global ntile window:
+    each row's exact global rank = (two-phase cumulative count of
+    smaller scores via operators/prefix.prefix_sums) + (score-
+    partitioned row_number over doc_id), and SQL ntile's tile rule —
+    the first n mod 10 tiles take one extra row — is re-derived from
+    that rank in closed form, so the bins are bit-identical to
+    ntile(10) OVER (ORDER BY s, doc_id) with no data-scale rows
+    through one partition."""
     from pyspark.sql import Window
+
+    from ..operators.prefix import prefix_sums
 
     # _scored_docs drops the doc id; rebuild with it retained for the
     # deterministic ntile tie-break
@@ -5176,9 +5186,37 @@ def ml_calibration_bins(spark, sf_dir):
         ),
         F.col("id") == F.col("doc_id"),
     ).select(F.col("doc_id"), F.col("score_units").alias("s"), "y")
-    binned = sc.select(
-        F.ntile(10).over(Window.orderBy("s", "doc_id"))
-        .cast("bigint").alias("bin"),
+    per_s = sc.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cums = prefix_sums(
+        per_s,
+        order=["s"],
+        cols={"cnt": "cb"},
+        bucket=F.expr("s div 1000"),
+        end="preceding",
+    ).select("s", "cb")
+    tot = sc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = sc.join(cums, "s").select(
+        "s",
+        "y",
+        (
+            F.col("cb")
+            + F.row_number().over(
+                Window.partitionBy("s").orderBy("doc_id")
+            )
+        ).alias("rk"),
+    )
+    # SQL ntile(10): k = n div 10, r = n mod 10; tiles 1..r hold k+1
+    # rows, tiles r+1..10 hold k.  greatest(k,1) keeps the unevaluated
+    # branch ANSI-safe when n < 10 (all rows land in the first branch).
+    binned = ranked.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN rk <= (n % 10) * ((n div 10) + 1) "
+            "THEN (rk - 1) div ((n div 10) + 1) + 1 "
+            "ELSE (n % 10) + (rk - (n % 10) * ((n div 10) + 1) - 1) "
+            "div greatest(n div 10, 1) + 1 END"
+        ).cast("bigint").alias("bin"),
         "s",
         "y",
     )
@@ -6553,10 +6591,13 @@ def ml_conformal_interval(spark, sf_dir):
     90% by the conformal theorem.  Predictions are correctly-rounded
     divisions of exact integer sums and the rank/coverage comparisons
     reuse those bit-identical doubles, so q̂ and coverage hash exactly.
-    One profile aggregate, one rank window on the calibration frame,
-    one test scan."""
-    from pyspark.sql.window import Window as W
 
+    The rank is TWO-PHASE, never a global row_number: per-distinct-
+    residual counts get a bucketed running sum (operators/prefix.
+    prefix_sums), and q̂ = min residual whose cumulative count reaches
+    k = ⌈0.9(n+1)⌉ — the identical order statistic (the row-level
+    event_id tiebreak never changes the VALUE at rank k), with no
+    data-scale rows through one partition."""
     e = load(spark, sf_dir, "events").select(
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("y"),
@@ -6577,16 +6618,26 @@ def ml_conformal_interval(spark, sf_dir):
         .join(prof, "h")
         .select(resid.alias("resid"), "event_id")
     )
-    ranked = cal.select(
-        "resid",
-        F.row_number()
-        .over(W.orderBy("resid", "event_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    from ..operators.prefix import prefix_sums
+
+    per_resid = cal.groupBy("resid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    nq = ranked.filter(
-        F.col("rn") == F.ceil(0.9 * (F.col("n") + 1)).cast("long")
-    ).select(F.col("resid").alias("q_hat"))
+    cum = prefix_sums(
+        per_resid,
+        order=["resid"],
+        cols={"cnt": "cum"},
+        bucket=F.floor(F.col("resid") / F.lit(256.0)),
+        end="current",
+    )
+    k = cal.agg(
+        F.ceil(0.9 * (F.count(F.lit(1)) + 1)).cast("long").alias("k")
+    )
+    nq = (
+        cum.crossJoin(F.broadcast(k))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.min("resid").alias("q_hat"))
+    )
     test = (
         e.filter(F.col("split") == 1)
         .join(prof, "h")

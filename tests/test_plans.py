@@ -507,12 +507,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     "analytics_kaplan_meier": "order-statistic: distinct event times",
     "analytics_gini": "order-statistic: Lorenz cumsum per customer agg",
     "analytics_pareto_deciles": "order-statistic: cumulative share",
-    "analytics_abc_classification": "order-statistic: cumulative share",
+    "analytics_abc_classification": "metadata: prefix_sums rev buckets",
     "ml_auc_exact": "metadata: prefix_sums score-bucket offset cumsum",
-    "ml_calibration_bins": "order-statistic: global score deciles",
+    "ml_calibration_bins": "metadata: prefix_sums rank + closed ntile",
     "ml_ks_statistic": "metadata: prefix_sums score-bucket offset cumsum",
-    "ml_bootstrap_ci": "order-statistic: CI endpoints by rank",
-    "ml_conformal_interval": "order-statistic: calibration quantile",
+    "ml_bootstrap_ci": "bounded: 100 replicate means by construction",
+    "ml_conformal_interval": "metadata: prefix_sums resid buckets",
     "window_ntile_percent": "contract row: §2.2.5 global ntile demo",
 }
 

@@ -121,12 +121,21 @@ def main() -> int:
 
     spark = get_spark(app_name="check-correctness")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    def fresh_con():
+        """One DuckDB connection PER QUERY.  A single connection reused
+        across a full sf0.1 sweep accumulates buffer-pool state until
+        tiny allocations start failing ('Failed to allocate block of
+        2048 bytes') ~100 queries in — observed round 6; views over
+        parquet are free to re-register."""
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return c
+
+    import gc
 
     failures, checked, weak = [], 0, 0
     for name, fn in qs.items():
@@ -147,7 +156,10 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
+            con = fresh_con()
             dpdf = con.execute(oracle).df()
+            con.close()
+            gc.collect()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")

@@ -2247,12 +2247,17 @@ def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2Σi·xᵢ − (n+1)Σx) / (n·Σx) over exact cent units; the index
     comes from row_number with a total-order tie-break, and the formula
     is invariant to the order among equal x, so the value is a pure
-    function of the multiset.  The global sort runs over the CUSTOMER
-    aggregate (|customers| rows, not facts); the scalar combination is
-    DECIMAL(38,0) on Spark / HUGEINT in the oracle — exact far past
-    BIGINT range (the ppm multiply overflows int64 already at sf0.01).
+    function of the multiset.  The rank pass is TWO-PHASE
+    (operators/prefix.prefix_sums): cumulative counts of smaller
+    revenues over revenue-range buckets plus a revenue-partitioned
+    row_number — no |customers|-row single-partition window; the
+    scalar combination is DECIMAL(38,0) on Spark / HUGEINT in the
+    oracle — exact far past BIGINT range (the ppm multiply overflows
+    int64 already at sf0.01).
     """
     from pyspark.sql.window import Window
+
+    from ..operators.prefix import prefix_sums
 
     rev = (
         load(spark, sf_dir, "orders")
@@ -2264,10 +2269,24 @@ def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("x")
         )
     )
-    ranked = rev.select(
+    per_x = rev.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cums = prefix_sums(
+        per_x,
+        order=["x"],
+        cols={"cnt": "cb"},
+        bucket=F.expr("x div 1000000"),
+        end="preceding",
+    ).select("x", "cb")
+    ranked = rev.join(cums, "x").select(
         "x",
-        F.row_number()
-        .over(Window.orderBy("x", "o_custkey"))
+        (
+            F.col("cb")
+            + F.row_number().over(
+                Window.partitionBy("x").orderBy("o_custkey")
+            )
+        )
         .cast("bigint")
         .alias("i"),
     )
@@ -2624,8 +2643,18 @@ def analytics_pareto_deciles(
     distributional readout next to analytics_gini's single number.
     Exact cent units throughout; the share ratio is floor-of-IEEE on
     identical exact integers (the Gini discipline — raw ppm BIGINT
-    multiply would overflow at sf1)."""
+    multiply would overflow at sf1).
+
+    The decile assignment is TWO-PHASE (the ml_calibration_bins
+    pattern): exact global rank = prefix_sums cumulative count of
+    LARGER revenues (descending revenue-range buckets) + a revenue-
+    partitioned row_number, and SQL ntile's first-r-tiles-get-one-
+    extra rule is re-derived in closed form — bit-identical to
+    ntile(10) OVER (ORDER BY x DESC, o_custkey), with only the 10-row
+    decile aggregate left under unpartitioned windows."""
     from pyspark.sql.window import Window
+
+    from ..operators.prefix import prefix_sums
 
     rev = (
         load(spark, sf_dir, "orders")
@@ -2637,11 +2666,36 @@ def analytics_pareto_deciles(
             ).cast("bigint").alias("x")
         )
     )
-    dec = rev.select(
+    per_x = rev.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cums = prefix_sums(
+        per_x,
+        order=[F.col("x").desc()],
+        cols={"cnt": "cb"},
+        bucket=-F.expr("x div 1000000"),
+        end="preceding",
+    ).select("x", "cb")
+    tot_n = rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = rev.join(cums, "x").select(
         "x",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("x").desc(), F.col("o_custkey")))
-        .alias("decile"),
+        (
+            F.col("cb")
+            + F.row_number().over(
+                Window.partitionBy("x").orderBy("o_custkey")
+            )
+        )
+        .cast("bigint")
+        .alias("rk"),
+    )
+    dec = ranked.crossJoin(F.broadcast(tot_n)).select(
+        "x",
+        F.expr(
+            "CASE WHEN rk <= (n % 10) * ((n div 10) + 1) "
+            "THEN (rk - 1) div ((n div 10) + 1) + 1 "
+            "ELSE (n % 10) + (rk - (n % 10) * ((n div 10) + 1) - 1) "
+            "div greatest(n div 10, 1) + 1 END"
+        ).cast("int").alias("decile"),
     )
     agg = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -504,9 +504,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ts_peak_concurrency": "metadata: day-bucket offset cumsum",
     "etl_compaction_plan": "metadata: one row per data FILE",
     "ml_negative_sampling_table": "metadata: vocab-bounded cumsum",
-    "analytics_kaplan_meier": "order-statistic: distinct event times",
-    "analytics_gini": "order-statistic: Lorenz cumsum per customer agg",
-    "analytics_pareto_deciles": "order-statistic: cumulative share",
+    "analytics_kaplan_meier": "bounded: distinct event DAYS risk sets",
+    "analytics_gini": "metadata: prefix_sums revenue buckets",
+    "analytics_pareto_deciles": "metadata: prefix_sums + 10-row deciles",
     "analytics_abc_classification": "metadata: prefix_sums rev buckets",
     "ml_auc_exact": "metadata: prefix_sums score-bucket offset cumsum",
     "ml_calibration_bins": "metadata: prefix_sums rank + closed ntile",

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["prefix_sums"]
+__all__ = ["prefix_rank", "prefix_sums"]
 
 
 def prefix_sums(
@@ -106,4 +106,51 @@ def prefix_sums(
         )
     return res.drop(
         "__bkt", *[f"__o_{dst}" for dst in cols.values()]
+    )
+
+
+def prefix_rank(
+    df: DataFrame,
+    *,
+    key: str,
+    tiebreak: str,
+    bucket: Column,
+    descending: bool = False,
+    out: str = "rk",
+) -> DataFrame:
+    """Exact global rank — ``row_number() OVER (ORDER BY key [DESC],
+    tiebreak)`` — without a global window.
+
+    rank(row) = (two-phase cumulative count of rows with a strictly
+    smaller — or, ``descending``, strictly larger — ``key``, via
+    :func:`prefix_sums` over per-distinct-key counts) + (``key``-
+    partitioned ``row_number`` over ``tiebreak``).  Both passes are
+    partitioned; the only unpartitioned work is the bucket-metadata
+    cumsum inside :func:`prefix_sums`.  ``bucket`` follows the same
+    contract as there, relative to ``key`` in the chosen direction.
+
+    Returns ``df`` plus a bigint ``out`` column.  Used by the
+    order-statistic registry family (calibration deciles, Gini index,
+    Pareto deciles) — compose with the exact ntile tile rule (first
+    ``n mod B`` tiles take one extra row) for tiling.
+    """
+    per_key = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    order = [F.col(key).desc()] if descending else [key]
+    cums = prefix_sums(
+        per_key,
+        order=order,
+        cols={"__cnt": "__cb"},
+        bucket=bucket,
+        end="preceding",
+    ).select(key, "__cb")
+    w = Window.partitionBy(key).orderBy(tiebreak)
+    return (
+        df.join(cums, key)
+        .withColumn(
+            out,
+            (F.col("__cb") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("__cb")
     )

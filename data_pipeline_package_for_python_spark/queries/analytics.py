@@ -2255,9 +2255,7 @@ def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — exact far past BIGINT range (the ppm multiply overflows
     int64 already at sf0.01).
     """
-    from pyspark.sql.window import Window
-
-    from ..operators.prefix import prefix_sums
+    from ..operators.prefix import prefix_rank
 
     rev = (
         load(spark, sf_dir, "orders")
@@ -2269,27 +2267,10 @@ def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("x")
         )
     )
-    per_x = rev.groupBy("x").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    cums = prefix_sums(
-        per_x,
-        order=["x"],
-        cols={"cnt": "cb"},
-        bucket=F.expr("x div 1000000"),
-        end="preceding",
-    ).select("x", "cb")
-    ranked = rev.join(cums, "x").select(
-        "x",
-        (
-            F.col("cb")
-            + F.row_number().over(
-                Window.partitionBy("x").orderBy("o_custkey")
-            )
-        )
-        .cast("bigint")
-        .alias("i"),
-    )
+    ranked = prefix_rank(
+        rev, key="x", tiebreak="o_custkey",
+        bucket=F.expr("x div 1000000"), out="i",
+    ).select("x", "i")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     st = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2654,7 +2635,7 @@ def analytics_pareto_deciles(
     decile aggregate left under unpartitioned windows."""
     from pyspark.sql.window import Window
 
-    from ..operators.prefix import prefix_sums
+    from ..operators.prefix import prefix_rank
 
     rev = (
         load(spark, sf_dir, "orders")
@@ -2666,28 +2647,11 @@ def analytics_pareto_deciles(
             ).cast("bigint").alias("x")
         )
     )
-    per_x = rev.groupBy("x").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    cums = prefix_sums(
-        per_x,
-        order=[F.col("x").desc()],
-        cols={"cnt": "cb"},
-        bucket=-F.expr("x div 1000000"),
-        end="preceding",
-    ).select("x", "cb")
     tot_n = rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = rev.join(cums, "x").select(
-        "x",
-        (
-            F.col("cb")
-            + F.row_number().over(
-                Window.partitionBy("x").orderBy("o_custkey")
-            )
-        )
-        .cast("bigint")
-        .alias("rk"),
-    )
+    ranked = prefix_rank(
+        rev, key="x", tiebreak="o_custkey",
+        bucket=-F.expr("x div 1000000"), descending=True,
+    ).select("x", "rk")
     dec = ranked.crossJoin(F.broadcast(tot_n)).select(
         "x",
         F.expr(

@@ -5171,9 +5171,7 @@ def ml_calibration_bins(spark, sf_dir):
     that rank in closed form, so the bins are bit-identical to
     ntile(10) OVER (ORDER BY s, doc_id) with no data-scale rows
     through one partition."""
-    from pyspark.sql import Window
-
-    from ..operators.prefix import prefix_sums
+    from ..operators.prefix import prefix_rank
 
     # _scored_docs drops the doc id; rebuild with it retained for the
     # deterministic ntile tie-break
@@ -5186,27 +5184,11 @@ def ml_calibration_bins(spark, sf_dir):
         ),
         F.col("id") == F.col("doc_id"),
     ).select(F.col("doc_id"), F.col("score_units").alias("s"), "y")
-    per_s = sc.groupBy("s").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    cums = prefix_sums(
-        per_s,
-        order=["s"],
-        cols={"cnt": "cb"},
-        bucket=F.expr("s div 1000"),
-        end="preceding",
-    ).select("s", "cb")
     tot = sc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = sc.join(cums, "s").select(
-        "s",
-        "y",
-        (
-            F.col("cb")
-            + F.row_number().over(
-                Window.partitionBy("s").orderBy("doc_id")
-            )
-        ).alias("rk"),
-    )
+    ranked = prefix_rank(
+        sc, key="s", tiebreak="doc_id",
+        bucket=F.expr("s div 1000"),
+    ).select("s", "y", "rk")
     # SQL ntile(10): k = n div 10, r = n mod 10; tiles 1..r hold k+1
     # rows, tiles r+1..10 hold k.  greatest(k,1) keeps the unevaluated
     # branch ANSI-safe when n < 10 (all rows land in the first branch).

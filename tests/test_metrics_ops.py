@@ -273,6 +273,38 @@ def test_prefix_sums_equal_global_window_both_frames(spark):
     assert "windowspecdefinition(__bkt#" in plan
 
 
+def test_prefix_rank_equals_global_row_number(spark):
+    """prefix_rank must equal row_number() OVER (ORDER BY key [DESC],
+    tiebreak) exactly — duplicate keys resolved by the key-partitioned
+    tiebreak, both directions."""
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_package_for_python_spark.operators.prefix import (
+        prefix_rank,
+    )
+
+    rows = [(k % 13, f"t{k:03d}") for k in range(60)]
+    df = spark.createDataFrame(rows, "k long, tb string").repartition(16)
+    for desc in (False, True):
+        order = [F.col("k").desc(), "tb"] if desc else ["k", "tb"]
+        ref = {
+            (r["k"], r["tb"], r["rk"])
+            for r in df.withColumn(
+                "rk",
+                F.row_number().over(W.orderBy(*order)).cast("bigint"),
+            ).collect()
+        }
+        got = {
+            (r["k"], r["tb"], r["rk"])
+            for r in prefix_rank(
+                df, key="k", tiebreak="tb",
+                bucket=(-F.expr("k div 4") if desc else F.expr("k div 4")),
+                descending=desc,
+            ).collect()
+        }
+        assert got == ref, f"descending={desc}"
+
+
 # --------------------------------------------------------------------- #
 # bootstrap / permutation laws                                          #
 # --------------------------------------------------------------------- #

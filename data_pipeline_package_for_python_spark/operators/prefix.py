@@ -77,18 +77,37 @@ def prefix_sums(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
-    out = b
+    wn = Window.partitionBy("__bkt").orderBy(*order)
+    out = b.withColumn("__rn", F.row_number().over(wn))
     for src, dst in cols.items():
         out = out.withColumn(
             dst, F.coalesce(F.sum(src).over(wl), F.lit(0))
+        ).withColumn(
+            f"__inc_{dst}",
+            F.col(dst) + (F.lit(0) if end == "current" else F.col(src)),
         )
     # Bucket metadata: one row per bucket; the unpartitioned cumsum
-    # below runs over THIS table only, never over data rows.
+    # below runs over THIS table only, never over data rows.  The
+    # bucket total is read OFF THE WINDOW OUTPUT — the inclusive
+    # running sum at the bucket's last row (max_by over the in-window
+    # row_number, direction-proof for mixed asc/desc orders) — NOT
+    # re-aggregated from the input: a fresh sum(src) GROUP BY bucket
+    # lets Catalyst eliminate the window and column-prune the second
+    # subplan apart from the first, and the ENTIRE input pipeline
+    # (scan included) runs twice with no ReusedExchange (observed on
+    # ml_auc_exact: 4 parquet scans, 0 reuses).  Depending on the
+    # window column keeps one shared scan→…→Exchange(__bkt)→Window
+    # subplan; the groupBy consumes data already partitioned on __bkt.
     wm = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    totals = b.groupBy("__bkt").agg(
-        *[F.sum(src).alias(f"__t_{dst}") for src, dst in cols.items()]
+    totals = out.groupBy("__bkt").agg(
+        *[
+            F.max_by(F.col(f"__inc_{dst}"), F.col("__rn")).alias(
+                f"__t_{dst}"
+            )
+            for dst in cols.values()
+        ]
     )
     offs = totals.select(
         "__bkt",
@@ -105,7 +124,10 @@ def prefix_sums(
             dst, F.col(dst) + F.coalesce(F.col(f"__o_{dst}"), F.lit(0))
         )
     return res.drop(
-        "__bkt", *[f"__o_{dst}" for dst in cols.values()]
+        "__bkt",
+        "__rn",
+        *[f"__o_{dst}" for dst in cols.values()],
+        *[f"__inc_{dst}" for dst in cols.values()],
     )
 
 

@@ -4899,10 +4899,14 @@ def ml_auc_exact(spark, sf_dir):
     from ..operators.prefix import prefix_sums
 
     scored = _scored_docs(spark, sf_dir)
+    # score-domain-sized aggregate, referenced twice inside
+    # prefix_sums: checkpoint so the document scan + scoring regex run
+    # ONCE (column pruning otherwise specializes the two subplans
+    # apart and defeats ReusedExchange — measured 4 scans, 0 reuses)
     per_score = scored.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n1"),
-    )
+    ).localCheckpoint(eager=False)
     cum = prefix_sums(
         per_score,
         order=["s"],
@@ -5184,6 +5188,10 @@ def ml_calibration_bins(spark, sf_dir):
         ),
         F.col("id") == F.col("doc_id"),
     ).select(F.col("doc_id"), F.col("score_units").alias("s"), "y")
+    # narrow per-doc projection referenced three times (total count +
+    # prefix_rank's count-and-join-back): checkpoint so the scoring
+    # regex runs once — materializing (doc_id, s, y) beats three scans
+    sc = sc.localCheckpoint(eager=False)
     tot = sc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = prefix_rank(
         sc, key="s", tiebreak="doc_id",
@@ -5256,10 +5264,12 @@ def ml_ks_statistic(spark, sf_dir):
     from ..operators.prefix import prefix_sums
 
     scored = _scored_docs(spark, sf_dir)
+    # checkpointed for the same reason as ml_auc_exact's per_score:
+    # referenced by prefix_sums twice AND by tot
     per_score = scored.groupBy("s").agg(
         F.sum("y").cast("bigint").alias("p"),
         F.sum(1 - F.col("y")).cast("bigint").alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     cum = prefix_sums(
         per_score,
         order=["s"],
@@ -6599,6 +6609,9 @@ def ml_conformal_interval(spark, sf_dir):
         e.filter(F.col("split") == 0)
         .join(prof, "h")
         .select(resid.alias("resid"), "event_id")
+        # referenced three times (per-resid counts, rank k, n_cal):
+        # checkpoint the narrow residual projection once
+        .localCheckpoint(eager=False)
     )
     from ..operators.prefix import prefix_sums
 

@@ -2647,6 +2647,10 @@ def analytics_pareto_deciles(
             ).cast("bigint").alias("x")
         )
     )
+    # per-customer aggregate referenced three times (total count +
+    # prefix_rank's count-and-join-back): checkpoint so orders scans
+    # once
+    rev = rev.localCheckpoint(eager=False)
     tot_n = rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = prefix_rank(
         rev, key="x", tiebreak="o_custkey",

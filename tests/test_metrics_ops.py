@@ -262,6 +262,32 @@ def test_prefix_sums_equal_global_window_both_frames(spark):
             ).collect()
         }
         assert got == ref, end
+    # degenerate single-bucket (constant) and empty inputs
+    one = {
+        (r["s"], r["cum"])
+        for r in prefix_sums(
+            df, order=["s"], cols={"x": "cum"}, bucket=F.lit(0)
+        ).collect()
+    }
+    ref_inc = {
+        (r["s"], r["cum"])
+        for r in df.withColumn(
+            "cum",
+            F.sum("x").over(
+                W.orderBy("s").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        ).collect()
+    }
+    assert one == ref_inc
+    assert (
+        prefix_sums(
+            df.filter(F.lit(False)), order=["s"], cols={"x": "cum"},
+            bucket=F.expr("s div 10"),
+        ).count()
+        == 0
+    )
     # the data window is bucket-partitioned in the plan
     plan = (
         prefix_sums(

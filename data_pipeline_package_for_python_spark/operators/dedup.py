@@ -153,16 +153,23 @@ def jaccard_similar_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs: (id_a, id_b, n_common, n_a,
     n_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
 
     Scale posture: the self-join explodes on shingle frequency f as
     O(f²) — ``max_shingle_freq`` drops stop-shingles above the cap
-    (standard prefix-filtering practice).  For full-corpus dedup at scale
-    prefer ``near_dedup_minhash`` and use this as the verifier on its
-    candidate pairs.
+    (standard prefix-filtering practice).  The default cap (1000) makes
+    the quadratic footgun opt-IN: pass ``max_shingle_freq=None``
+    explicitly for the uncapped exact answer (verifier tier on small /
+    pre-filtered inputs only).  A capped run can miss pairs whose
+    overlap lives in dropped stop-shingles and undercounts n_common /
+    n_a / n_b for pairs it does report; on corpora where no shingle
+    exceeds the cap the result is exactly the uncapped one
+    (law-pinned in tests/test_llm_ops.py).  For full-corpus dedup at
+    scale prefer ``near_dedup_minhash`` and use this as the verifier on
+    its candidate pairs.
     """
     sh = word_shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:

@@ -58,6 +58,9 @@ def prefix_sums(
         keys (the usual shape) or include a tiebreaker.
     cols:
         ``{source_column: result_column}`` running sums to compute.
+        NULL source values count as 0 (matching ``SUM``'s null-skipping
+        semantics) — both in the running sum and in the per-bucket
+        totals that become downstream bucket offsets.
     bucket:
         Expression monotone non-decreasing in ``order[0]`` whose level
         sets are contiguous sort intervals (e.g. ``F.expr("s div
@@ -83,8 +86,17 @@ def prefix_sums(
         out = out.withColumn(
             dst, F.coalesce(F.sum(src).over(wl), F.lit(0))
         ).withColumn(
+            # NULL src counts as 0 here, matching SUM's null-skipping:
+            # an un-coalesced NULL on a bucket's LAST row would null the
+            # max_by bucket total below and silently zero every later
+            # bucket's offset via the join-back coalesce.
             f"__inc_{dst}",
-            F.col(dst) + (F.lit(0) if end == "current" else F.col(src)),
+            F.col(dst)
+            + (
+                F.lit(0)
+                if end == "current"
+                else F.coalesce(F.col(src), F.lit(0))
+            ),
         )
     # Bucket metadata: one row per bucket; the unpartitioned cumsum
     # below runs over THIS table only, never over data rows.  The
@@ -150,6 +162,12 @@ def prefix_rank(
     partitioned; the only unpartitioned work is the bucket-metadata
     cumsum inside :func:`prefix_sums`.  ``bucket`` follows the same
     contract as there, relative to ``key`` in the chosen direction.
+
+    Precondition: ``key`` must be non-null on every row.  The
+    cumulative counts join back with an inner equality join on ``key``,
+    which silently DROPS null-key rows — unlike the documented
+    ``row_number() OVER (ORDER BY key, tiebreak)`` equivalence, which
+    ranks NULLs.  Filter or coalesce null keys before calling.
 
     Returns ``df`` plus a bigint ``out`` column.  Used by the
     order-statistic registry family (calibration deciles, Gini index,

@@ -151,8 +151,12 @@ def dedup_shingles(spark, sf_dir):
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard pairs ≥ 0.1 — the verification tier."""
     docs = load(spark, sf_dir, "documents")
+    # max_shingle_freq=None: explicit opt-out of the default stop-
+    # shingle cap — this registry entry IS the declared uncapped
+    # verifier tier, and the oracle above computes the uncapped answer.
     return D.jaccard_similar_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.1
+        docs, "doc_id", "text", n=3, threshold=0.1,
+        max_shingle_freq=None,
     )
 
 
@@ -277,7 +281,8 @@ def dedup_clusters(spark, sf_dir):
     algorithm instead."""
     docs = load(spark, sf_dir, "documents")
     pairs = D.jaccard_similar_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.1
+        docs, "doc_id", "text", n=3, threshold=0.1,
+        max_shingle_freq=None,
     ).select("id_a", "id_b")
     return G.resolve_duplicates(
         docs.select("doc_id"), pairs, "doc_id"
@@ -2676,7 +2681,8 @@ def dedup_quality_survivor(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     pairs = D.jaccard_similar_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.1
+        docs, "doc_id", "text", n=3, threshold=0.1,
+        max_shingle_freq=None,
     ).select("id_a", "id_b")
     cc = G.resolve_duplicates(
         docs.select("doc_id", "n_chars"), pairs, "doc_id"
@@ -3260,7 +3266,7 @@ def dedup_pair_graph_degrees(spark, sf_dir):
     pair list, never the corpus."""
     pairs = D.jaccard_similar_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.5,
+        n=3, threshold=0.5, max_shingle_freq=None,
     ).select("id_a", "id_b")
     sym = pairs.select(F.col("id_a").alias("id")).unionAll(
         pairs.select(F.col("id_b").alias("id"))
@@ -5362,7 +5368,8 @@ def dedup_lsh_eval(spark, sf_dir):
         "id_a", "id_b", F.lit(1).alias("in_cand")
     )
     truth = D.jaccard_similar_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.1
+        docs, "doc_id", "text", n=3, threshold=0.1,
+        max_shingle_freq=None,
     ).select("id_a", "id_b", F.lit(1).alias("in_truth"))
     j = cand.join(truth, ["id_a", "id_b"], "full_outer").select(
         F.coalesce(F.col("in_cand"), F.lit(0)).alias("in_cand"),
@@ -6647,6 +6654,11 @@ def ml_conformal_interval(spark, sf_dir):
             " END)) div count(1)"
         ).alias("coverage_ppm"),
     )
-    return n_cal.crossJoin(F.broadcast(stats)).select(
-        "n_cal", "n_test", "q_hat", "coverage_ppm"
+    # Degenerate calibration sets (n_cal < 9 → k > n_cal → empty cum
+    # filter → NULL q_hat from the min aggregate) stay EMPTY, matching
+    # the pre-rewrite row_number-filter behavior.
+    return (
+        n_cal.crossJoin(F.broadcast(stats))
+        .filter(F.col("q_hat").isNotNull())
+        .select("n_cal", "n_test", "q_hat", "coverage_ppm")
     )

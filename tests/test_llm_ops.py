@@ -56,6 +56,47 @@ def test_jaccard_finds_near_dup(docs):
     assert not any(3 in p or 4 in p for p in got)
 
 
+def test_jaccard_default_cap_equals_uncapped_under_cap(docs):
+    """Law: on a corpus where no shingle's frequency exceeds the default
+    cap, the capped (default) result is EXACTLY the uncapped one — the
+    safer default changes nothing for legitimate inputs."""
+    capped = {
+        tuple(r)
+        for r in D.jaccard_similar_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.1
+        ).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in D.jaccard_similar_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.1,
+            max_shingle_freq=None,
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_jaccard_cap_drops_stop_shingle_blowup(spark):
+    """Adversarial fixture: identical short docs.  Every shingle has
+    corpus frequency n_dup, so a cap below n_dup drops them all and the
+    quadratic self-join produces nothing; uncapped (explicit opt-out)
+    still finds all N(N-1)/2 pairs."""
+    n_dup = 12
+    rows = [(i, "same short doc text repeated everywhere")
+            for i in range(n_dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.jaccard_similar_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=n_dup - 1,
+    ).count()
+    uncapped = D.jaccard_similar_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=None,
+    ).count()
+    assert capped == 0
+    assert uncapped == n_dup * (n_dup - 1) // 2
+
+
 def test_minhash_lsh_recovers_planted_pair(docs):
     verified = D.near_dedup_minhash(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5

@@ -209,6 +209,35 @@ def test_snm_range_blocked_matches_global_semantics(spark):
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     # every lead/lag window is PARTITIONED on rng — no global window
     assert "windowspecdefinition(rng#" in plan
+    # ... and directly: the ONLY unpartitioned window specs in the plan
+    # are the documented range-METADATA cumsum/pos windows, which order
+    # on rng (one row per distinct prefix, recomputed per subplan).  A
+    # regression to a global DATA window (ordered on v/side/k) fails
+    # here, not just via the registry allowlist.
+    import re
+
+    from data_pipeline_package_for_python_spark.plans import (
+        _count_global_windows,
+    )
+    n_global = _count_global_windows(plan)
+    specs = set()
+    i = 0
+    while True:
+        i = plan.find("windowspecdefinition(", i)
+        if i < 0:
+            break
+        j = i + len("windowspecdefinition(")
+        depth, k = 1, j
+        while depth:
+            depth += {"(": 1, ")": -1}.get(plan[k], 0)
+            k += 1
+        specs.add(plan[i:k])
+        i = k
+    meta_global = [
+        s for s in specs
+        if re.match(r"windowspecdefinition\(rng#\d+ (ASC|DESC)", s)
+    ]
+    assert n_global == len(meta_global) > 0
     got = {tuple(r) for r in blocked.collect()}
     ref = {
         tuple(r)
@@ -297,6 +326,46 @@ def test_prefix_sums_equal_global_window_both_frames(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "windowspecdefinition(__bkt#" in plan
+
+
+def test_prefix_sums_null_src_counts_as_zero(spark):
+    """NULL source values must behave like SUM's null-skipping — in
+    particular a NULL on a bucket's LAST row with end='preceding' must
+    NOT null the bucket total and silently zero later buckets' offsets
+    (the exclusive running sum at s=25 must still carry bucket 0+1
+    mass)."""
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_package_for_python_spark.operators.prefix import (
+        prefix_sums,
+    )
+
+    # s=9 and s=19 are the LAST rows of buckets 0 and 1 (s div 10)
+    rows = [(s, None if s in (9, 19) else s + 1) for s in range(26)]
+    df = spark.createDataFrame(rows, "s long, x long").repartition(8)
+    for end, frame_end in (("current", W.currentRow), ("preceding", -1)):
+        got = {
+            (r["s"], r["cum"])
+            for r in prefix_sums(
+                df, order=["s"], cols={"x": "cum"},
+                bucket=F.expr("s div 10"), end=end,
+            ).collect()
+        }
+        ref = {
+            (r["s"], r["cum"])
+            for r in df.withColumn(
+                "cum",
+                F.coalesce(
+                    F.sum("x").over(
+                        W.orderBy("s").rowsBetween(
+                            W.unboundedPreceding, frame_end
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            ).collect()
+        }
+        assert got == ref, end
 
 
 def test_prefix_rank_equals_global_row_number(spark):

@@ -157,9 +157,11 @@ def main() -> int:
             continue
         try:
             con = fresh_con()
-            dpdf = con.execute(oracle).df()
-            con.close()
-            gc.collect()
+            try:
+                dpdf = con.execute(oracle).df()
+            finally:
+                con.close()
+                gc.collect()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")

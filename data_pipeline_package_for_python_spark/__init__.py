@@ -16,6 +16,7 @@ Layout:
 """
 
 from .core import ALL, PREV, Pipeline, V, create_placeholder, fanin
+from .plans import PreparedQuery, prepare
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -24,8 +25,10 @@ __all__ = [
     "ALL",
     "PREV",
     "Pipeline",
+    "PreparedQuery",
     "V",
     "create_placeholder",
     "fanin",
     "get_spark",
+    "prepare",
 ]

@@ -28,12 +28,16 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from .prepared import PreparedQuery, prepare  # noqa: F401 (facade)
+
 __all__ = [
     "PlanReport",
+    "PreparedQuery",
     "broadcast_threshold_bytes",
     "estimated_size_bytes",
     "formatted_plan",
     "plan_report",
+    "prepare",
     "simple_plan",
 ]
 

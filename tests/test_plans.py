@@ -1061,3 +1061,71 @@ def test_corpus_overlap_pair_stage_touches_sketches_only(spark, sf_dir):
     assert r.text.count("documents.parquet") <= 1, r.text.count(
         "documents.parquet"
     )
+
+
+# --------------------------------------------------------------------- #
+# prepared queries                                                       #
+# --------------------------------------------------------------------- #
+
+def test_prepared_query_matches_fresh_build(spark, sf_dir):
+    """A prepared handle must return EXACTLY the fresh-built result, and
+    each .dataframe() must own an independent QueryExecution (honest
+    re-execution: fresh optimizer/AQE run, no materialized-stage reuse
+    from a prior run of the same handle)."""
+    from data_pipeline_package_for_python_spark.plans import prepare
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    fn = QUERIES["join_q3_topk"].spark_fn
+    fresh = fn(spark, sf_dir)
+    expected = sorted(map(tuple, fresh.collect()))
+    prep = prepare(fn(spark, sf_dir))
+    h1, h2 = prep.dataframe(), prep.dataframe()
+    assert sorted(map(tuple, h1.collect())) == expected
+    assert sorted(map(tuple, h2.collect())) == expected
+    assert h1._jdf.queryExecution().equals(h2._jdf.queryExecution()) is False
+    assert prep.columns == fresh.columns
+
+
+def test_prepared_freezes_input_listing_at_prepare_time(spark, tmp_path):
+    """Prepared-statement semantics: the analyzed plan snapshots the
+    file listing when prepare() runs — rows appended to the input path
+    afterwards are NOT visible until re-prepare (document the contract,
+    don't let it surprise)."""
+    from data_pipeline_package_for_python_spark.plans import prepare
+
+    p = str(tmp_path / "t")
+    spark.range(5).write.mode("overwrite").parquet(p)
+    prep = prepare(spark.read.parquet(p).selectExpr("sum(id) as s"))
+    assert prep.collect()[0]["s"] == 10
+    spark.range(5, 10).write.mode("append").parquet(p)
+    assert prep.collect()[0]["s"] == 10          # frozen listing
+    refreshed = prepare(spark.read.parquet(p).selectExpr("sum(id) as s"))
+    assert refreshed.collect()[0]["s"] == 45     # re-prepare sees it
+
+
+def test_pipeline_prepare_slot(spark, sf_dir):
+    """Pipeline.prepare(name) wraps the named DataFrame slot."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_package_for_python_spark import Pipeline
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with Pipeline(orders=orders) as p:
+        p.common(
+            p.orders,
+            lambda df: df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            p.by_status,
+        )
+    prep = p.prepare("by_status")
+    direct = {(r["o_orderstatus"], r["n"])
+              for r in p.by_status.collect()}
+    assert {(r["o_orderstatus"], r["n"]) for r in prep.collect()} == direct
+    with Pipeline(x=3) as q:
+        q.common(q.x, lambda v: v + 1, q.y)
+    try:
+        q.prepare("y")
+        raise AssertionError("expected TypeError for non-DataFrame slot")
+    except TypeError:
+        pass

@@ -135,6 +135,49 @@ def main() -> int:
             )
         return c
 
+    def oracle_df_subproc(oracle: str):
+        """Run one oracle in a FORKED child so its DuckDB buffer state
+        dies with the process.  Round 7 re-observed the round-6 failure
+        mode one level deeper: even with per-query connections, a heavy
+        sf0.1 text oracle (hybrid-RRF 93 s, BM25 78 s) leaves the
+        PROCESS's allocator high-water so large that later tiny DuckDB
+        allocations fail ('Failed to allocate block of 2048 bytes') —
+        every such query is green in a fresh process.  Opt in with
+        SPARK_GRAFT_CHECK_ORACLE_SUBPROC=1 for one-shot full sweeps;
+        default stays in-process (driver fidelity)."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        rx, tx = ctx.Pipe(duplex=False)
+
+        def worker(tx, oracle):
+            try:
+                c = fresh_con()
+                try:
+                    df = c.execute(oracle).df()
+                finally:
+                    c.close()
+                tx.send(("ok", df))
+            except Exception as e:  # noqa: BLE001
+                tx.send(("err", f"{type(e).__name__}: {e}"))
+
+        p = ctx.Process(target=worker, args=(tx, oracle))
+        p.start()
+        tx.close()
+        try:
+            status, payload = rx.recv()
+        except EOFError:
+            status, payload = "err", "oracle subprocess died"
+        finally:
+            p.join()
+        if status != "ok":
+            raise RuntimeError(payload)
+        return payload
+
+    use_subproc = os.environ.get(
+        "SPARK_GRAFT_CHECK_ORACLE_SUBPROC", ""
+    ) == "1"
+
     import gc
 
     failures, checked, weak = [], 0, 0
@@ -156,12 +199,15 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            con = fresh_con()
-            try:
-                dpdf = con.execute(oracle).df()
-            finally:
-                con.close()
-                gc.collect()
+            if use_subproc:
+                dpdf = oracle_df_subproc(oracle)
+            else:
+                con = fresh_con()
+                try:
+                    dpdf = con.execute(oracle).df()
+                finally:
+                    con.close()
+                    gc.collect()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")

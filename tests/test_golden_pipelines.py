@@ -10,6 +10,7 @@ operators → results), not any single layer.
 import hashlib
 
 import pyspark.sql.functions as F
+import pytest
 
 from data_pipeline_package_for_python_spark import ALL, PREV, Pipeline, V
 from data_pipeline_package_for_python_spark.operators import dedup as D
@@ -29,6 +30,16 @@ def digest(df, *, ndigits=4):
         rows.append("|".join(cells))
     body = "\n".join(sorted(rows))
     return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+# The committed digests are pinned to the sf0.001 fixture by design —
+# a scale-factor robustness pass (SPARK_GRAFT_TEST_SF_DIR=sf0.01) would
+# otherwise fail every digest for the right reason.  Everything else in
+# the suite is fixture-relative and must pass at any SF.
+pytestmark = pytest.mark.skipif(
+    "sf0.001" not in __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR,
+    reason="golden digests are committed for the sf0.001 fixture",
+)
 
 
 def test_golden_q1_sequence(spark, sf_dir):

@@ -1942,11 +1942,28 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-# Synthetic PCM: doc_id's track has 1024 + (doc_id % 3)*256 samples,
-# sample k = (((doc_id*31 + k*7) % 256) - 128) * 256 — int16-range,
-# engine-replayable without parsing any container.
+# Synthetic PCM with PLANTED near-dups: each doc's waveform derives
+# from a SEED — doc_ids with doc_id % 50 in {0, 1} share their
+# 50-block's base seed (so exactly one planted duplicate pair per
+# 50-doc block: ids 50m and 50m+1 — LINEAR in corpus size), every
+# other doc seeds itself.  Sample k is CONSTANT within each 16-sample
+# energy window, valued by the engine-portable md5 idiom over
+# (seed, window): the per-window energy sequence is 63 bits of
+# seed-keyed pseudorandomness, so the energy-delta fingerprint of two
+# different seeds collides within hamming 3 with probability
+# ~C(63,<=3)/2^63 — only the planted pairs match.  (Round-7 history:
+# a LINEAR-in-doc_id formula collapsed under % 256 to f(doc_id % 256)
+# — 50K sf1 docs in 256 identical-fingerprint cliques, collect blew
+# spark.driver.maxResultSize; a shared-shape fix still left ~1-6% of
+# ALL pairs within hamming 3.  md5 per (seed, window) is the fix that
+# scales: accidental pairs vanish at every derived SF.)
+_WAV_SEED = ("(CASE WHEN doc_id % 50 < 2"
+             " THEN (doc_id div 50) * 50 ELSE doc_id END)")
 _WAV_N = "(1024 + (doc_id % 3) * 256)"
-_WAV_U = "pmod((((doc_id * 31 + k * 7) % 256) - 128) * 256, 65536)"
+_WAV_U = ("pmod((cast(conv(substring(md5(concat("
+          f"cast({_WAV_SEED} as string), ':',"
+          " cast(k div 16 as string))), 1, 4), 16, 10) as bigint)"
+          " % 256 - 128) * 256, 65536)")
 
 
 def _wav_payload_sql(n: str) -> str:
@@ -1985,8 +2002,14 @@ def _wav_payload_sql(n: str) -> str:
     WITH r AS (SELECT unnest(range(0, 1536)) AS k),
     s AS (
       SELECT doc_id, k,
-             (((doc_id * 31 + k * 7) % 256) - 128) * 256 AS samp
-      FROM documents, r
+             (CAST(('0x' || substring(md5(CAST(sd AS VARCHAR)
+                 || ':' || CAST(k // 16 AS VARCHAR)), 1, 4)) AS BIGINT)
+                % 256 - 128) * 256 AS samp
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 50 < 2
+                        THEN (doc_id // 50) * 50
+                        ELSE doc_id END AS sd
+            FROM documents), r
       WHERE k < 1024 + (doc_id % 3) * 256
     )
     SELECT doc_id AS media_id, k // 256 AS window_idx,
@@ -3800,8 +3823,14 @@ def multimodal_crossmodal_dup_report(spark, sf_dir):
     WITH r AS (SELECT unnest(range(0, 1536)) AS k),
     s AS (
       SELECT doc_id, k,
-             (((doc_id * 31 + k * 7) % 256) - 128) * 256 AS samp
-      FROM documents, r
+             (CAST(('0x' || substring(md5(CAST(sd AS VARCHAR)
+                 || ':' || CAST(k // 16 AS VARCHAR)), 1, 4)) AS BIGINT)
+                % 256 - 128) * 256 AS samp
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 50 < 2
+                        THEN (doc_id // 50) * 50
+                        ELSE doc_id END AS sd
+            FROM documents), r
       WHERE k < 1024 + (doc_id % 3) * 256
     ),
     w AS (

@@ -3484,10 +3484,72 @@ _AHASH_CTE = """
 """
 
 
+# Seeded variant for the PAIR-producing image queries: doc_ids with
+# doc_id % 50 in {0, 1} share their 50-block's base seed (exactly one
+# planted near-dup image pair per block — LINEAR in corpus size), and
+# pixel values come from the engine-portable md5 idiom over
+# (seed, flat channel index), so two different seeds' aHashes collide
+# within hamming 3 with probability ~C(63,<=3)/2^63.  Same round-7
+# lesson as the audio fixture: the gradient formula collapses under
+# % 256 to f(doc_id mod small), and a derived-SF corpus (key-offset
+# doc_ids) degenerates into identical-hash cliques — 35M pairs at sf1,
+# quadratic in corpus size.  Dimensions derive from the seed too, so
+# planted pairs are bit-identical images.  The per-doc codec queries
+# (resize / PNG / JPEG roundtrips) deliberately KEEP the smooth
+# gradient pixels — lossy-compression error bounds are part of their
+# contract and random noise would not compress within them.
+_IMG_SEED = ("(CASE WHEN doc_id % 50 < 2"
+             " THEN (doc_id div 50) * 50 ELSE doc_id END)")
+_IMG_W = f"(4 + {_IMG_SEED} % 13)"
+_IMG_H = f"(4 + {_IMG_SEED} % 11)"
+_AHASH_PAIR_VAL = (
+    f"cast(conv(substring(md5(concat(cast({_IMG_SEED} as string), ':',"
+    " cast(i as string))), 1, 4), 16, 10) as bigint) % 256"
+)
+# Oracle twin: thumbnail slot i (0..191) maps to source channel
+# (src_row * w + src_col) * 3 + (i % 3) with src_row = ((i//24)*h)//8,
+# src_col = (((i%24)//3)*w)//8 — the same nearest-neighbor mapping the
+# real resample performs.
+_AHASH_SEEDED_CTE = """
+    px AS (
+      SELECT doc_id, sd, 4 + sd % 13 AS w, 4 + sd % 11 AS h,
+             unnest(range(0, 192)) AS i
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 50 < 2
+                        THEN (doc_id // 50) * 50
+                        ELSE doc_id END AS sd
+            FROM documents)
+    ), v AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substring(md5(CAST(sd AS VARCHAR) || ':'
+               || CAST(((((i // 24) * h) // 8) * w
+                        + (((i % 24) // 3) * w) // 8) * 3 + i % 3
+                       AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS val
+      FROM px
+    ), gray AS (
+      SELECT doc_id, i // 3 AS p, SUM(val) // 3 AS g
+      FROM v GROUP BY doc_id, i // 3
+    ), tot AS (
+      SELECT doc_id, SUM(g) AS total FROM gray GROUP BY doc_id
+    ), ah AS (
+      SELECT g.doc_id AS id,
+             CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p < 32
+                      THEN (CAST(1 AS BIGINT) << CAST(g.p AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN g.g * 64 >= t.total AND g.p >= 32
+                      THEN (CAST(1 AS BIGINT)
+                            << CAST(g.p - 32 AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS hi
+      FROM gray g JOIN tot t USING (doc_id)
+      GROUP BY g.doc_id
+    )
+"""
+
+
 @query(
     "multimodal_ahash_pairs",
     oracle=f"""
-    WITH {_AHASH_CTE},
+    WITH {_AHASH_SEEDED_CTE},
     b AS (
       SELECT id, hi, lo,
              unnest([(hi >> 16) & 65535, hi & 65535,
@@ -3520,9 +3582,7 @@ def multimodal_ahash_pairs(spark, sf_dir):
     imgs = docs.select(
         "doc_id",
         F.expr(
-            _ppm_payload_sql(
-                "4 + doc_id % 13", "4 + doc_id % 11", _RESIZE_VAL
-            )
+            _ppm_payload_sql(_IMG_W, _IMG_H, _AHASH_PAIR_VAL)
         ).alias("payload"),
     )
     media = M.pack_media(
@@ -3605,25 +3665,50 @@ def multimodal_video_frame_ahash(spark, sf_dir):
     )
 
 
+# Seeded frame variant for the video PAIR query (same round-7 design
+# as the image/audio pair fixtures): videos in a 50-block share seed
+# sd for ids 50m / 50m+1 — identical frame COUNT (1 + sd % 4), dims
+# (3+(sd+f)%5 x 2+(sd+f)%3) and md5-valued pixels keyed by
+# (sd, frame, flat index) — so planted pairs match on EVERY frame and
+# different seeds collide within hamming 3 with ~C(63,<=3)/2^63
+# probability.  Blocks where sd % 4 == 0 have single-frame videos and
+# are correctly filtered by the >= 2-frame-matches rule (both engines
+# agree).  The per-doc codec queries (frame_sample / frame_ahash)
+# keep the gradient pixels — their contract is container-walk
+# correctness, not pair structure.
+_VNP_W = f"(3 + ({_IMG_SEED} + f) % 5)"
+_VNP_H = f"(2 + ({_IMG_SEED} + f) % 3)"
+_VNP_VAL = (
+    f"cast(conv(substring(md5(concat(cast({_IMG_SEED} as string), ':',"
+    " cast(f as string), ':', cast(i as string))), 1, 4), 16, 10)"
+    " as bigint) % 256"
+)
+
+
 @query(
     "multimodal_video_near_pairs",
     oracle="""
     WITH fr AS (
-      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS f
-      FROM documents
+      SELECT doc_id, sd, unnest(range(0, 1 + sd % 4)) AS f
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 50 < 2
+                        THEN (doc_id // 50) * 50
+                        ELSE doc_id END AS sd
+            FROM documents)
     ), dims AS (
-      SELECT doc_id, f, 3 + (doc_id + f) % 5 AS w,
-             2 + (doc_id + f) % 3 AS h
+      SELECT doc_id, sd, f, 3 + (sd + f) % 5 AS w,
+             2 + (sd + f) % 3 AS h
       FROM fr
     ), px AS (
-      SELECT doc_id, f, w, h, unnest(range(0, 192)) AS i
+      SELECT doc_id, sd, f, w, h, unnest(range(0, 192)) AS i
       FROM dims
     ), v AS (
       SELECT doc_id, f, i,
-             (doc_id * 31 + f * 13
-              + (((i // 24) * h) // 8) * 17
-              + ((((i % 24) // 3) * w) // 8) * 7
-              + (i % 3) * 3) % 256 AS val
+             CAST(('0x' || substring(md5(CAST(sd AS VARCHAR) || ':'
+               || CAST(f AS VARCHAR) || ':'
+               || CAST(((((i // 24) * h) // 8) * w
+                        + (((i % 24) // 3) * w) // 8) * 3 + i % 3
+                       AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS val
       FROM px
     ), gray AS (
       SELECT doc_id, f, i // 3 AS p, SUM(val) // 3 AS g
@@ -3677,11 +3762,11 @@ def multimodal_video_near_pairs(spark, sf_dir):
     from ..operators.dedup import hamming_near_pairs
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    frame_expr = _ppm_payload_sql(_FRAME_W, _FRAME_H, _FRAME_VAL)
+    frame_expr = _ppm_payload_sql(_VNP_W, _VNP_H, _VNP_VAL)
     container = docs.select(
         "doc_id",
         F.expr(
-            "aggregate(transform(sequence(0, doc_id % 4, 1), "
+            f"aggregate(transform(sequence(0, {_IMG_SEED} % 4, 1), "
             f"f -> {frame_expr}), cast('' as binary), "
             "(acc, x) -> concat(acc, x))"
         ).alias("payload"),
@@ -3730,7 +3815,7 @@ def multimodal_video_near_pairs(spark, sf_dir):
              (count(*) OVER (PARTITION BY canon) > 1) AS is_text_dup
       FROM norm
     ),
-    {_AHASH_CTE},
+    {_AHASH_SEEDED_CTE},
     b AS (
       SELECT id, hi, lo,
              unnest([(hi >> 16) & 65535, hi & 65535,
@@ -3786,9 +3871,7 @@ def multimodal_crossmodal_dup_report(spark, sf_dir):
     imgs = docs.select("doc_id").select(
         "doc_id",
         F.expr(
-            _ppm_payload_sql(
-                "4 + doc_id % 13", "4 + doc_id % 11", _RESIZE_VAL
-            )
+            _ppm_payload_sql(_IMG_W, _IMG_H, _AHASH_PAIR_VAL)
         ).alias("payload"),
     )
     media = M.pack_media(

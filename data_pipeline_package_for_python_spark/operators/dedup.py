@@ -4,9 +4,10 @@ Four tiers, all composed from DataFrame primitives (no custom Catalyst
 rules, no driver-side loops):
 
 1. ``exact_dedup``            — hash-groupBy on content (one shuffle).
-2. ``jaccard_similar_pairs``  — EXACT n-gram Jaccard via shingle
-   explode + self-join.  The verification tier: right answer, quadratic
-   in the worst case, pruned by a shingle-frequency cap.
+2. ``jaccard_similar_pairs``  — n-gram Jaccard via shingle explode +
+   self-join.  The verification tier: exact when uncapped, quadratic in
+   the worst case; the default shingle-frequency cap prunes that to a
+   warned, documented lower bound.
 3. ``minhash_signatures`` / ``lsh_candidate_pairs`` — MinHash+LSH: the
    100 TB path.  Cost is linear in corpus size: shingle → signature is a
    map-side aggregation; banding turns all-pairs comparison into an
@@ -155,29 +156,55 @@ def jaccard_similar_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity pairs: (id_a, id_b, n_common, n_a,
+    """n-gram Jaccard similarity pairs: (id_a, id_b, n_common, n_a,
     n_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
 
-    Scale posture: the self-join explodes on shingle frequency f as
-    O(f²) — ``max_shingle_freq`` drops stop-shingles above the cap
-    (standard prefix-filtering practice).  The default cap (1000) makes
-    the quadratic footgun opt-IN: pass ``max_shingle_freq=None``
-    explicitly for the uncapped exact answer (verifier tier on small /
-    pre-filtered inputs only).  A capped run can miss pairs whose
-    overlap lives in dropped stop-shingles and undercounts n_common /
-    n_a / n_b for pairs it does report; on corpora where no shingle
-    exceeds the cap the result is exactly the uncapped one
-    (law-pinned in tests/test_llm_ops.py).  For full-corpus dedup at
-    scale prefer ``near_dedup_minhash`` and use this as the verifier on
-    its candidate pairs.
+    EXACT when ``max_shingle_freq=None``; otherwise a guaranteed LOWER
+    BOUND (see below).  Scale posture: the self-join explodes on
+    shingle frequency f as O(f²) — ``max_shingle_freq`` drops
+    stop-shingles above the cap (standard prefix-filtering practice).
+    The default cap (1000) makes the quadratic footgun opt-IN: pass
+    ``max_shingle_freq=None`` explicitly for the uncapped exact answer
+    (verifier tier on small / pre-filtered inputs only).
+
+    Capped semantics: ``n_a`` / ``n_b`` are computed BEFORE the cap
+    (exact per-document shingle counts), while ``n_common`` counts only
+    surviving shingles — so reported ``jaccard`` is a strict lower
+    bound on the true value (never a false positive over the
+    threshold), but pairs whose overlap lives in dropped stop-shingles
+    can be missed entirely, and a document duplicated more than the cap
+    times loses ALL its shingles and vanishes from the output (a
+    RuntimeWarning is emitted whenever the cap is active).  On corpora
+    where no shingle exceeds the cap the result is exactly the uncapped
+    one (law-pinned in tests/test_llm_ops.py).  For full-corpus dedup
+    at scale prefer ``near_dedup_minhash`` and use this as the verifier
+    on its candidate pairs.
     """
     sh = word_shingles(df, id_col, text_col, n)
+    sizes = None
     if max_shingle_freq is not None:
+        import warnings
+
+        warnings.warn(
+            f"jaccard_similar_pairs: max_shingle_freq={max_shingle_freq}"
+            " is active — shingles shared by more than that many"
+            " documents are excluded, so reported jaccard is a lower"
+            " bound and documents duplicated above the cap are dropped"
+            " entirely; pass max_shingle_freq=None for the exact"
+            " (quadratic) answer",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        # Exact per-doc sizes BEFORE the cap: with an undercounted
+        # n_common and exact n_a/n_b, jaccard = c/(a+b-c) is a strict
+        # lower bound — capping can only MISS pairs, never promote one
+        # over the threshold.
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         freq_w = Window.partitionBy("shingle")
         sh = sh.withColumn("__f", F.count(F.lit(1)).over(freq_w)).filter(
             F.col("__f") <= max_shingle_freq
         ).drop("__f")
-    return _jaccard_from_shingles(sh, threshold=threshold)
+    return _jaccard_from_shingles(sh, threshold=threshold, sizes=sizes)
 
 
 def _jaccard_from_shingles(
@@ -185,6 +212,7 @@ def _jaccard_from_shingles(
     *,
     threshold: float,
     candidates: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over a (id, shingle) table.
 
@@ -193,8 +221,13 @@ def _jaccard_from_shingles(
     intersection is counted ONLY for those pairs: candidates ⋈ shingles of
     id_a ⋈ shingles of id_b — linear in |candidates| × shingles-per-doc,
     which is what makes LSH-then-verify the 100 TB path.
+
+    ``sizes``: optional pre-computed (id, n_sh) frame — pass when ``sh``
+    has been frequency-capped so n_a/n_b stay exact and the reported
+    jaccard is a lower bound instead of a both-ways-biased estimate.
     """
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is None:
         a = sh.select(F.col("id").alias("id_a"), "shingle")

@@ -43,15 +43,29 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["PreparedQuery", "prepare"]
 
 
+def _dataset_class(jvm):
+    """The concrete Dataset companion for this Spark's JVM layout.
+
+    Spark 4 moved it to ``sql.classic``; Spark 3 has it at ``sql``.
+    Probed structurally (py4j returns ``JavaPackage`` for a missing
+    class, ``JavaClass`` for a real one) rather than by catching a bare
+    Exception around the call — a genuine ``ofRows`` failure on Spark 4
+    (e.g. an internal analysis error) must propagate as itself, not be
+    retried down the 3.x path and re-raised as a confusing 'JavaPackage
+    is not callable' (r7 advice)."""
+    from py4j.java_gateway import JavaClass
+
+    classic = jvm.org.apache.spark.sql.classic.Dataset
+    if isinstance(classic, JavaClass):
+        return classic
+    return jvm.org.apache.spark.sql.Dataset  # Spark 3.x layout
+
+
 def _of_rows(spark: SparkSession, j_logical_plan) -> DataFrame:
     """Fresh DataFrame from a JVM logical plan (classic runtime)."""
-    jvm = spark._jvm
-    try:  # Spark 4 moved the concrete Dataset to .classic
-        dataset = jvm.org.apache.spark.sql.classic.Dataset
-        jdf = dataset.ofRows(spark._jsparkSession, j_logical_plan)
-    except Exception:  # pragma: no cover - Spark 3.x layout
-        dataset = jvm.org.apache.spark.sql.Dataset
-        jdf = dataset.ofRows(spark._jsparkSession, j_logical_plan)
+    jdf = _dataset_class(spark._jvm).ofRows(
+        spark._jsparkSession, j_logical_plan
+    )
     return DataFrame(jdf, spark)
 
 

@@ -8,6 +8,7 @@ operators → results), not any single layer.
 """
 
 import hashlib
+import os
 
 import pyspark.sql.functions as F
 import pytest
@@ -36,8 +37,14 @@ def digest(df, *, ndigits=4):
 # a scale-factor robustness pass (SPARK_GRAFT_TEST_SF_DIR=sf0.01) would
 # otherwise fail every digest for the right reason.  Everything else in
 # the suite is fixture-relative and must pass at any SF.
+# Read the env var directly (mirrors tests/conftest.SF_DIR) instead of
+# __import__-ing tests.conftest: that import only works when the repo
+# root happens to be importable as a namespace package, and it creates
+# a second module instance alongside the one pytest loads (r7 advice).
 pytestmark = pytest.mark.skipif(
-    "sf0.001" not in __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR,
+    "sf0.001" not in os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    ),
     reason="golden digests are committed for the sf0.001 fixture",
 )
 

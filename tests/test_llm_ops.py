@@ -97,6 +97,48 @@ def test_jaccard_cap_drops_stop_shingle_blowup(spark):
     assert uncapped == n_dup * (n_dup - 1) // 2
 
 
+def test_jaccard_cap_is_lower_bound_and_warns(spark):
+    """Laws for the capped tier (r7 advice): (1) an active cap emits a
+    RuntimeWarning; (2) because n_a/n_b are computed PRE-cap, every
+    reported capped jaccard is ≤ the uncapped truth for that pair —
+    capping can miss pairs but never inflate one over the threshold."""
+    import warnings
+
+    # 6 docs share a stop-shingle-heavy prefix (freq 6 > cap 5) plus a
+    # distinct tail; pairs overlap only in the capped-out prefix.
+    rows = [
+        (i, f"common stop prefix words here tail{i} unique{i} end{i}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        capped = D.jaccard_similar_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0,
+            max_shingle_freq=5,
+        )
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "lower bound" in str(w.message)
+            for w in rec
+        )
+        # Uncapped never warns.
+        rec.clear()
+        uncapped_df = D.jaccard_similar_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0,
+            max_shingle_freq=None,
+        )
+        assert not rec
+    truth = {
+        (r.id_a, r.id_b): (r.jaccard, r.n_a, r.n_b)
+        for r in uncapped_df.collect()
+    }
+    for r in capped.collect():
+        t_j, t_a, t_b = truth[(r.id_a, r.id_b)]
+        assert r.jaccard <= t_j + 1e-12          # strict lower bound
+        assert (r.n_a, r.n_b) == (t_a, t_b)      # sizes stay exact
+
+
 def test_minhash_lsh_recovers_planted_pair(docs):
     verified = D.near_dedup_minhash(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5

@@ -161,15 +161,32 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 tx.send(("err", f"{type(e).__name__}: {e}"))
 
+        # Generous per-oracle ceiling (r7 advice): the subproc mode
+        # exists precisely because heavy oracles misbehave, so a hung
+        # child must surface as a named timeout failure, not block a
+        # one-shot full sweep forever.
+        timeout = float(
+            os.environ.get("SPARK_GRAFT_CHECK_ORACLE_TIMEOUT", "900")
+        )
         p = ctx.Process(target=worker, args=(tx, oracle))
         p.start()
         tx.close()
         try:
-            status, payload = rx.recv()
+            if rx.poll(timeout):
+                status, payload = rx.recv()
+            else:
+                p.terminate()
+                status, payload = (
+                    "err",
+                    f"oracle subprocess timed out after {timeout:.0f}s",
+                )
         except EOFError:
             status, payload = "err", "oracle subprocess died"
         finally:
-            p.join()
+            p.join(timeout=30)
+            if p.is_alive():  # terminate() ignored — last resort
+                p.kill()
+                p.join()
         if status != "ok":
             raise RuntimeError(payload)
         return payload

@@ -27,6 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+# Optional subset, e.g. SPARK_GRAFT_BENCH_SET=b1,b2 — used for the
+# standing scale sessions (sf3+ without B8's multi-minute DuckDB side);
+# the driver leaves it unset and always runs the full B1–B8 set.
+ONLY = {
+    b.strip()
+    for b in os.environ.get("SPARK_GRAFT_BENCH_SET", "").split(",")
+    if b.strip()
+}
 
 # BASELINE.md B1–B8 → registry query names (queries/__init__.QUERIES).
 BENCH_SET: dict[str, tuple[str, ...]] = {
@@ -105,7 +113,9 @@ def main() -> None:
     warmup_passes: list[float] = []
     for i in range(6):
         t0 = time.perf_counter()
-        for names in BENCH_SET.values():
+        for bid, names in BENCH_SET.items():
+            if ONLY and bid not in ONLY:
+                continue
             for name in names:
                 q = QUERIES[name]
                 q.spark_fn(spark, SF_DIR).toPandas()
@@ -125,6 +135,8 @@ def main() -> None:
     spark_sec: dict[str, float] = {}
     duck_sec: dict[str, float] = {}
     for bid, names in BENCH_SET.items():
+        if ONLY and bid not in ONLY:
+            continue
         s_total = d_total = 0.0
         for name in names:
             q = QUERIES[name]

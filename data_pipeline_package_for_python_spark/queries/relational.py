@@ -1195,8 +1195,9 @@ def join_star_q5(spark, sf_dir):
     always broadcast; the lineitem↔orders edge is chosen by the
     stats-gated ``_orders_side_fits_broadcast`` probe — broadcast +
     stream when the orders scan estimate bounds the enriched side under
-    the session threshold, otherwise aggregation-below-join with a
-    shuffle join (the 100 TB shape; the gate always declines there)."""
+    the session threshold, otherwise a direct shuffle join with the
+    tiny n_name rollup folding map-side above it (the 100 TB shape;
+    the gate always declines there)."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -1249,26 +1250,27 @@ def join_star_q5(spark, sf_dir):
     enriched_orders = o.join(
         F.broadcast(dims), o.o_custkey == dims.c_custkey
     ).select("o_orderkey", "n_name")
-    # Scale path: aggregation pushed below the join — lineitem
-    # pre-aggregates per l_orderkey into exact integer revenue units
-    # (associative, lossless), the single fact-sized shuffle carries
-    # per-key longs, and the shuffle join never broadcasts fact data.
-    li_agg = li_sel.groupBy("l_orderkey").agg(
-        F.expr(
-            "sum(floor((l_extendedprice * (1 - l_discount))"
-            " * 10000 + 0.5d))"
-        ).alias("__rev_units")
-    )
+    # Scale path: DIRECT shuffle join, aggregation after.  Unlike Q3
+    # (grouping key == join key, so agg-below-join removes the
+    # re-aggregation), Q5's final grouping key is n_name — ~25 groups —
+    # so a per-l_orderkey pre-aggregate would hash 60 M rows into a
+    # fact-cardinality group table and STILL shuffle-join the result:
+    # strictly more shuffle volume (fact + fact-keyed partials) and one
+    # more stage barrier than joining the fact directly and letting the
+    # 25-group rollup fold map-side.  Measured at sf10 (r8): direct
+    # 3.92 s vs pre-agg 4.41 s; Spark's runtime Bloom filter (on by
+    # default) additionally prunes lineitem rows whose orderkey misses
+    # the date-filtered orders build when the creation side fits its
+    # threshold.  At 100 TB both sides shuffle on l_orderkey/o_orderkey
+    # and AQE handles skew; no fact data is ever broadcast.
     return (
-        li_agg.join(
+        li_sel.join(
             enriched_orders,
-            li_agg.l_orderkey == enriched_orders.o_orderkey,
+            li_sel.l_orderkey == enriched_orders.o_orderkey,
         )
         .groupBy("n_name")
         .agg(
-            (F.sum("__rev_units") / F.lit(10000.0).cast("double")).alias(
-                "revenue"
-            )
+            ssum("l_extendedprice * (1 - l_discount)").alias("revenue")
         )
     )
 

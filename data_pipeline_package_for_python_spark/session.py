@@ -83,6 +83,21 @@ def get_spark(
         # This is the documented knob for exactly that bias; 5 errs
         # toward declining — the safe direction at 100 TB.
         .config("spark.sql.sources.fileCompressionFactor", "5.0")
+        # Runtime Bloom-filter join reduction: let the optimizer build a
+        # Bloom from a dim-filtered build side up to 128 MB (default
+        # 10 MB) and prune the fact scan's shuffle write with it.  The
+        # build cost is one extra semi-aggregation over a side that is
+        # small BY THE PLANNER'S OWN ESTIMATE; the saving is fact rows
+        # that never enter the exchange.  Interleaved on/off A/B (r8):
+        # Q5's shuffle path at sf3 1.62→1.46 s (−10%), Q3 neutral at
+        # sf1/sf3; at 100 TB the fact:build ratio is thousands of times
+        # larger and the trade only improves.  (Join-node estimates
+        # inflate multiplicatively without CBO, so very large creation
+        # sides — e.g. Q5's enriched orders at sf10 — self-exclude.)
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "128MB",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.log.level", "WARN")
     )
@@ -106,6 +121,20 @@ def get_spark(
             # stages parallel; cluster deploys keep Spark's defaults —
             # at 100 TB intermediate stages dwarf any sane minimum.
             .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
+            # Runtime-filter application gate, local analogue: Spark only
+            # injects a Bloom when the application-side scan estimate
+            # exceeds 10 GB — at 100 TB every fact scan qualifies, but no
+            # local fixture does, so local plans would never exercise the
+            # runtime-filter path a cluster runs.  256 MB keeps blooms out
+            # of unit-test and sf0.1 driver-bench plans (estimates ≤
+            # ~85 MB) while the sf1+ scale sessions (≥ ~565 MB) plan
+            # exactly like the cluster.  Cluster deploys keep the 10 GB
+            # default.
+            .config(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "256MB",
+            )
         )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -74,9 +74,13 @@ def test_no_fact_broadcast_pins(name, spark, sf_dir):
     broadcasts AND the queries' stats-gated hint are off (the gate keys
     off the same conf), leaving only the true-dimension hints.  The
     lineitem↔orders edge — both sides fact-derived, both growing
-    linearly with scale — must then plan as a shuffle join over the
-    aggregation-below-join shape: per-orderkey revenue units shuffle on
-    l_orderkey, and no driver-side broadcast of fact data exists
+    linearly with scale — must then plan as a shuffle join: Q3 shuffles
+    per-orderkey PRE-AGGREGATED revenue units (grouping key == join
+    key), Q5 shuffles the pruned fact directly and folds its 25-group
+    rollup map-side above the join (r8: measured faster than pre-agg
+    at sf3/sf10 — the per-orderkey partial table is fact-cardinality
+    there, pure overhead).  Either way the shuffle is keyed on
+    l_orderkey and no driver-side broadcast of fact data exists
     anywhere in the plan.  This is exactly the plan the same code
     produces at the 100 TB design point, where the scan estimate always
     exceeds the threshold."""
@@ -90,8 +94,8 @@ def test_no_fact_broadcast_pins(name, spark, sf_dir):
     # Exactly one shuffle join: the lineitem↔orders edge (formatted
     # explain names each node twice — tree line + detail section).
     assert r.joins.count("SortMergeJoin") <= 2
-    # The fact-side shuffle carries the PRE-AGGREGATED per-orderkey
-    # units, not raw line items.
+    # The fact-side shuffle is keyed on the join key (Q3: per-orderkey
+    # pre-aggregated units; Q5: the pruned fact rows themselves).
     assert any("l_orderkey" in k for k in r.shuffle_keys)
 
 

@@ -1295,6 +1295,7 @@ def bpe_train(
     *,
     n_merges: int = 8,
     max_words: int = 2000,
+    batch_m: int = 1,
 ) -> DataFrame:
     """Train a BPE merge table over a corpus — the full iterative loop
     (Sennrich et al., ACL '16), not just one round of pair counts.
@@ -1324,6 +1325,28 @@ def bpe_train(
     fixture words are whitespace-pretokenized already); symbols are
     restricted to ``[a-z]`` by the pre-clean so the ``|`` sentinel
     can never collide.
+
+    ``batch_m > 1`` is the SCALE path: each count pass commits up to
+    ``batch_m`` merges instead of one, so a 32k-merge vocabulary costs
+    ~32k/m scheduler round-trips instead of 32k (m=256 → 125 rounds).
+    Selection per round: take candidate pairs in the same total order
+    (count DESC, l, r) and greedily accept each whose symbols are
+    DISJOINT from every symbol (lhs, rhs, and merged output) of the
+    pairs already accepted this round.  Merging a pair never creates
+    or destroys an adjacency between two symbols it doesn't contain,
+    so the accepted pairs' counts are exact under each other's
+    application and the merges commute — the batch applies in rank
+    order as one map-only select.
+
+    Equivalence contract (law-tested): batched == sequential whenever
+    additionally no pair INVOLVING a token minted earlier in the same
+    batch out-counts a later batch member at its commit point (e.g.
+    trivially: corpora whose words never exceed 2 symbols mint no new
+    pairs; more generally, well-separated count strata).  On natural
+    corpora a freshly minted token's pairs can overtake a later batch
+    member, so batched ranks may locally reorder relative to
+    sequential — the standard fast-BPE approximation; the sequential
+    path (``batch_m=1``, the default) remains the registry contract.
     """
     spark = df.sparkSession
     words = (
@@ -1346,10 +1369,18 @@ def bpe_train(
         .localCheckpoint(eager=False)
     )
 
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
+
     merges = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
         n = F.size("syms")
-        best = (
+        # Over-fetch 4x: conflicting candidates are skipped, so the
+        # top-`want` disjoint pairs may sit below position `want`.
+        # Under-filled batches are correct (the next count pass sees
+        # the post-merge table), just one extra round-trip.
+        top = (
             words.filter(n >= 2)
             .select(
                 "freq",
@@ -1365,28 +1396,39 @@ def bpe_train(
             )
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
-            .limit(1)
+            .limit(max(4 * want, 16) if batch_m > 1 else 1)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-        merges.append((rank, l, r, l + r, c))
-        piped = F.concat(
+        used: set = set()
+        batch = []
+        for row in top:
+            if len(batch) >= want:
+                break
+            l, r = row["l"], row["r"]
+            # reject on ANY symbol contact with an earlier accept —
+            # including its minted output, whose later-round identity
+            # must come from a recount, not an in-batch replace
+            if {l, r, l + r} & used:
+                continue
+            used |= {l, r, l + r}
+            batch.append((l, r, int(row["c"])))
+        if not batch:
+            # every candidate conflicts (pathological tiny alphabet):
+            # fall back to committing the argmax alone
+            row = top[0]
+            batch = [(row["l"], row["r"], int(row["c"]))]
+        expr = F.concat(
             F.lit("|"), F.array_join("syms", "||"), F.lit("|")
         )
+        for l, r, c in batch:
+            merges.append((len(merges), l, r, l + r, c))
+            expr = F.replace(
+                expr, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+            )
         words = words.select(
-            F.split(
-                F.btrim(
-                    F.replace(
-                        piped,
-                        F.lit(f"|{l}||{r}|"),
-                        F.lit(f"|{l}{r}|"),
-                    ),
-                    F.lit("|"),
-                ),
-                "\\|\\|",
-            ).alias("syms"),
+            F.split(F.btrim(expr, F.lit("|")), "\\|\\|").alias("syms"),
             "freq",
         ).localCheckpoint(eager=False)
 

@@ -1905,15 +1905,49 @@ def window_first_last_value(spark, sf_dir):
     """,
 )
 def window_ntile_percent(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """Global ntile(4) + percent_rank — TWO-PHASE, no data-scale
+    unpartitioned window (the §2.2.5 contract row, re-expressed the
+    way ml_calibration_bins already tiles its deciles).
+
+    Each row's exact global rank over (o_totalprice, o_orderkey) comes
+    from operators/prefix.prefix_rank: a cumulative count of strictly
+    smaller prices over price-range buckets (bucket-metadata cumsum
+    only) plus a price-partitioned row_number over the key tie-break.
+    o_orderkey is unique, so the full order key has no ties and
+    rank == RANK() == ROW_NUMBER(); from it, SQL ntile's tile rule
+    (first n mod 4 tiles take one extra row) and percent_rank's
+    (rank-1)/(n-1) are closed forms — bit-identical to the window
+    functions with no single-reducer sort of the orders table.
+    """
+    from ..operators.prefix import prefix_rank
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = prefix_rank(
+        o, key="o_totalprice", tiebreak="o_orderkey",
+        bucket=F.floor(F.col("o_totalprice") / F.lit(10000.0)),
+    )
     return (
-        o.select(
-            "o_orderkey",
-            F.ntile(4).over(w).alias("quartile"),
-            F.percent_rank().over(w).alias("pct_rank"),
-        )
+        ranked.crossJoin(F.broadcast(tot))
         .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            # SQL ntile(4): k = n div 4, r = n mod 4; tiles 1..r hold
+            # k+1 rows, tiles r+1..4 hold k.  greatest(k,1) keeps the
+            # unevaluated branch ANSI-safe when n < 4.
+            F.expr(
+                "CASE WHEN rk <= (n % 4) * ((n div 4) + 1) "
+                "THEN (rk - 1) div ((n div 4) + 1) + 1 "
+                "ELSE (n % 4) + (rk - (n % 4) * ((n div 4) + 1) - 1) "
+                "div greatest(n div 4, 1) + 1 END"
+            ).cast("int").alias("quartile"),
+            F.when(F.col("n") > 1,
+                   (F.col("rk") - 1).cast("double")
+                   / (F.col("n") - 1).cast("double"))
+            .otherwise(F.lit(0.0)).alias("pct_rank"),
+        )
     )
 
 

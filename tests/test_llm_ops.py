@@ -1388,6 +1388,66 @@ def test_bpe_train_hand_example(spark):
     ]
 
 
+def test_bpe_train_batched_equals_sequential_conflict_free(spark):
+    """Batched-BPE law: when every committed batch is conflict-free AND
+    mints no competitive new pairs, batch_m > 1 reproduces the
+    sequential trainer's merge table EXACTLY (ranks, pairs, counts).
+
+    Corpus construction: words of exactly 2 symbols over disjoint
+    letter sets — each merge collapses its word to one symbol, so no
+    batch can mint a new pair, and distinct letters make every
+    candidate pair symbol-disjoint.  Frequencies are strictly separated
+    so the total order is unambiguous."""
+    from data_pipeline_package_for_python_spark.operators.text import (
+        bpe_train,
+    )
+
+    corpus = " ".join(
+        ["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5 + ["gh"] * 3 + ["ij"] * 2
+    )
+    df = spark.createDataFrame([(corpus,)], "text string")
+    key = lambda d: [  # noqa: E731
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in d.orderBy("merge_rank").collect()
+    ]
+    seq = key(bpe_train(df, "text", n_merges=5, batch_m=1))
+    for m in (2, 3, 5, 8):
+        assert key(bpe_train(df, "text", n_merges=5, batch_m=m)) == seq
+    assert seq == [
+        (0, "a", "b", "ab", 9),
+        (1, "c", "d", "cd", 7),
+        (2, "e", "f", "ef", 5),
+        (3, "g", "h", "gh", 3),
+        (4, "i", "j", "ij", 2),
+    ]
+
+
+def test_bpe_train_batched_conflict_skip_and_chaining(spark):
+    """Conflicting candidates are deferred to a later count pass, not
+    mis-committed in-batch: on the hand corpus ('aaab'x3 + 'ab'),
+    round-0 candidates (a,a)=6 and (a,b)=4 share the symbol 'a', so a
+    batch of 2 must commit (a,a) alone, recount, then find (a,b)=4 and
+    (aa,ab)=3 exactly as the sequential trainer does — the batched
+    table is IDENTICAL here because each batch degenerates to size 1."""
+    from data_pipeline_package_for_python_spark.operators.text import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [("aaab aaab",), ("aaab ab",)], "text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=3, batch_m=2)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == [
+        (0, "a", "a", "aa", 6),
+        (1, "a", "b", "ab", 4),
+        (2, "aa", "ab", "aaab", 3),
+    ]
+
+
 def test_bpe_train_max_count_non_increasing(spark, sf_dir):
     """BPE law: the winning pair count can never rise round-over-round
     — a new pair created by a merge occurs at most as often as the

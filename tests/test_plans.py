@@ -517,7 +517,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ml_ks_statistic": "metadata: prefix_sums score-bucket offset cumsum",
     "ml_bootstrap_ci": "bounded: 100 replicate means by construction",
     "ml_conformal_interval": "metadata: prefix_sums resid buckets",
-    "window_ntile_percent": "contract row: §2.2.5 global ntile demo",
+    "window_ntile_percent": "metadata: prefix_sums price buckets + closed ntile",
 }
 
 # Excluded from the sweep: streaming queries EXECUTE their stream during

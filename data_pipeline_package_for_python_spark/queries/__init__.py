@@ -41,10 +41,12 @@ from . import (  # noqa: E402,F401
 # first 50 uncredited names in this order form the driver window, and    #
 # newly credited names park themselves at import time (self-rotating).  #
 #                                                                        #
-# REAL schedule arithmetic (registry frozen at 399 queries + canary,    #
-# 400 entries total): 180                                                #
+# REAL schedule arithmetic (registry: 400 queries + canary, 401         #
+# entries total — round 8 added dedup_clusters_minhash, which parks     #
+# BEHIND the staged _PRIORITY names by construction, so it cannot       #
+# displace a staged query from any window): 180                         #
 # credited after r4; r5 → 230, r6 → 280, r7 → 330, r8 → 380, r9 →        #
-# sweep closes (the last ~20 + zz_canary confirms).  Full credit lands   #
+# sweep closes (the last ~21 + zz_canary confirms).  Full credit lands   #
 # round 9 at the 50/round budget — sooner only if the budget grows.      #
 # ---------------------------------------------------------------------- #
 

@@ -94,6 +94,14 @@ def connected_components(
     ``RuntimeError`` after ``max_iterations`` (the bound is O(log² n)
     rounds; 25 covers any graph that fits in storage anywhere).
     """
+    # The INITIAL checkpoint is EAGER: the incoming pair list is often
+    # an expensive pipeline (MinHash -> LSH -> verify), and round-8
+    # sf10 measurement showed the lazy variant re-evaluating that
+    # pipeline a second time under AQE + storage pressure (composed
+    # clusters 819 s vs 404 s with the edge set materialized up front
+    # — the 27M-pair input ran twice).  Eager pins exactly one
+    # evaluation before any derived branching; per-round checkpoints
+    # below stay lazy (each is materialized once by its own checksum).
     edges = (
         pairs.select(
             F.col(src).cast("long").alias("u"),
@@ -101,7 +109,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     prev = _edge_checksum(edges)
     if prev[0] == 0:

@@ -78,9 +78,23 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iterations: int = 25,
+    eager: bool = True,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; component
     = the minimum node id reachable from it.
+
+    **Eager by design**: calling this function EXECUTES the entire
+    iterative algorithm — including the full upstream ``pairs``
+    pipeline (e.g. MinHash → LSH → verify) — before returning; the
+    returned DataFrame is a materialized result, not a lazy plan.  A
+    data-dependent convergence loop cannot be expressed lazily (each
+    round's action decides whether another round runs), so laziness is
+    unrecoverable here regardless of ``eager``.  Callers that must
+    defer the cost should defer the *call*.  ``eager=False`` only makes
+    the INITIAL edge checkpoint lazy again (the pre-r8 behavior), for
+    callers that know their upstream is trivially cheap to re-evaluate;
+    the loop itself still runs at call time.  This propagates to
+    ``resolve_duplicates`` and both ``dedup_clusters*`` queries.
 
     Iterative large-star/small-star with per-round ``localCheckpoint``
     to truncate lineage (an iterated self-join otherwise doubles the
@@ -109,7 +123,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=eager)
     )
     prev = _edge_checksum(edges)
     if prev[0] == 0:
@@ -425,6 +439,11 @@ def resolve_duplicates(
     demotes it to broadcast when the map is tiny; singleton documents
     survive via ``coalesce`` to their own id without appearing in the
     map at all — the map never holds the full corpus.
+
+    **Executes at call time**: delegates to ``connected_components``,
+    whose convergence loop runs the full ``pairs`` pipeline eagerly
+    (see its docstring) — the returned frame embeds a materialized
+    component map, not a lazy plan over ``pairs``.
     """
     cc = connected_components(pairs, src, dst).withColumnRenamed(
         "id", "__cc_id"

@@ -1348,6 +1348,12 @@ def bpe_train(
     sequential — the standard fast-BPE approximation; the sequential
     path (``batch_m=1``, the default) remains the registry contract.
     """
+    # validate before any plan is built; bool is an int subclass, so
+    # batch_m=True would otherwise pass >=1 and silently mean 1
+    if isinstance(batch_m, bool) or not isinstance(batch_m, int):
+        raise TypeError(f"batch_m must be an int, got {batch_m!r}")
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
     spark = df.sparkSession
     words = (
         df.select(
@@ -1368,9 +1374,6 @@ def bpe_train(
         .select(F.split("w", "").alias("syms"), "freq")
         .localCheckpoint(eager=False)
     )
-
-    if batch_m < 1:
-        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
 
     merges = []
     while len(merges) < n_merges:
@@ -1414,11 +1417,9 @@ def bpe_train(
                 continue
             used |= {l, r, l + r}
             batch.append((l, r, int(row["c"])))
-        if not batch:
-            # every candidate conflicts (pathological tiny alphabet):
-            # fall back to committing the argmax alone
-            row = top[0]
-            batch = [(row["l"], row["r"], int(row["c"]))]
+        # the first candidate is always accepted (`used` starts empty),
+        # so a non-empty `top` guarantees a non-empty batch
+        assert batch, "greedy selection accepts top[0] unconditionally"
         expr = F.concat(
             F.lit("|"), F.array_join("syms", "||"), F.lit("|")
         )

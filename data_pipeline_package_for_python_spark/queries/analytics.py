@@ -1967,7 +1967,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_shipdate < TIMESTAMP '1997-01-01'
         |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount)
                        * 10000 + 0.5d) AS BIGINT) AS units
-        |> AGGREGATE SUM(units) / 10000.0 AS revenue,
+        |> AGGREGATE CAST(SUM(units) AS DOUBLE) / 10000.0 AS revenue,
                      COUNT(*) AS n_lines
            GROUP BY l_returnflag
         |> SELECT l_returnflag, revenue, n_lines

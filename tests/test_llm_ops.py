@@ -1448,6 +1448,25 @@ def test_bpe_train_batched_conflict_skip_and_chaining(spark):
     ]
 
 
+def test_bpe_train_batch_m_validated_before_plan(spark):
+    """batch_m is validated at function entry: bool (an int subclass
+    that would silently mean 1), non-int, and <1 all raise BEFORE any
+    Spark plan is built (r8 advice)."""
+    import pytest as _pytest
+
+    from data_pipeline_package_for_python_spark.operators.text import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    with _pytest.raises(TypeError, match="batch_m must be an int"):
+        bpe_train(df, "text", n_merges=1, batch_m=True)
+    with _pytest.raises(TypeError, match="batch_m must be an int"):
+        bpe_train(df, "text", n_merges=1, batch_m=2.5)
+    with _pytest.raises(ValueError, match="batch_m must be >= 1"):
+        bpe_train(df, "text", n_merges=1, batch_m=0)
+
+
 def test_bpe_train_max_count_non_increasing(spark, sf_dir):
     """BPE law: the winning pair count can never rise round-over-round
     — a new pair created by a merge occurs at most as often as the

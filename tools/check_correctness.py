@@ -67,7 +67,16 @@ def canon_cell(v) -> str:
         f = float(v)
         return "f:nan" if math.isnan(f) else f"f:{f!r}"
     if isinstance(v, decimal.Decimal):
-        return f"f:{float(v)!r}"
+        # Driver fidelity (r8 red row `sql_pipe_syntax`): the grading
+        # driver does NOT coerce Decimal->float before hashing, so a
+        # Spark DecimalType result column vs a DuckDB DOUBLE oracle
+        # hash-diverges even when numerically identical
+        # (Decimal('146776986.3201000') vs 146776986.3201).  The old
+        # `f:{float(v)!r}` coercion here hid exactly that divergence.
+        # Tag decimals distinctly so the local gate fails where the
+        # driver fails; queries must CAST final decimal outputs to
+        # DOUBLE (or BIGINT) to match their oracles.
+        return f"D:{v}"
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
@@ -89,6 +98,36 @@ def canon_cell(v) -> str:
 
 class CanonCrash(Exception):
     """The driver-mirrored pandas sort would crash on this frame."""
+
+
+def _col_has_decimal(series: pd.Series) -> bool:
+    if series.dtype != object:
+        return False
+    for v in series:
+        if v is None or v is pd.NaT:
+            continue
+        return isinstance(v, decimal.Decimal)
+    return False
+
+
+def decimal_float_mismatches(
+    spdf: pd.DataFrame, dpdf: pd.DataFrame
+) -> list[str]:
+    """Columns where one side carries decimal.Decimal cells and the
+    other carries floats — guaranteed driver hash divergence even when
+    the numbers are equal.  Surfaced as a targeted failure (with the
+    fix spelled out) instead of an opaque hash mismatch."""
+    bad = []
+    for col in sorted(set(spdf.columns) & set(dpdf.columns)):
+        s_dec = _col_has_decimal(spdf[col])
+        d_dec = _col_has_decimal(dpdf[col])
+        if s_dec != d_dec:
+            side = "spark" if s_dec else "oracle"
+            bad.append(
+                f"{col}: {side} side is Decimal, other is not — "
+                f"CAST the {side} result to DOUBLE/BIGINT"
+            )
+    return bad
 
 
 def canonicalize(pdf: pd.DataFrame) -> tuple[int, list[str], str, list[str]]:
@@ -237,7 +276,13 @@ def main() -> int:
             print(f"FAIL  {name}: {e}")
             continue
         checked += 1
-        if sc != dc:
+        dec_bad = decimal_float_mismatches(spdf, dpdf)
+        if dec_bad:
+            failures.append((name, f"decimal-vs-float: {'; '.join(dec_bad)}"))
+            print(f"FAIL  {name}: decimal-vs-float dtype divergence")
+            for b in dec_bad:
+                print(f"    {b}")
+        elif sc != dc:
             failures.append((name, f"schema: spark={sc} duckdb={dc}"))
             print(f"FAIL  {name}: schema mismatch\n  spark:  {sc}\n  duckdb: {dc}")
         elif sn != dn:

@@ -1296,6 +1296,7 @@ def bpe_train(
     n_merges: int = 8,
     max_words: int = 2000,
     batch_m: int = 1,
+    round_log: list | None = None,
 ) -> DataFrame:
     """Train a BPE merge table over a corpus — the full iterative loop
     (Sennrich et al., ACL '16), not just one round of pair counts.
@@ -1375,8 +1376,16 @@ def bpe_train(
         .localCheckpoint(eager=False)
     )
 
+    # optional instrumentation: appends (pass_index, merges_committed,
+    # seconds) per distributed count pass when a list is supplied —
+    # this is how the ~merges/batch_m round-trip amortization claim is
+    # measured at scale without touching the training semantics
+    import time as _time
+
     merges = []
     while len(merges) < n_merges:
+        _t0 = _time.monotonic()
+        _before = len(merges)
         want = min(batch_m, n_merges - len(merges))
         n = F.size("syms")
         # Over-fetch 4x: conflicting candidates are skipped, so the
@@ -1432,6 +1441,11 @@ def bpe_train(
             F.split(F.btrim(expr, F.lit("|")), "\\|\\|").alias("syms"),
             "freq",
         ).localCheckpoint(eager=False)
+        if round_log is not None:
+            round_log.append(
+                (len(round_log), len(merges) - _before,
+                 _time.monotonic() - _t0)
+            )
 
     return spark.createDataFrame(
         merges,

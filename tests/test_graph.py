@@ -86,6 +86,22 @@ def test_cc_empty_and_self_loops(spark):
     assert _cc_dict(pairs) == {}
 
 
+def test_cc_eager_flag_value_parity(spark):
+    """``eager`` only controls WHEN the initial edge checkpoint
+    materializes (r8 advice: the default eager=True executes the
+    upstream pipeline at call time) — the component labels are
+    identical either way."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "id_a long, id_b long"
+    )
+    lbl = lambda df: {  # noqa: E731
+        r["id"]: r["component"] for r in df.collect()
+    }
+    assert lbl(connected_components(pairs)) == lbl(
+        connected_components(pairs, eager=False)
+    )
+
+
 def test_resolve_duplicates_survivors(spark):
     docs = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"

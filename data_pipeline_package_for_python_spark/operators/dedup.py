@@ -755,20 +755,49 @@ def build_bloom(
     return BloomSketch(m_bits, k, out.tobytes())
 
 
+def _sketch_broadcast(sketch: BloomSketch):
+    """Spark ``Broadcast`` of the sketch's bitmap for the active session,
+    created once per (sketch, SparkContext) and cached on the sketch.
+
+    A 100 M-digest / 1% sketch is ~120 MB: captured in a UDF closure it
+    re-ships through the task-serialization path on EVERY probe stage;
+    as a broadcast variable it ships torrent-style once per executor
+    and every later stage of the ingest run reuses the local copy."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # no session — caller will fall back to closure
+        return None
+    sc = spark.sparkContext
+    cached = getattr(sketch, "_bc", None)
+    if cached is not None and cached[0] == sc.applicationId:
+        return cached[1]
+    bc = sc.broadcast(sketch.bitmap)
+    sketch._bc = (sc.applicationId, bc)
+    return bc
+
+
 def bloom_member(sketch: BloomSketch, key: Column) -> Column:
     """Boolean column: may ``key`` be in the sketch?  (false ⇒ provably
     absent; true ⇒ present OR a false positive at the sketch's fpp).
 
-    The probe is an Arrow-batched pandas UDF over the JVM-computed position
-    array; the bitmap rides to executors in the closure once per stage (use
-    ``SparkContext.broadcast`` to share it across many probe stages)."""
+    The probe is an Arrow-batched pandas UDF over the JVM-computed
+    position array.  The bitmap travels as a ``SparkContext.broadcast``
+    (cached per session on the sketch, see :func:`_sketch_broadcast`) so
+    repeated probe stages in one ingest run ship it to each executor
+    once; the UDF closure carries only the tiny broadcast handle.
+    Falls back to closure capture when no session is active."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bitmap = np.frombuffer(sketch.bitmap, dtype=np.uint8)
+    bc = _sketch_broadcast(sketch)
+    raw = sketch.bitmap if bc is None else None
 
     def _probe_fn(pos):
+        bitmap = np.frombuffer(
+            raw if bc is None else bc.value, dtype=np.uint8
+        )
         out = np.empty(len(pos), dtype=bool)
         for i, arr in enumerate(pos.to_numpy()):
             p = np.asarray(arr)

@@ -458,6 +458,25 @@ def test_bloom_no_false_negatives_and_fpp_bound(spark):
     assert fp / 4000 < 0.03
 
 
+def test_bloom_bitmap_broadcast_cached_per_session(spark):
+    """The probe ships the bitmap as a SparkContext.broadcast created
+    ONCE per (sketch, session) and reused by every later probe stage —
+    the UDF closure carries only the handle (r9: a 100 TB ingest run
+    probes many batches against one epoch sketch; closure capture
+    would re-ship ~120 MB per stage)."""
+    keys = spark.range(0, 500).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    sketch = D.build_bloom(keys, "k", expected_items=500, fpp=0.01)
+    assert getattr(sketch, "_bc", None) is None
+    assert keys.filter(~D.bloom_member(sketch, F.col("k"))).count() == 0
+    app_id, bc1 = sketch._bc
+    assert app_id == spark.sparkContext.applicationId
+    # second probe: same broadcast object, still correct
+    assert keys.filter(~D.bloom_member(sketch, F.col("k"))).count() == 0
+    assert sketch._bc[1] is bc1
+
+
 def test_incremental_dedup_exact_with_and_without_prefilter(spark):
     seen = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(100)], "id long, text string"

@@ -253,6 +253,30 @@ def test_ivf_topk_structure_and_recall(spark, tables):
     assert r4 > 0
 
 
+def test_ivf_assign_nprobe1_agg_equals_window_path(spark, tables):
+    """Law for the r9 inverted-file build fast path: n_probe=1 uses a
+    max_by hash aggregate (shuffle = |df| rows, map-side combined)
+    instead of the row_number window (shuffle = |df|×|centroids| scored
+    rows); assignments — including the sim-then-smallest-cell tie-break
+    — must be IDENTICAL, and the plan must carry no window exchange."""
+    emb = tables["embeddings"]
+    cents = S._stride_centroids(emb, "vec_id", "embedding", 40)
+    fast = S.ivf_assign(emb, cents, n_probe=1)
+    # reference: the window path, via n_probe=2 filtered to rank 1
+    # (same ordering logic, no fast path)
+    slow = S.ivf_assign(emb, cents, n_probe=2).filter(
+        F.col("cell_rank") == 1
+    )
+    f = {(r.vec_id, r.cell) for r in fast.collect()}
+    s = {(r.vec_id, r.cell) for r in slow.collect()}
+    assert f == s
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # array-typed any_value forces SortAggregate (not hash-aggregable);
+    # it still runs Partial -> Final, so the exchange carries |df| rows
+    assert "Aggregate" in plan
+
+
 def test_resize_and_frame_sample_roundtrip(spark):
     rows = [(1, b"x" * 200), (2, b"short"), (3, b"")]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")

@@ -676,6 +676,23 @@ class BloomSketch:
         k = max(1, round(m / n * math.log(2)))
         return m, k
 
+    def release(self) -> None:
+        """Destroy the cached Spark broadcast of this sketch's bitmap.
+
+        A probe stage broadcasts the ~m/8-byte bitmap once per session
+        (:func:`_sketch_broadcast`); the handle is pinned on driver and
+        executors for the application lifetime.  An ingest loop that
+        rotates sketches per epoch should call ``release()`` on the
+        retired sketch so each epoch holds exactly one live bitmap."""
+        cached = getattr(self, "_bc", None)
+        if cached is not None:
+            self._bc = None
+            try:
+                cached[1].unpersist(blocking=False)
+                cached[1].destroy()
+            except Exception:
+                pass  # session already gone — nothing to free
+
 
 def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
     """array<long> of the k bit positions for ``key`` — JVM-side xxhash64
@@ -770,8 +787,17 @@ def _sketch_broadcast(sketch: BloomSketch):
         return None
     sc = spark.sparkContext
     cached = getattr(sketch, "_bc", None)
-    if cached is not None and cached[0] == sc.applicationId:
-        return cached[1]
+    if cached is not None:
+        if cached[0] == sc.applicationId:
+            return cached[1]
+        # session changed — free the stale handle before re-broadcasting
+        # so a long-lived multi-session process holds one bitmap per
+        # sketch per ACTIVE session, not one per retired session
+        try:
+            cached[1].unpersist(blocking=False)
+            cached[1].destroy()
+        except Exception:
+            pass  # old context already stopped — JVM side is gone anyway
     bc = sc.broadcast(sketch.bitmap)
     sketch._bc = (sc.applicationId, bc)
     return bc

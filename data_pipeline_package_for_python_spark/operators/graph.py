@@ -90,10 +90,14 @@ def connected_components(
     data-dependent convergence loop cannot be expressed lazily (each
     round's action decides whether another round runs), so laziness is
     unrecoverable here regardless of ``eager``.  Callers that must
-    defer the cost should defer the *call*.  ``eager=False`` only makes
-    the INITIAL edge checkpoint lazy again (the pre-r8 behavior), for
-    callers that know their upstream is trivially cheap to re-evaluate;
-    the loop itself still runs at call time.  This propagates to
+    defer the cost should defer the *call*.  ``eager`` DOES NOT defer
+    anything: the first convergence checksum runs an action on the
+    checkpointed edges immediately after, so with ``eager=False`` the
+    upstream pipeline still executes at call time — the flag only moves
+    materialization from the checkpoint's own job into the checksum job
+    (one fused pass, the pre-r8 behavior) and exists for callers whose
+    upstream is trivially cheap and who want one fewer Spark job; the
+    deferral window is zero either way.  This propagates to
     ``resolve_duplicates`` and both ``dedup_clusters*`` queries.
 
     Iterative large-star/small-star with per-round ``localCheckpoint``

@@ -277,6 +277,97 @@ def test_ivf_assign_nprobe1_agg_equals_window_path(spark, tables):
     assert "Aggregate" in plan
 
 
+def test_ivf_trained_build_recall_and_structure(spark, tables):
+    """r10 trained-codebook tier: same (cents, inv) contract as
+    ivf_build, inverted file is a partition of the corpus, recall at
+    n_probe=4 is at least the stride codebook's (data-aware centroids
+    may only help on the clustered fixture) and non-trivial."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents, inv = S.ivf_build_trained(emb, cells=32, lloyd_rounds=2)
+    n = emb.count()
+    assert inv.count() == n
+    assert inv.select("neighbor_id").distinct().count() == n
+    assert cents.count() <= 32
+    # every cell id in the inverted file exists in the centroid frame
+    cell_ids = {r.cell_id for r in cents.collect()}
+    assert {r.cell for r in inv.select("cell").distinct().collect()} <= cell_ids
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            emb, queries, k=3, n_probe=4, prebuilt=(cents, inv)
+        ).collect()
+    }
+    assert len(got & exact) > 0
+    # structural law: one cell per corpus vector → no duplicate pairs
+    assert len(got) == len(set(got))
+
+
+def test_ivf_codebook_assign_matches_relational_assign(spark, tables):
+    """The map-only Arrow matmul-argmax assignment must agree with the
+    relational ivf_assign path on the same codebook (both argmax cosine
+    with ties toward the lower cell id).  Scores differ only in float
+    summation order, so allow no disagreements on the fixture (vectors
+    are nowhere near tie territory)."""
+    emb = tables["embeddings"]
+    cents = S.ivf_train_centroids(emb, cells=16, lloyd_rounds=1)
+    fast = {
+        (r.vec_id, r.cell)
+        for r in S.ivf_assign_codebook(emb, cents.codebook).collect()
+    }
+    slow = {
+        (r.vec_id, r.cell)
+        for r in S.ivf_assign(emb, cents, n_probe=1).collect()
+    }
+    agree = len(fast & slow) / max(len(slow), 1)
+    assert agree >= 0.995, f"codebook/relational assign agreement {agree}"
+
+
+def test_ivf_train_centroids_deterministic_and_balanced(spark, tables):
+    """Training twice on the same corpus yields the identical codebook
+    (hash-sample + numpy Lloyd are pure functions of the data), and the
+    trained cells are no more skewed than the stride cells."""
+    emb = tables["embeddings"]
+    c1 = S.ivf_train_centroids(emb, cells=16, lloyd_rounds=2)
+    c2 = S.ivf_train_centroids(emb, cells=16, lloyd_rounds=2)
+    assert np.array_equal(c1.codebook, c2.codebook)
+
+    _, inv_t = S.ivf_build_trained(emb, cells=16, lloyd_rounds=2)
+    stats_t = S.ivf_cell_stats(inv_t)
+    assert stats_t["total"] == emb.count()
+    assert stats_t["cells"] <= 16
+    assert stats_t["max_over_mean"] >= 1.0
+
+    cents_s = S._stride_centroids(emb, "vec_id", "embedding",
+                                  max(1, emb.count() // 16))
+    inv_s = S.ivf_assign(emb, cents_s, n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    stats_s = S.ivf_cell_stats(inv_s)
+    # data-aware training should not be WORSE than data-blind stride
+    # seeds on the clustered fixture (allow a small tolerance band)
+    assert stats_t["max_over_mean"] <= stats_s["max_over_mean"] * 1.25, (
+        stats_t, stats_s,
+    )
+
+
+def test_ivf_train_centroids_validates_inputs(spark, tables):
+    emb = tables["embeddings"]
+    with pytest.raises(ValueError):
+        S.ivf_train_centroids(emb, cells=True)
+    with pytest.raises(ValueError):
+        S.ivf_train_centroids(emb, cells="lots")
+    with pytest.raises(ValueError):
+        S.ivf_train_centroids(emb, sample_per_cell=0)
+    with pytest.raises(ValueError):
+        S.ivf_train_centroids(emb.filter(F.lit(False)))
+
+
 def test_resize_and_frame_sample_roundtrip(spark):
     rows = [(1, b"x" * 200), (2, b"short"), (3, b"")]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -499,6 +590,44 @@ def test_bloom_bitmap_broadcast_cached_per_session(spark):
     # second probe: same broadcast object, still correct
     assert keys.filter(~D.bloom_member(sketch, F.col("k"))).count() == 0
     assert sketch._bc[1] is bc1
+
+
+def test_bloom_broadcast_stale_session_freed_and_release(spark):
+    """r10 leak fix: exactly ONE live bitmap broadcast per sketch per
+    ACTIVE session — a handle cached under a retired applicationId is
+    unpersisted+destroyed when the sketch is re-probed in a new session
+    (simulated via a recording stand-in; a real second JVM session is
+    too heavy for unit scope), and sketch.release() frees the live one
+    for epoch rotation."""
+    keys = spark.range(0, 100).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    sketch = D.build_bloom(keys, "k", expected_items=100, fpp=0.01)
+
+    class FakeBroadcast:
+        def __init__(self):
+            self.unpersisted = False
+            self.destroyed = False
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+        def destroy(self):
+            self.destroyed = True
+
+    stale = FakeBroadcast()
+    sketch._bc = ("app-from-a-previous-session", stale)
+    bc = D._sketch_broadcast(sketch)
+    assert stale.unpersisted and stale.destroyed
+    assert bc is not stale
+    assert sketch._bc[0] == spark.sparkContext.applicationId
+    # probes still correct through the fresh broadcast
+    assert keys.filter(~D.bloom_member(sketch, F.col("k"))).count() == 0
+
+    live = FakeBroadcast()
+    sketch._bc = (spark.sparkContext.applicationId, live)
+    sketch.release()
+    assert live.unpersisted and live.destroyed
+    assert sketch._bc is None
+    sketch.release()  # idempotent on an already-released sketch
 
 
 def test_incremental_dedup_exact_with_and_without_prefilter(spark):

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""ANN at-scale session (round 9): the driver fixture caps the
+"""ANN at-scale session (rounds 9-10): the driver fixture caps the
 embeddings table at 2 000 rows at every SF, so the IVF scale path had
 plan pins and recall floors but no at-scale timing.  This synthesizes a
 clustered corpus deterministically IN SPARK (no data files written):
@@ -10,15 +10,22 @@ clustered corpus deterministically IN SPARK (no data files written):
 and measures the PRODUCTION framing — index once, query many:
 
   * brute `cosine_topk` per query batch (the exact verifier tier)
-  * `ivf_build` one-time index cost (scores |corpus| × |cells| pairs)
-  * `ivf_topk(prebuilt=...)` per query batch over the cached index
-  * recall@k of IVF vs brute
+  * `ivf_build` one-time index cost — BOTH tiers:
+      - stride: relational n_probe=1 max_by path, 64 data-blind cells
+      - trained (r10): numpy-Lloyd codebook over a hash-sample,
+        cells ∝ sqrt(n), map-only Arrow matmul-argmax assignment
+  * `ivf_topk(prebuilt=...)` per query batch over each cached index
+  * recall@k of IVF vs brute across an n_probe curve
+  * cell-occupancy skew (max/mean) per tier
 
-All timings force FULL materialization via a checksum aggregate over
-every output column (a bare .count() lets Catalyst prune the aggregate
-expressions and times a gutted plan — measured and discarded).
+All timings force FULL materialization (collect of the pair set).
 
-Writes BENCH_ann_scale_r09.json.  Usage: python tools/bench_ann_scale.py
+Sizes come from argv so every published data point is reproducible from
+the checked-in script (r9 advice):
+
+    python tools/bench_ann_scale.py [n ...]     default: 100000 500000 2000000
+
+Writes BENCH_ann_scale_r10.json.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 D = 32
 N_CLUSTERS = 200
 K = 10
+DEFAULT_SIZES = (100_000, 500_000, 2_000_000)
 
 
 def _u(h):  # xxhash64 bits -> [-1, 1]
@@ -55,24 +63,27 @@ def make_corpus(spark, n):
     return ids.select("vec_id", vec.alias("embedding"))
 
 
-def main() -> int:
+def main(argv) -> int:
     from data_pipeline_package_for_python_spark.operators import (
         similarity as S,
     )
     from data_pipeline_package_for_python_spark.session import get_spark
 
+    sizes = tuple(int(a) for a in argv[1:]) or DEFAULT_SIZES
+
     spark = get_spark(app_name="bench-ann-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    out = {"metric": "ann_scale_r09", "d": D, "k": K,
+    out = {"metric": "ann_scale_r10", "d": D, "k": K,
            "n_clusters": N_CLUSTERS, "runs": []}
-    for n, cells, n_probe in ((100_000, 64, 4), (500_000, 64, 4)):
+    for n in sizes:
+        cells_stride, n_probe = 64, 4
         corpus = make_corpus(spark, n).localCheckpoint(eager=True)
         queries = corpus.filter(
             F.pmod(F.col("vec_id"), F.lit(n // 32)) == 0
         ).localCheckpoint(eager=True)
         n_q = queries.count()
-        stride = n // cells
+        stride = n // cells_stride
 
         def collect_pairs(df):
             return {(r.query_id, r.neighbor_id) for r in df.collect()}
@@ -84,38 +95,75 @@ def main() -> int:
             t0 = time.monotonic()
             exact = collect_pairs(S.cosine_topk(corpus, queries, k=K))
             bts.append(time.monotonic() - t0)
+        t_brute = statistics.median(bts)
 
-        # one-time index build, forced via checksum over ALL columns
+        run = {"n": n, "n_queries": n_q, "k": K,
+               "sec_bruteforce_per_batch": round(t_brute, 2), "tiers": {}}
+
+        # --- tier A: stride codebook, relational assignment (r9) ---
         t0 = time.monotonic()
-        cents, inv = S.ivf_build(corpus, centroid_stride=stride)
-        inv = inv.localCheckpoint(eager=True)  # materializes the build
-        t_build = time.monotonic() - t0
+        cents_s, inv_s = S.ivf_build(corpus, centroid_stride=stride)
+        inv_s = inv_s.localCheckpoint(eager=True)
+        t_build_s = time.monotonic() - t0
 
-        qts = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            approx = collect_pairs(S.ivf_topk(
-                corpus, queries, k=K, n_probe=n_probe,
-                prebuilt=(cents, inv),
-            ))
-            qts.append(time.monotonic() - t0)
-        recall = len(approx & exact) / max(len(exact), 1)
+        # --- tier B: trained codebook ∝ sqrt(n), map-only assignment ---
+        t0 = time.monotonic()
+        cents_t, inv_t = S.ivf_build_trained(corpus, cells="auto",
+                                             lloyd_rounds=2)
+        inv_t = inv_t.localCheckpoint(eager=True)
+        t_build_t = time.monotonic() - t0
+        cells_trained = cents_t.count()
 
-        out["runs"].append({
-            "n": n, "n_queries": n_q, "cells": cells, "n_probe": n_probe,
-            "sec_bruteforce_per_batch": round(statistics.median(bts), 2),
-            "sec_ivf_build_once": round(t_build, 2),
-            "sec_ivf_query_per_batch": round(statistics.median(qts), 2),
-            "query_speedup_vs_brute": round(
-                statistics.median(bts) / statistics.median(qts), 1),
-            "build_amortizes_after_batches": max(
-                1, round(t_build / max(
-                    statistics.median(bts) - statistics.median(qts), 1e-9))),
-            "recall_at_k": round(recall, 4),
-        })
-        print(json.dumps(out["runs"][-1]))
+        for name, cents, inv, t_build, cells in (
+            ("stride_64cells_relational", cents_s, inv_s, t_build_s,
+             cells_stride),
+            ("trained_sqrtn_codebook", cents_t, inv_t, t_build_t,
+             cells_trained),
+        ):
+            stats = S.ivf_cell_stats(inv)
+            qts = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                approx = collect_pairs(S.ivf_topk(
+                    corpus, queries, k=K, n_probe=n_probe,
+                    prebuilt=(cents, inv),
+                ))
+                qts.append(time.monotonic() - t0)
+            t_q = statistics.median(qts)
+            recall_curve = {
+                str(n_probe): round(
+                    len(approx & exact) / max(len(exact), 1), 4)
+            }
+            # recall/n_probe curve (single timed pass each — the curve
+            # is about recall, the timing headline is n_probe above)
+            for np_ in (1, 2, 8):
+                got = collect_pairs(S.ivf_topk(
+                    corpus, queries, k=K, n_probe=np_,
+                    prebuilt=(cents, inv),
+                ))
+                recall_curve[str(np_)] = round(
+                    len(got & exact) / max(len(exact), 1), 4)
+            run["tiers"][name] = {
+                "cells": cells,
+                "sec_build_once": round(t_build, 2),
+                "sec_query_per_batch_nprobe4": round(t_q, 2),
+                "query_speedup_vs_brute": round(t_brute / t_q, 1),
+                "build_amortizes_after_batches": max(
+                    1, round(t_build / max(t_brute - t_q, 1e-9))),
+                "recall_at_k_by_nprobe": dict(sorted(
+                    recall_curve.items(), key=lambda kv: int(kv[0]))),
+                "cell_skew": {
+                    "min": int(stats["min"]), "max": int(stats["max"]),
+                    "mean": round(float(stats["mean"]), 1),
+                    "p99": round(float(stats["p99"]), 1),
+                    "max_over_mean": round(stats["max_over_mean"], 2),
+                },
+            }
+            print(json.dumps({"n": n, "tier": name,
+                              **run["tiers"][name]}))
+        out["runs"].append(run)
 
-    with open(os.path.join(ROOT, "BENCH_ann_scale_r09.json"), "w") as fh:
+    with open(os.path.join(ROOT, "BENCH_ann_scale_r10.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "runs"}))
     spark.stop()
@@ -123,4 +171,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main(sys.argv))

@@ -101,13 +101,13 @@ class CanonCrash(Exception):
 
 
 def _col_has_decimal(series: pd.Series) -> bool:
+    # ANY Decimal cell marks the column: leading NaN/None/NaT null
+    # placeholders (and mixed-type columns) must not mask it, or the
+    # targeted decimal-vs-float diagnostic degrades back to the opaque
+    # hash mismatch it replaces.
     if series.dtype != object:
         return False
-    for v in series:
-        if v is None or v is pd.NaT:
-            continue
-        return isinstance(v, decimal.Decimal)
-    return False
+    return any(isinstance(v, decimal.Decimal) for v in series)
 
 
 def decimal_float_mismatches(

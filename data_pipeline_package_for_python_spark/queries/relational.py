@@ -1368,6 +1368,187 @@ def join_q3_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------- #
+# co-partitioned (bucketed) layout tier for the Q3/Q5 fact edge          #
+# ---------------------------------------------------------------------- #
+
+# one bucketed (orders, lineitem) pair per (session, sf_dir, n_buckets):
+# the layout is written ONCE and every order-key join over it plans with
+# zero exchanges on the fact edge — the 100 TB posture where the shuffle
+# is paid at ingest time and amortizes over the whole query mix
+_BUCKETED_PAIR_CACHE: dict[tuple[str, str, int], tuple[str, str]] = {}
+
+
+def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
+    """(orders, lineitem) as catalog tables bucketed + sorted on the
+    order key with the same bucket count — the co-location layout for
+    every orderkey-equijoin (Q3, Q5, Q4, Q12, Q21...).
+
+    Written once per (session, sf_dir, n_buckets) and cached by
+    CATALOG NAME (sf-dir-keyed, so sweeps that switch scale factors
+    mid-session each get their own pair); later calls are pure catalog
+    lookups.  Full unfiltered tables go in — per-query predicates
+    (dates, segments) still prune at scan time via parquet row-group
+    stats, and one layout serves every query shape."""
+    import tempfile
+
+    from ..sources import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
+    hit = _BUCKETED_PAIR_CACHE.get(key)
+    if hit is None:
+        suffix = f"{abs(hash((sf_dir, n_buckets))) % 10**8}"
+        names = (f"dpp_orders_bko_{suffix}", f"dpp_lineitem_bko_{suffix}")
+        base = tempfile.mkdtemp(prefix="dpp_bko_")
+        write_bucketed(
+            load(spark, sf_dir, "orders"), names[0],
+            bucket_by="o_orderkey", n_buckets=n_buckets,
+            sort_by="o_orderkey", path=f"{base}/orders",
+        )
+        write_bucketed(
+            load(spark, sf_dir, "lineitem"), names[1],
+            bucket_by="l_orderkey", n_buckets=n_buckets,
+            sort_by="l_orderkey", path=f"{base}/lineitem",
+        )
+        hit = names
+        _BUCKETED_PAIR_CACHE[key] = hit
+    return spark.table(hit[0]), spark.table(hit[1])
+
+
+def q3_over_bucketed(spark, orders_b, lineitem_b, customer):
+    """Q3 over a pre-bucketed (orders, lineitem) pair: identical
+    semantics to ``join_q3_topk``'s scale path, but the fact edge is
+    co-located — bucketing supplies the orderkey clustering, so the
+    plan carries NO exchange between the fact scans and the join, and
+    the (o_orderkey, o_orderdate) aggregation folds into the same
+    stage (its clustering is satisfied by the join's).  The only
+    shuffle-like movement left is TakeOrdered(10)'s driver fetch."""
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = orders_b.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem_b.filter(F.col("l_shipdate") > "1996-01-01").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # broadcast joins preserve the streamed side's (bucketed)
+    # partitioning, so enriching orders with the tiny customer dim does
+    # not surrender co-location
+    enriched = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        li.join(enriched, li.l_orderkey == enriched.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(ssum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_over_bucketed(spark, orders_b, lineitem_b, customer, nation, region):
+    """Q5 over a pre-bucketed (orders, lineitem) pair: dims broadcast
+    exactly as in ``join_star_q5``'s scale path, but the fact edge is
+    bucket-co-located — no exchange between the fact scans and the
+    join; the sole remaining exchange is the 25-group n_name rollup
+    (map-side folded)."""
+    r = region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    o = orders_b.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem_b.select("l_orderkey", "l_extendedprice", "l_discount")
+    dims = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_regionkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    enriched = o.join(
+        F.broadcast(dims), o.o_custkey == dims.c_custkey
+    ).select("o_orderkey", "n_name")
+    return (
+        li.join(enriched, li.l_orderkey == enriched.o_orderkey)
+        .groupBy("n_name")
+        .agg(ssum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+    )
+
+
+@query(
+    "join_q3_topk_bucketed",
+    oracle="""
+    SELECT o.o_orderkey,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+               + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def join_q3_topk_bucketed(spark, sf_dir):
+    """Q3 over the co-partitioned layout tier (SURVEY §2.2.3 + §2.2.1):
+    orders and lineitem written ``bucketBy`` the order key once, then
+    joined with ZERO fact-edge exchanges — the r10 answer to the
+    B3 residual, where the shipped shuffle plan's remaining cost was
+    the fact exchange itself.  Results are identical to
+    ``join_q3_topk`` (same oracle); only the physical layout differs.
+    ``tests/test_bucketing.py`` pins the exchange-free plan."""
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    return q3_over_bucketed(
+        spark, ob, lib, load(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "join_star_q5_bucketed",
+    oracle="""
+    SELECT n.n_name,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+               + 0.5) AS BIGINT)) / 10000.0 AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_star_q5_bucketed(spark, sf_dir):
+    """Q5 over the co-partitioned layout tier: same bucketed
+    (orders, lineitem) pair as ``join_q3_topk_bucketed`` (one write
+    serves every orderkey join), dims broadcast, zero fact-edge
+    exchanges — only the 25-group rollup shuffles.  Identical results
+    to ``join_star_q5`` (same oracle)."""
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    return q5_over_bucketed(
+        spark, ob, lib,
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+# ---------------------------------------------------------------------- #
 # §2.2.4 aggregation                                                     #
 # ---------------------------------------------------------------------- #
 

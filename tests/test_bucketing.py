@@ -64,6 +64,64 @@ def test_bucketed_agg_is_shuffle_free(spark, bucketed_pair):
     assert plans.plan_report(g).n_shuffles == 0
 
 
+def test_q3_bucketed_fact_edge_has_zero_exchanges(spark, tables, sf_dir):
+    """r10 co-partitioned tier for the B3 residual: Q3 over the
+    bucketed (orders, lineitem) pair must plan with NO exchange at all
+    below the top-k — the fact join consumes bucket clustering and the
+    (o_orderkey, o_orderdate) aggregation folds into the join stage.
+    Forcing SMJ (no broadcast) makes the pin meaningful at any SF."""
+    from data_pipeline_package_for_python_spark.queries.relational import (
+        bucketed_order_tables,
+        q3_over_bucketed,
+        q5_over_bucketed,
+    )
+
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # exclude the dim enrich (would SMJ without broadcast hints):
+        # pin the fact edge itself — li ⋈ o on the bucket key + agg
+        li = lib.select("l_orderkey", "l_extendedprice", "l_discount")
+        o = ob.select("o_orderkey", "o_orderdate")
+        r = plans.plan_report(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "SortMergeJoin" in r.joins
+        assert r.n_shuffles == 0, r
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # full query shapes (broadcast dims allowed): fact edge still
+    # exchange-free — Q3 has zero exchanges end-to-end, Q5 exactly one
+    # (the n_name rollup)
+    q3 = q3_over_bucketed(spark, ob, lib, tables["customer"])
+    assert plans.plan_report(q3).n_shuffles == 0
+    q5 = q5_over_bucketed(
+        spark, ob, lib, tables["customer"], tables["nation"],
+        tables["region"],
+    )
+    assert plans.plan_report(q5).n_shuffles <= 1
+
+
+def test_bucketed_q3_q5_match_shipped_results(spark, sf_dir):
+    """The layout tier changes the physical plan ONLY: bucketed Q3/Q5
+    must return exactly the shipped queries' rows."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    for shipped, bucketed in (
+        ("join_q3_topk", "join_q3_topk_bucketed"),
+        ("join_star_q5", "join_star_q5_bucketed"),
+    ):
+        a = QUERIES[shipped].spark_fn(spark, sf_dir)
+        b = QUERIES[bucketed].spark_fn(spark, sf_dir)
+        rows_a = sorted(map(tuple, a.collect()))
+        rows_b = sorted(map(tuple, b.collect()))
+        assert rows_a == rows_b, f"{shipped} vs {bucketed}"
+
+
 def test_sorted_layout_roundtrip_and_pruning(spark, tables, tmp_path):
     path = (tmp_path / "orders_layout").as_posix()
     write_sorted_layout(

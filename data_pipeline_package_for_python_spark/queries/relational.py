@@ -1393,20 +1393,42 @@ def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
 
     from ..sources import write_bucketed
 
+    # sorted-bucket scans only REPORT their sort order under this flag
+    # (off by default since 3.0 because the ordering check lists files
+    # at planning time — cheap here, one dir per table).  With it on
+    # and exactly one file per bucket (guaranteed by the repartition
+    # below), sort-merge joins over the pair skip BOTH local sorts:
+    # the r10 sf1 measurement flipped from 0.48x to ~1.3x of the
+    # shipped plan on exactly this.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
     hit = _BUCKETED_PAIR_CACHE.get(key)
     if hit is None:
         suffix = f"{abs(hash((sf_dir, n_buckets))) % 10**8}"
         names = (f"dpp_orders_bko_{suffix}", f"dpp_lineitem_bko_{suffix}")
         base = tempfile.mkdtemp(prefix="dpp_bko_")
+        # repartition on the bucket key BEFORE the bucketed write:
+        # bucketBy does not shuffle, so each input task otherwise writes
+        # its own file per bucket (measured: 32 tasks × 32 buckets =
+        # 1024 files at sf1) and the scan loses the sortBy order —
+        # Spark only reports a bucket's outputOrdering when it selects
+        # ≤1 file per bucket.  repartition uses the same murmur3 hash
+        # as the bucket assignment, so every bucket lands in exactly
+        # one task → one sorted file → sort-merge joins skip their
+        # local sorts.  This is the one shuffle the layout tier pays,
+        # at INGEST time.
         write_bucketed(
-            load(spark, sf_dir, "orders"), names[0],
-            bucket_by="o_orderkey", n_buckets=n_buckets,
+            load(spark, sf_dir, "orders")
+            .repartition(n_buckets, F.col("o_orderkey")),
+            names[0], bucket_by="o_orderkey", n_buckets=n_buckets,
             sort_by="o_orderkey", path=f"{base}/orders",
         )
         write_bucketed(
-            load(spark, sf_dir, "lineitem"), names[1],
-            bucket_by="l_orderkey", n_buckets=n_buckets,
+            load(spark, sf_dir, "lineitem")
+            .repartition(n_buckets, F.col("l_orderkey")),
+            names[1], bucket_by="l_orderkey", n_buckets=n_buckets,
             sort_by="l_orderkey", path=f"{base}/lineitem",
         )
         hit = names

@@ -84,13 +84,21 @@ def test_q3_bucketed_fact_edge_has_zero_exchanges(spark, tables, sf_dir):
         # pin the fact edge itself — li ⋈ o on the bucket key + agg
         li = lib.select("l_orderkey", "l_extendedprice", "l_discount")
         o = ob.select("o_orderkey", "o_orderdate")
-        r = plans.plan_report(
+        fact_join = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        r = plans.plan_report(fact_join)
         assert "SortMergeJoin" in r.joins
         assert r.n_shuffles == 0, r
+        # one sorted file per bucket + the sorted-scan ordering flag
+        # (set by bucketed_order_tables) ⇒ the SMJ consumes the
+        # write-time sort: NO Sort operator anywhere in the plan
+        plan_str = fact_join._jdf.queryExecution().executedPlan().toString()
+        assert "Sort [" not in plan_str.replace("SortMergeJoin", ""), (
+            plan_str
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

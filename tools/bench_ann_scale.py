@@ -121,22 +121,28 @@ def main(argv) -> int:
              cells_trained),
         ):
             stats = S.ivf_cell_stats(inv)
-            qts = []
-            for _ in range(3):
-                t0 = time.monotonic()
-                approx = collect_pairs(S.ivf_topk(
-                    corpus, queries, k=K, n_probe=n_probe,
-                    prebuilt=(cents, inv),
-                ))
-                qts.append(time.monotonic() - t0)
-            t_q = statistics.median(qts)
-            recall_curve = {
-                str(n_probe): round(
-                    len(approx & exact) / max(len(exact), 1), 4)
-            }
-            # recall/n_probe curve (single timed pass each — the curve
-            # is about recall, the timing headline is n_probe above)
-            for np_ in (1, 2, 8):
+            # timed at BOTH n_probe=4 and 8: the √n codebook slices the
+            # corpus finer, so its served recall point sits at a higher
+            # n_probe than the 64-cell tier — time both so the serving
+            # config (recall ≥ 0.95) has an honest cost
+            timed = {}
+            for np_t in (n_probe, 8):
+                qts = []
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    approx = collect_pairs(S.ivf_topk(
+                        corpus, queries, k=K, n_probe=np_t,
+                        prebuilt=(cents, inv),
+                    ))
+                    qts.append(time.monotonic() - t0)
+                timed[np_t] = (statistics.median(qts), approx)
+            t_q = timed[n_probe][0]
+            recall_curve = {}
+            for np_, (_, got) in timed.items():
+                recall_curve[str(np_)] = round(
+                    len(got & exact) / max(len(exact), 1), 4)
+            # recall-only points (single pass)
+            for np_ in (1, 2):
                 got = collect_pairs(S.ivf_topk(
                     corpus, queries, k=K, n_probe=np_,
                     prebuilt=(cents, inv),
@@ -147,7 +153,10 @@ def main(argv) -> int:
                 "cells": cells,
                 "sec_build_once": round(t_build, 2),
                 "sec_query_per_batch_nprobe4": round(t_q, 2),
+                "sec_query_per_batch_nprobe8": round(timed[8][0], 2),
                 "query_speedup_vs_brute": round(t_brute / t_q, 1),
+                "query_speedup_vs_brute_nprobe8": round(
+                    t_brute / timed[8][0], 1),
                 "build_amortizes_after_batches": max(
                     1, round(t_build / max(t_brute - t_q, 1e-9))),
                 "recall_at_k_by_nprobe": dict(sorted(

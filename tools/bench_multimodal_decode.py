@@ -21,7 +21,10 @@ Protocol:
 Reports MB/s (compressed bytes), MB/s/core, and Mpixel/s.
 
 Usage:  python tools/bench_multimodal_decode.py [png_images jpeg_images]
-        default: 14000 PNGs of 160x160 (~1.08 GB), 1024 JPEGs of 128x128
+        default: 14000 PNGs of 160x160 (~1.08 GB), 96 JPEGs of 128x128
+        (the pure-Python JPEG decode runs ~4.6 s/image — the corpus is
+        sized for the scaling check, and Mpixel/s/core is the number a
+        libjpeg swap-in would scale from)
 Writes BENCH_multimodal_r10.json.
 """
 

@@ -124,7 +124,7 @@ def main(argv) -> int:
     from data_pipeline_package_for_python_spark.session import get_spark
 
     n_png = int(argv[1]) if len(argv) > 1 else 14_000
-    n_jpeg = int(argv[2]) if len(argv) > 2 else 1_024
+    n_jpeg = int(argv[2]) if len(argv) > 2 else 96
 
     spark = get_spark(app_name="bench-multimodal")
     spark.sparkContext.setLogLevel("ERROR")

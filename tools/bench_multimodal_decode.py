@@ -83,7 +83,15 @@ def gen_corpus(spark, n_images, side, fmt, out):
 
 
 def timed_decode(spark, path, n_partitions):
-    """Full-decode pass: parse every payload, checksum every pixel."""
+    """Full-decode pass: parse every payload, checksum every pixel.
+
+    Parallelism is controlled by ``spark.sql.files.maxPartitionBytes``
+    bin-packing over the corpus's 32 files — NO repartition: a
+    mid-pipeline shuffle of the raw payload bytes is exactly what an
+    intake pipeline avoids (decode at scan parallelism), and an early
+    version of this tool that repartitioned measured the 1 GB shuffle,
+    not the codec (32-partition PNG looked 3× slower than 8)."""
+    import glob
 
     def decode(batches):
         import pandas as pd
@@ -104,19 +112,34 @@ def timed_decode(spark, path, n_partitions):
                 {"cksum": sums, "pixels": pixels, "nbytes": nbytes}
             )
 
-    df = (
-        spark.read.parquet(path)
-        .repartition(n_partitions)
-        .mapInPandas(decode, schema="cksum long, pixels long, nbytes long")
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(f"{path}/*.parquet")
     )
-    t0 = time.perf_counter()
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cksum").alias("ck"),
-        F.sum("pixels").alias("px"),
-        F.sum("nbytes").alias("mb"),
-    ).collect()[0]
-    dt = time.perf_counter() - t0
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(1, total // n_partitions + 1)),
+    )
+    # the default 4 MB open-cost padding forces one-file-per-partition
+    # on small-file corpora regardless of maxPartitionBytes — zero it
+    # so the requested parallelism is the actual parallelism
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        df = spark.read.parquet(path).mapInPandas(
+            decode, schema="cksum long, pixels long, nbytes long"
+        )
+        t0 = time.perf_counter()
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cksum").alias("ck"),
+            F.sum("pixels").alias("px"),
+            F.sum("nbytes").alias("mb"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
     return dt, row["n"], row["px"], row["mb"]
 
 
@@ -150,9 +173,11 @@ def main(argv) -> int:
                 "partitions": parts,
                 "sec": round(best, 2),
                 "mb_compressed": round(mb, 1),
-                "mb_per_sec": round(mb / best, 1),
-                "mb_per_sec_per_core": round(mb / best / parts, 2),
-                "mpixel_per_sec": round(px / best / 1e6, 1),
+                "mb_per_sec": round(mb / best, 2),
+                "mb_per_sec_per_core": round(mb / best / parts, 3),
+                "mpixel_per_sec": round(px / best / 1e6, 3),
+                "kpixel_per_sec_per_core": round(
+                    px / best / 1e3 / parts, 2),
                 "images": cnt,
             })
             print(json.dumps({"fmt": fmt, **runs[-1]}))

@@ -17,6 +17,8 @@ declared in SURVEY §2.2.10 (text analysis rows).
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1380,8 +1382,6 @@ def bpe_train(
     # seconds) per distributed count pass when a list is supplied —
     # this is how the ~merges/batch_m round-trip amortization claim is
     # measured at scale without touching the training semantics
-    import time as _time
-
     merges = []
     while len(merges) < n_merges:
         _t0 = _time.monotonic()

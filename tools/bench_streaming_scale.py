@@ -192,7 +192,10 @@ def main(argv) -> int:
             (b["state_mem_mb"] for b in batches), default=None),
         "batches": batches,
     }
-    with open(os.path.join(ROOT, "BENCH_streaming_r10.json"), "w") as fh:
+    suffix = "" if n_events == 5_000_000 else f"_{n_events // 1_000_000}m"
+    with open(
+        os.path.join(ROOT, f"BENCH_streaming{suffix}_r10.json"), "w"
+    ) as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "batches"}))
     spark.stop()

@@ -47,12 +47,14 @@ __all__ = [
     "audio_energy",
     "wav_encode",
     "wav_parse",
+    "bgr_to_rgb",
     "decode_media",
     "media_features",
     "media_fingerprint",
     "pack_media",
     "ahash_near_pairs",
     "perceptual_ahash",
+    "read_images_jvm",
     "resize_media",
     "sample_frames",
 ]
@@ -334,6 +336,80 @@ def parse_image(payload: bytes) -> tuple[int, int, bytes]:
         return jpeg_parse(payload)
     w, h, po, pl = ppm_parse(payload)
     return w, h, payload[po : po + pl]
+
+
+def read_images_jvm(
+    spark, path: str, *, drop_invalid: bool = True
+) -> DataFrame:
+    """THROUGHPUT-TIER image decode: Spark's JVM ``image`` source.
+
+    ``spark.read.format("image")`` decodes JPEG/PNG/GIF/BMP via Java
+    ImageIO entirely inside the executors' JVMs — no Python, no Arrow
+    transfer of compressed payloads, parallel across input files.  This
+    is the tier that carries a 100 TB image intake: the pure-Python
+    codecs in this package (:func:`parse_image` / :mod:`.jpeg`) are the
+    byte-level ORACLE tier (~0.05 Mpixel/s for JPEG — computationally
+    impossible at corpus scale), while ImageIO measures orders of
+    magnitude faster on the same files (BENCH_jpeg_jvm_r11.json).
+
+    Decoder equivalence contract (pinned in tests/test_llm_ops.py and
+    the ``multimodal_jpeg_decode_jvm`` registry query): DIMENSIONS are
+    byte-exact between tiers; PIXELS agree within ±2 per channel.
+    Bit-hash equality is deliberately NOT claimed — JPEG is lossy and
+    ISO/IEC 10918 only bounds IDCT error, so two conformant decoders
+    (our exact-matrix float DCT vs ImageIO's) legitimately differ in
+    the last couple of LSBs.  PNG/PPM, being lossless, remain
+    byte-exact through :func:`parse_image`.
+
+    Returns one row per image file: (origin, width, height, n_channels,
+    mode, data_bgr) — ``data_bgr`` is row-major 8-bit OpenCV-style BGR
+    with stride = width × n_channels; pass through :func:`bgr_to_rgb`
+    for RGB parity with the oracle tier.  ``drop_invalid`` skips
+    undecodable files instead of failing the scan (the quarantine
+    posture of the CSV/JSON sources)."""
+    reader = spark.read.format("image")
+    if drop_invalid:
+        reader = reader.option("dropInvalid", "true")
+    df = reader.load(path)
+    return df.select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.col("image.mode").alias("mode"),
+        F.col("image.data").alias("data_bgr"),
+    )
+
+
+def bgr_to_rgb(
+    df: DataFrame, *, data_col: str = "data_bgr", out_col: str = "rgb"
+) -> DataFrame:
+    """Channel-order swap for :func:`read_images_jvm` output: BGR bytes
+    → RGB bytes as an Arrow-batched pandas UDF (one numpy stride flip
+    per payload — reshape(-1, 3)[:, ::-1] — never per-pixel Python).
+    Assumes 3-channel 8-bit data, the layout ImageIO reports as
+    mode 16 (CV_8UC3)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _swap(payloads):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(
+            [
+                np.frombuffer(bytes(p), np.uint8)
+                .reshape(-1, 3)[:, ::-1]
+                .tobytes()
+                if p is not None
+                else None
+                for p in payloads
+            ]
+        )
+
+    import pandas as pd
+
+    _swap.__annotations__ = {"payloads": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_swap, "binary")(F.col(data_col)))
 
 
 def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:

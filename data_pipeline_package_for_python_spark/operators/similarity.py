@@ -46,6 +46,7 @@ __all__ = [
     "ivf_cell_stats",
     "ivf_topk",
     "ivf_train_centroids",
+    "release_codebook_broadcasts",
     "kmeans_embeddings",
     "l2_norm",
     "random_hyperplanes",
@@ -487,6 +488,54 @@ def ivf_train_centroids(
     return cents
 
 
+# one live Broadcast per (application, codebook contents): repeated index
+# builds over the same codebook reuse the executor-resident copy instead
+# of accumulating fresh broadcasts (the same leak class BloomSketch's
+# cache/release closed in r10 for bloom bitmaps)
+_CODEBOOK_BC_CACHE: dict = {}
+
+
+def _codebook_broadcast(spark, Cn):
+    """Session-cached Spark broadcast of a normalized codebook matrix.
+
+    Keyed by (applicationId, md5-of-bytes) so identical codebooks share
+    one executor copy and a new session never reuses a dead handle.
+    Release with :func:`release_codebook_broadcasts` when rotating
+    indexes in a long-lived session."""
+    import hashlib
+
+    key = (
+        spark.sparkContext.applicationId,
+        hashlib.md5(Cn.tobytes()).hexdigest(),
+    )
+    bc = _CODEBOOK_BC_CACHE.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(Cn)
+        _CODEBOOK_BC_CACHE[key] = bc
+    return bc
+
+
+def release_codebook_broadcasts() -> int:
+    """Destroy every cached codebook broadcast and empty the cache.
+
+    The epoch-rotation path for long-lived ingest sessions that rebuild
+    IVF indexes: without it each retrained codebook would pin another
+    (c × d) float64 matrix on the driver and every executor for the
+    application lifetime.  Returns the number of broadcasts released.
+    Safe after session teardown (destroy failures are swallowed, the
+    cache is cleared regardless)."""
+    n = 0
+    for bc in _CODEBOOK_BC_CACHE.values():
+        try:
+            bc.unpersist(blocking=False)
+            bc.destroy()
+            n += 1
+        except Exception:
+            pass  # session already gone — nothing to free
+    _CODEBOOK_BC_CACHE.clear()
+    return n
+
+
 def ivf_assign_codebook(
     df: DataFrame,
     codebook,
@@ -509,7 +558,11 @@ def ivf_assign_codebook(
 
     Ties break toward the LOWER cell id (numpy argmax first-max), the
     same direction as :func:`ivf_assign`'s order-struct.  Returns
-    (id, vec, cell) — one row per input row."""
+    (id, vec, cell) — one row per input row.
+
+    The broadcast is cached per (application, codebook contents) —
+    repeated builds reuse one executor copy; rotate indexes with
+    :func:`release_codebook_broadcasts` to free retired codebooks."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -518,7 +571,7 @@ def ivf_assign_codebook(
     Cn = Cb / np.maximum(np.linalg.norm(Cb, axis=1, keepdims=True), 1e-30)
 
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(Cn)
+    bc = _codebook_broadcast(spark, Cn)
 
     def _argmax_cell(vecs):
         M = bc.value

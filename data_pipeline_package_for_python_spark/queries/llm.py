@@ -1945,6 +1945,132 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     )
 
 
+# one tiny JPEG corpus per (session, sf_dir), written ONCE driver-side —
+# a stand-in for the ingest layout (production JPEG corpora already sit
+# on distributed storage; the query under test is the READ side)
+_JPEG_CORPUS_CACHE: dict = {}
+
+
+def _jpeg_corpus_dir(spark, sf_dir: str) -> str:
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.jpeg import jpeg_encode
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    d = _JPEG_CORPUS_CACHE.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="dpp_jpeg_corpus_")
+        ids = [
+            int(r.doc_id)
+            for r in load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 3 == 0)
+            .collect()
+        ]
+        for did in ids:
+            w, h = 4 + did % 13, 4 + did % 11
+            i = np.arange(w * h * 3, dtype=np.int64)
+            src = (
+                (
+                    did * 31
+                    + (i // (w * 3)) * 17
+                    + ((i % (w * 3)) // 3) * 7
+                    + (i % 3) * 3
+                ) % 256
+            ).astype(np.uint8)
+            with open(f"{d}/d{did}.jpg", "wb") as fh:
+                fh.write(
+                    jpeg_encode(w, h, src.tobytes(), restart_interval=3)
+                )
+        _JPEG_CORPUS_CACHE[key] = d
+    return d
+
+
+@query(
+    "multimodal_jpeg_decode_jvm",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 11 AS BIGINT) AS height,
+           1 AS within_tier, 1 AS within_src
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_jpeg_decode_jvm(spark, sf_dir):
+    """JVM ImageIO JPEG decode — the THROUGHPUT tier (r11, closing the
+    one named scale-killer: the pure-Python codec's ~0.05 Mpixel/s
+    floor).  A per-(session, sf_dir) corpus of genuine baseline JPEGs
+    (same synthetic pixels as ``multimodal_jpeg_roundtrip``, doc_id %
+    3 = 0) is decoded by ``spark.read.format("image")`` — Java ImageIO
+    inside the executor JVMs, no Python in the decode path — then each
+    image is cross-checked against the ORACLE tier: dimensions must be
+    byte-exact, pixels within ±2 of the pure-Python decode (ISO/IEC
+    10918 bounds IDCT error, so conformant decoders differ in the last
+    LSBs — bit-hash equality is the wrong contract for lossy JPEG) and
+    within ±4 of the pre-compression source, the same bound the
+    roundtrip query pins.  The oracle predicts dims + both flags
+    exactly.  Scale shape: file-parallel JVM decode, one Arrow batch
+    per partition for the comparison; at 100 TB the comparison drops
+    out and the scan IS the intake (measured ≥2 orders over the
+    Python floor — BENCH_jpeg_jvm_r11.json)."""
+    corpus = _jpeg_corpus_dir(spark, sf_dir)
+    imgs = M.bgr_to_rgb(M.read_images_jvm(spark, corpus))
+    keyed = imgs.withColumn(
+        "media_id",
+        F.regexp_extract(F.col("origin"), r"d(\d+)\.jpg$", 1).cast("long"),
+    ).select("media_id", "width", "height", "rgb")
+
+    def compare(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import jpeg_encode, jpeg_parse
+
+        for pdf in it:
+            rows = []
+            for did, w, h, rgb in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["rgb"]
+            ):
+                did, w, h = int(did), int(w), int(h)
+                i = np.arange(w * h * 3, dtype=np.int64)
+                src = (
+                    (
+                        did * 31
+                        + (i // (w * 3)) * 17
+                        + ((i % (w * 3)) // 3) * 7
+                        + (i % 3) * 3
+                    ) % 256
+                )
+                jvm = np.frombuffer(bytes(rgb), np.uint8).astype(np.int64)
+                _, _, out = jpeg_parse(
+                    jpeg_encode(
+                        w, h, src.astype(np.uint8).tobytes(),
+                        restart_interval=3,
+                    )
+                )
+                py = np.frombuffer(out, np.uint8).astype(np.int64)
+                rows.append((
+                    did, w, h,
+                    int(np.abs(jvm - py).max() <= 2),
+                    int(np.abs(jvm - src).max() <= 4),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "within_tier", "within_src",
+                ],
+            )
+
+    return keyed.mapInPandas(
+        compare,
+        schema="media_id long, width long, height long, "
+               "within_tier int, within_src int",
+    )
+
+
 # Frame f of doc_id's container: w = 3 + (doc_id + f) % 5,
 # h = 2 + (doc_id + f) % 3, pixel value adds f*13 to the still formula.
 _FRAME_W = "(3 + (doc_id + f) % 5)"

@@ -1374,8 +1374,12 @@ def join_q3_topk(spark, sf_dir):
 # one bucketed (orders, lineitem) pair per (session, sf_dir, n_buckets):
 # the layout is written ONCE and every order-key join over it plans with
 # zero exchanges on the fact edge — the 100 TB posture where the shuffle
-# is paid at ingest time and amortizes over the whole query mix
-_BUCKETED_PAIR_CACHE: dict[tuple[str, str, int], tuple[str, str]] = {}
+# is paid at ingest time and amortizes over the whole query mix.
+# value = ((orders_name, lineitem_name), tempdir) so the release path
+# can drop the catalog tables AND reclaim the multi-GB data directory
+_BUCKETED_PAIR_CACHE: dict[
+    tuple[str, str, int], tuple[tuple[str, str], str]
+] = {}
 
 
 def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
@@ -1388,7 +1392,24 @@ def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
     mid-session each get their own pair); later calls are pure catalog
     lookups.  Full unfiltered tables go in — per-query predicates
     (dates, segments) still prune at scan time via parquet row-group
-    stats, and one layout serves every query shape."""
+    stats, and one layout serves every query shape.
+
+    .. warning:: SESSION-GLOBAL SIDE EFFECT — this sets
+       ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` for
+       the rest of the session and deliberately does NOT restore it.
+       The flag must be live when a consumer of the returned tables
+       PLANS its join (planning happens at action time, long after this
+       function returns), so a save/restore here would silently undo
+       the sort-elision the layout exists for.  The cost of leaving it
+       on is a planning-time file listing per bucketed scan — one
+       directory per table here.  Call
+       :func:`release_bucketed_order_tables` to drop the layout and
+       restore the flag's default.
+
+    The sf10 layout is multi-GB of tempdir + two catalog tables per
+    (session, sf_dir); :func:`release_bucketed_order_tables` is the
+    lifecycle path that frees both."""
+    import hashlib
     import tempfile
 
     from ..sources import write_bucketed
@@ -1406,7 +1427,13 @@ def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
     key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
     hit = _BUCKETED_PAIR_CACHE.get(key)
     if hit is None:
-        suffix = f"{abs(hash((sf_dir, n_buckets))) % 10**8}"
+        # stable digest, NOT Python hash(): PYTHONHASHSEED randomizes
+        # hash() per process, so with a persistent metastore every new
+        # process would mint a fresh table name and orphan the old
+        # external table + tempdir; md5 re-derives the same name
+        suffix = hashlib.md5(
+            f"{sf_dir}:{n_buckets}".encode()
+        ).hexdigest()[:8]
         names = (f"dpp_orders_bko_{suffix}", f"dpp_lineitem_bko_{suffix}")
         base = tempfile.mkdtemp(prefix="dpp_bko_")
         # repartition on the bucket key BEFORE the bucketed write:
@@ -1431,9 +1458,44 @@ def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
             names[1], bucket_by="l_orderkey", n_buckets=n_buckets,
             sort_by="l_orderkey", path=f"{base}/lineitem",
         )
-        hit = names
+        hit = (names, base)
         _BUCKETED_PAIR_CACHE[key] = hit
-    return spark.table(hit[0]), spark.table(hit[1])
+    return spark.table(hit[0][0]), spark.table(hit[0][1])
+
+
+def release_bucketed_order_tables(spark) -> int:
+    """Drop every cached bucketed (orders, lineitem) layout this session
+    built: DROP TABLE both catalog entries, delete the tempdir holding
+    the bucketed parquet, and restore
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` to its
+    default.  Returns the number of layout pairs released.
+
+    The lifecycle counterpart of :func:`bucketed_order_tables` —
+    without it an sf10 layout (multi-GB tempdir + 2 external tables per
+    sf_dir) is immortal for the process lifetime.  Mirrors
+    ``BloomSketch.release()``: call when rotating layouts or at the end
+    of a bench session.  Only pairs owned by THIS application are
+    touched; entries from a dead session are evicted from the cache but
+    their tables belong to a catalog that no longer exists."""
+    import shutil
+
+    app = spark.sparkContext.applicationId
+    released = 0
+    for key in list(_BUCKETED_PAIR_CACHE):
+        (names, base) = _BUCKETED_PAIR_CACHE.pop(key)
+        if key[0] == app:
+            for name in names:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                except Exception:
+                    pass  # catalog already gone — tempdir still removed
+            released += 1
+        shutil.rmtree(base, ignore_errors=True)
+    try:
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    except Exception:
+        pass  # session already stopped — nothing to restore
+    return released
 
 
 def q3_over_bucketed(spark, orders_b, lineitem_b, customer):

@@ -231,3 +231,53 @@ def test_analyze_table_stats_drive_broadcast(spark, sf_dir):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     spark.sql("DROP TABLE IF EXISTS nation_stats_t")
+
+
+def test_release_bucketed_order_tables_cleans_everything(spark, sf_dir):
+    """The layout lifecycle (round-11): release must drop BOTH catalog
+    tables, remove the multi-GB tempdir, empty the cache, and restore
+    the legacy outputOrdering flag to its default — otherwise every
+    (session, sf_dir) layout is immortal."""
+    import os
+
+    from data_pipeline_package_for_python_spark.queries.relational import (
+        _BUCKETED_PAIR_CACHE,
+        bucketed_order_tables,
+        release_bucketed_order_tables,
+    )
+
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    n_orders = ob.count()
+    assert n_orders > 0 and lib.count() > 0
+    entries = [
+        v for k, v in _BUCKETED_PAIR_CACHE.items()
+        if k[0] == spark.sparkContext.applicationId and k[1] == sf_dir
+    ]
+    assert entries, "build must populate the cache"
+    (names, base) = entries[0]
+    assert os.path.isdir(base)
+    assert spark.catalog.tableExists(names[0])
+    assert spark.catalog.tableExists(names[1])
+    # table names must be process-stable (md5, not PYTHONHASHSEED hash)
+    import hashlib
+    want = hashlib.md5(f"{sf_dir}:8".encode()).hexdigest()[:8]
+    assert names[0].endswith(want) and names[1].endswith(want)
+
+    released = release_bucketed_order_tables(spark)
+    assert released >= 1
+    assert not os.path.isdir(base)
+    assert not spark.catalog.tableExists(names[0])
+    assert not spark.catalog.tableExists(names[1])
+    assert not any(
+        k[1] == sf_dir for k in _BUCKETED_PAIR_CACHE
+    ), "cache must be emptied"
+    # flag restored to default (false since Spark 3.0)
+    assert (
+        spark.conf.get(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        ).lower() == "false"
+    )
+    # a rebuild after release works and mints the SAME stable names
+    ob2, _ = bucketed_order_tables(spark, sf_dir)
+    assert ob2.count() == n_orders
+    release_bucketed_order_tables(spark)

@@ -303,7 +303,12 @@ def test_ivf_trained_build_recall_and_structure(spark, tables):
             emb, queries, k=3, n_probe=4, prebuilt=(cents, inv)
         ).collect()
     }
-    assert len(got & exact) > 0
+    # real recall floor, not mere non-emptiness: the published serving
+    # claim for this tier is recall@10 = 0.99 at n_probe=8; at n_probe=4
+    # on the clustered fixture a regression to near-random recall must
+    # fail here (r10 advice: len>0 would have passed at ~1%)
+    recall = len(got & exact) / max(len(exact), 1)
+    assert recall >= 0.5, f"trained-IVF recall@3 n_probe=4 = {recall}"
     # structural law: one cell per corpus vector → no duplicate pairs
     assert len(got) == len(set(got))
 
@@ -366,6 +371,117 @@ def test_ivf_train_centroids_validates_inputs(spark, tables):
         S.ivf_train_centroids(emb, sample_per_cell=0)
     with pytest.raises(ValueError):
         S.ivf_train_centroids(emb.filter(F.lit(False)))
+
+
+def test_codebook_broadcast_cached_and_released(spark, tables):
+    """r11 lifecycle: two assignment passes over the SAME codebook must
+    share one Spark broadcast (no per-call accumulation — the leak
+    class BloomSketch.release() closed for bloom bitmaps), and
+    release_codebook_broadcasts() must destroy and empty the cache."""
+    from data_pipeline_package_for_python_spark.operators.similarity import (
+        _CODEBOOK_BC_CACHE,
+    )
+
+    S.release_codebook_broadcasts()
+    emb = tables["embeddings"]
+    cents = S.ivf_train_centroids(emb, cells=8, lloyd_rounds=1)
+    S.ivf_assign_codebook(emb, cents.codebook).count()
+    assert len(_CODEBOOK_BC_CACHE) == 1
+    bc_first = next(iter(_CODEBOOK_BC_CACHE.values()))
+    S.ivf_assign_codebook(emb, cents.codebook).count()
+    assert len(_CODEBOOK_BC_CACHE) == 1, "same codebook → same broadcast"
+    assert next(iter(_CODEBOOK_BC_CACHE.values())) is bc_first
+    # a different codebook gets its own entry
+    cents2 = S.ivf_train_centroids(emb, cells=4, lloyd_rounds=1)
+    S.ivf_assign_codebook(emb, cents2.codebook).count()
+    assert len(_CODEBOOK_BC_CACHE) == 2
+    released = S.release_codebook_broadcasts()
+    assert released == 2
+    assert len(_CODEBOOK_BC_CACHE) == 0
+    # assignment still works after release (fresh broadcast is minted)
+    assert S.ivf_assign_codebook(emb, cents.codebook).count() == emb.count()
+    S.release_codebook_broadcasts()
+
+
+def test_jvm_image_tier_matches_python_codec(spark, tmp_path):
+    """r11 throughput tier: Spark's JVM image source (Java ImageIO) must
+    decode the pure-Python encoder's baseline JPEGs with byte-exact
+    DIMENSIONS and pixels within ±2/channel of the oracle-tier decode
+    (ISO/IEC 10918 bounds IDCT error — conformant decoders differ in
+    the last LSBs, so bit-equality is deliberately not the contract
+    for lossy JPEG).  PNG, lossless, must roundtrip byte-exact."""
+    import numpy as np
+
+    from data_pipeline_package_for_python_spark.operators.jpeg import (
+        jpeg_encode,
+        jpeg_parse,
+    )
+    from data_pipeline_package_for_python_spark.operators.multimodal import (
+        bgr_to_rgb,
+        png_encode,
+        read_images_jvm,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    srcs = {}
+    for doc in range(6):
+        w, h = 9 + doc % 7, 6 + doc % 5
+        i = np.arange(w * h * 3, dtype=np.int64)
+        src = (
+            (doc * 31 + (i // (w * 3)) * 17 + ((i % (w * 3)) // 3) * 7
+             + (i % 3) * 3) % 256
+        ).astype(np.uint8)
+        srcs[f"d{doc}.jpg"] = (w, h, src)
+        (d / f"d{doc}.jpg").write_bytes(
+            jpeg_encode(w, h, src.tobytes(), restart_interval=3)
+        )
+    # one lossless PNG in the same dir: byte-exact through ImageIO
+    wp, hp = 8, 5
+    ip = np.arange(wp * hp * 3, dtype=np.int64)
+    png_src = ((ip * 37 + 11) % 256).astype(np.uint8)
+    (d / "p0.png").write_bytes(png_encode(wp, hp, png_src.tobytes()))
+
+    got = bgr_to_rgb(read_images_jvm(spark, d.as_posix())).collect()
+    assert len(got) == 7
+    for r in got:
+        name = r.origin.rsplit("/", 1)[-1]
+        jvm = np.frombuffer(bytes(r.rgb), np.uint8).astype(np.int64)
+        if name == "p0.png":
+            assert (r.width, r.height) == (wp, hp)
+            assert np.array_equal(jvm, png_src.astype(np.int64))
+            continue
+        w, h, src = srcs[name]
+        assert (r.width, r.height) == (w, h), name
+        assert r.n_channels == 3 and r.mode == 16
+        _, _, out = jpeg_parse(
+            jpeg_encode(w, h, src.tobytes(), restart_interval=3)
+        )
+        py = np.frombuffer(out, np.uint8).astype(np.int64)
+        assert np.abs(jvm - py).max() <= 2, name
+        assert np.abs(jvm - src.astype(np.int64)).max() <= 4, name
+
+
+def test_read_images_jvm_drop_invalid(spark, tmp_path):
+    """The quarantine posture: a corrupt payload in the corpus is
+    skipped under dropInvalid, not fatal to the scan."""
+    import numpy as np
+
+    from data_pipeline_package_for_python_spark.operators.jpeg import (
+        jpeg_encode,
+    )
+    from data_pipeline_package_for_python_spark.operators.multimodal import (
+        read_images_jvm,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    src = (np.arange(6 * 4 * 3) % 256).astype(np.uint8)
+    (d / "ok.jpg").write_bytes(jpeg_encode(6, 4, src.tobytes()))
+    (d / "broken.jpg").write_bytes(b"\xff\xd8not really a jpeg")
+    got = read_images_jvm(spark, d.as_posix()).collect()
+    assert len(got) == 1
+    assert got[0].origin.endswith("ok.jpg")
 
 
 def test_resize_and_frame_sample_roundtrip(spark):

@@ -411,6 +411,10 @@ def ivf_train_centroids(
     cells: "int | str" = "auto",
     sample_per_cell: int = 32,
     lloyd_rounds: int = 2,
+    balance_rounds: int = 2,
+    balance_factor: float = 2.0,
+    max_cells: int = 65536,
+    max_sample: int = 1_000_000,
 ) -> DataFrame:
     """Data-aware IVF codebook: numpy Lloyd over a bounded hash-sample.
 
@@ -430,7 +434,24 @@ def ivf_train_centroids(
     - ``lloyd_rounds`` of spherical Lloyd (cosine assignment, raw-mean
       update, empty cells keep their seed) run driver-side in numpy —
       the training matrix is sample-sized, so no Spark jobs beyond the
-      count and the sample scan.
+      count and the sample scan;
+    - ``balance_rounds`` of deterministic split/steal rebalancing
+      (r11): plain Lloyd on clustered data leaves fat cells (measured
+      r10 at 2 M: max/mean 7.07 — probe cost on the fattest cell ~7×
+      the balanced cost).  Each round assigns the sample, SPLITS every
+      cell holding more than ``balance_factor`` × mean sample mass at
+      the median of its highest-variance dimension, reseeding the new
+      half onto the emptiest cells (< mean/2 — their members are
+      absorbed by neighbors), then polishes with one Lloyd round.
+      All numpy, all deterministic — training twice still yields the
+      identical codebook.  ``balance_rounds=0`` restores the r10
+      behavior;
+    - ``max_cells`` / ``max_sample`` bound the DRIVER state: auto
+      codebooks stop growing at ``max_cells`` (beyond that a second
+      index level is the right structure, not a fatter codebook) and
+      the training sample never exceeds ``max_sample`` vectors no
+      matter how large the corpus — at n = 10¹² an uncapped √n × 32
+      sample would be ~8 GB of driver memory.
 
     Returns a (cell_id, centroid) frame compatible with
     :func:`ivf_assign` / :func:`ivf_topk`; the raw float64 codebook is
@@ -446,14 +467,15 @@ def ivf_train_centroids(
     if n == 0:
         raise ValueError("cannot train an IVF codebook on an empty corpus")
     if cells == "auto":
-        c = max(16, int(round(n ** 0.5)))
+        c = min(max(16, int(round(n ** 0.5))), max_cells)
     elif isinstance(cells, bool) or not isinstance(cells, int):
         raise ValueError(f"cells must be an int or 'auto', got {cells!r}")
     else:
         c = cells
     c = max(1, min(c, n))
 
-    denom = max(1, n // (c * sample_per_cell))
+    sample_target = min(c * sample_per_cell, max(max_sample, c))
+    denom = max(1, n // sample_target)
     rows = (
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .filter(F.col("__v").isNotNull())
@@ -473,6 +495,38 @@ def ivf_train_centroids(
 
     Xn = X / _norm(X)
     for _ in range(max(0, lloyd_rounds)):
+        a = np.argmax(Xn @ (C / _norm(C)).T, axis=1)
+        for j in range(c):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+
+    # split/steal rebalance: fat cells (> balance_factor × mean sample
+    # mass) are split at the median of their widest dimension; the new
+    # half is reseeded onto the emptiest cells, whose few members are
+    # absorbed by neighbors on the next assignment.  Sample mass is the
+    # estimator of true cell mass (a 7×-mean cell holds ~7 ×
+    # sample_per_cell sample members — far above counting noise).
+    for _ in range(max(0, balance_rounds)):
+        a = np.argmax(Xn @ (C / _norm(C)).T, axis=1)
+        counts = np.bincount(a, minlength=c)
+        mean_mass = len(X) / c
+        if counts.max() <= balance_factor * mean_mass:
+            break
+        order = np.argsort(counts, kind="stable")
+        donors = [j for j in order[::-1] if counts[j] > balance_factor * mean_mass]
+        recips = [j for j in order if counts[j] < 0.5 * mean_mass]
+        for d_, r_ in zip(donors, recips):
+            members = X[a == d_]
+            dim = int(np.argmax(members.var(axis=0)))
+            med = float(np.median(members[:, dim]))
+            lo = members[members[:, dim] <= med]
+            hi = members[members[:, dim] > med]
+            if len(lo) == 0 or len(hi) == 0:
+                continue  # degenerate cell (constant dim) — leave it
+            C[d_] = lo.mean(axis=0)
+            C[r_] = hi.mean(axis=0)
+        # polish: one Lloyd round re-settles boundaries after the moves
         a = np.argmax(Xn @ (C / _norm(C)).T, axis=1)
         for j in range(c):
             members = X[a == j]
@@ -602,6 +656,7 @@ def ivf_build_trained(
     cells: "int | str" = "auto",
     sample_per_cell: int = 32,
     lloyd_rounds: int = 2,
+    balance_rounds: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`ivf_build` with a trained codebook and the map-only
     assignment pass — the 100 TB indexing tier.
@@ -617,6 +672,7 @@ def ivf_build_trained(
     cents = ivf_train_centroids(
         corpus, id_col=id_col, vec_col=vec_col, cells=cells,
         sample_per_cell=sample_per_cell, lloyd_rounds=lloyd_rounds,
+        balance_rounds=balance_rounds,
     )
     inv_file = ivf_assign_codebook(
         corpus, cents.codebook, id_col=id_col, vec_col=vec_col

@@ -361,6 +361,44 @@ def test_ivf_train_centroids_deterministic_and_balanced(spark, tables):
     )
 
 
+def test_ivf_balance_rounds_reduce_skew_and_stay_deterministic(
+    spark, tables
+):
+    """r11 split/steal rebalance: balancing must never INCREASE cell
+    skew relative to the unbalanced (r10) codebook, must remain a pure
+    function of the data (train twice → identical codebook), and must
+    keep recall at the serving point."""
+    emb = tables["embeddings"]
+    b1 = S.ivf_train_centroids(emb, cells=16, lloyd_rounds=2,
+                               balance_rounds=2)
+    b2 = S.ivf_train_centroids(emb, cells=16, lloyd_rounds=2,
+                               balance_rounds=2)
+    assert np.array_equal(b1.codebook, b2.codebook)
+
+    _, inv_u = S.ivf_build_trained(emb, cells=16, lloyd_rounds=2,
+                                   balance_rounds=0)
+    _, inv_b = S.ivf_build_trained(emb, cells=16, lloyd_rounds=2,
+                                   balance_rounds=2)
+    sk_u = S.ivf_cell_stats(inv_u)["max_over_mean"]
+    sk_b = S.ivf_cell_stats(inv_b)["max_over_mean"]
+    assert sk_b <= sk_u * 1.05, (sk_b, sk_u)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+    cents_b, invf = S.ivf_build_trained(emb, cells=16, lloyd_rounds=2,
+                                        balance_rounds=2)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=3, n_probe=4,
+                            prebuilt=(cents_b, invf)).collect()
+    }
+    recall = len(got & exact) / max(len(exact), 1)
+    assert recall >= 0.5, f"balanced recall@3 n_probe=4 = {recall}"
+
+
 def test_ivf_train_centroids_validates_inputs(spark, tables):
     emb = tables["embeddings"]
     with pytest.raises(ValueError):

@@ -74,7 +74,7 @@ def main(argv) -> int:
     spark = get_spark(app_name="bench-ann-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    out = {"metric": "ann_scale_r10", "d": D, "k": K,
+    out = {"metric": "ann_scale_r11", "d": D, "k": K,
            "n_clusters": N_CLUSTERS, "runs": []}
     for n in sizes:
         cells_stride, n_probe = 64, 4
@@ -106,19 +106,31 @@ def main(argv) -> int:
         inv_s = inv_s.localCheckpoint(eager=True)
         t_build_s = time.monotonic() - t0
 
-        # --- tier B: trained codebook ∝ sqrt(n), map-only assignment ---
+        # --- tier B: trained codebook ∝ sqrt(n), map-only assignment,
+        # r10 behavior (no rebalance) kept as the comparison point ---
         t0 = time.monotonic()
         cents_t, inv_t = S.ivf_build_trained(corpus, cells="auto",
-                                             lloyd_rounds=2)
+                                             lloyd_rounds=2,
+                                             balance_rounds=0)
         inv_t = inv_t.localCheckpoint(eager=True)
         t_build_t = time.monotonic() - t0
         cells_trained = cents_t.count()
 
+        # --- tier C: r11 split/steal rebalanced codebook (default) ---
+        t0 = time.monotonic()
+        cents_b, inv_b = S.ivf_build_trained(corpus, cells="auto",
+                                             lloyd_rounds=2)
+        inv_b = inv_b.localCheckpoint(eager=True)
+        t_build_b = time.monotonic() - t0
+        cells_balanced = cents_b.count()
+
         for name, cents, inv, t_build, cells in (
             ("stride_64cells_relational", cents_s, inv_s, t_build_s,
              cells_stride),
-            ("trained_sqrtn_codebook", cents_t, inv_t, t_build_t,
-             cells_trained),
+            ("trained_sqrtn_codebook_unbalanced", cents_t, inv_t,
+             t_build_t, cells_trained),
+            ("trained_sqrtn_codebook_balanced_r11", cents_b, inv_b,
+             t_build_b, cells_balanced),
         ):
             stats = S.ivf_cell_stats(inv)
             # timed at BOTH n_probe=4 and 8: the √n codebook slices the
@@ -172,7 +184,8 @@ def main(argv) -> int:
                               **run["tiers"][name]}))
         out["runs"].append(run)
 
-    with open(os.path.join(ROOT, "BENCH_ann_scale_r10.json"), "w") as fh:
+    tag = "_".join(str(x) for x in sizes)
+    with open(os.path.join(ROOT, f"BENCH_ann_scale_r11_{tag}.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "runs"}))
     spark.stop()

@@ -75,24 +75,50 @@ def synth_events(spark, n_events):
 
 def stage_time_ordered(df, out, n_files):
     """Write ``df`` as n_files event-time-contiguous parquet files with
-    strictly increasing mtimes — arrival order == event-time order."""
+    strictly increasing mtimes — arrival order == event-time order.
+
+    r11: EXACT per-bucket layout.  The r10 staging used
+    ``repartitionByRange(n_files, "_bucket")``, whose sampled range
+    boundaries can merge two ntile buckets into one partition — the
+    20 M replay landed a single 1.6 M-row file that showed up as the
+    batch-5 state spike (see SCALE.md §5).  ``partitionBy("_bucket")``
+    after a hash repartition ON the bucket makes the layout exact by
+    construction: each bucket lives in exactly one task, each task
+    writes one file per bucket directory, and the files are renamed
+    flat so the file stream sees n_files uniform inputs."""
+    import glob
+    import shutil
+
     from pyspark.sql.window import Window
 
+    staged = out + "__stage"
     (
         df.withColumn(
             "_bucket",
             F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
         )
-        .repartitionByRange(n_files, "_bucket")
-        .sortWithinPartitions("ts", "event_id")
-        .drop("_bucket")
+        .repartition(n_files, "_bucket")
+        # leading _bucket satisfies the dynamic-partition writer's
+        # required ordering, so it inserts no sort of its own and the
+        # (ts, event_id) order survives into each file
+        .sortWithinPartitions("_bucket", "ts", "event_id")
         .write.mode("overwrite")
-        .parquet(out)
+        .partitionBy("_bucket")
+        .parquet(staged)
     )
-    parts = sorted(
-        f for f in os.listdir(out)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+    os.makedirs(out, exist_ok=True)
+    parts = []
+    for i in range(1, n_files + 1):
+        files = glob.glob(os.path.join(staged, f"_bucket={i}", "*.parquet"))
+        assert len(files) == 1, (
+            f"bucket {i}: expected exactly 1 file, got {len(files)}"
+        )
+        fname = f"part-{i - 1:05d}.parquet"
+        shutil.move(files[0], os.path.join(out, fname))
+        parts.append(fname)
+    shutil.rmtree(staged)
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
     t0 = time.time() - 60.0
     for i, fname in enumerate(parts):
         fp = os.path.join(out, fname)

@@ -115,19 +115,62 @@ def test_q3_bucketed_fact_edge_has_zero_exchanges(spark, tables, sf_dir):
 
 
 def test_bucketed_q3_q5_match_shipped_results(spark, sf_dir):
-    """The layout tier changes the physical plan ONLY: bucketed Q3/Q5
-    must return exactly the shipped queries' rows."""
+    """The layout tiers change the physical plan ONLY: bucketed AND
+    star Q3/Q5 must return exactly the shipped queries' rows."""
     from data_pipeline_package_for_python_spark.queries import QUERIES
 
-    for shipped, bucketed in (
-        ("join_q3_topk", "join_q3_topk_bucketed"),
-        ("join_star_q5", "join_star_q5_bucketed"),
+    for shipped, variants in (
+        ("join_q3_topk",
+         ("join_q3_topk_bucketed", "join_q3_topk_bucketed_star")),
+        ("join_star_q5",
+         ("join_star_q5_bucketed", "join_star_q5_bucketed_star")),
     ):
         a = QUERIES[shipped].spark_fn(spark, sf_dir)
-        b = QUERIES[bucketed].spark_fn(spark, sf_dir)
         rows_a = sorted(map(tuple, a.collect()))
-        rows_b = sorted(map(tuple, b.collect()))
-        assert rows_a == rows_b, f"{shipped} vs {bucketed}"
+        for variant in variants:
+            b = QUERIES[variant].spark_fn(spark, sf_dir)
+            rows_b = sorted(map(tuple, b.collect()))
+            assert rows_a == rows_b, f"{shipped} vs {variant}"
+
+
+def test_star_layout_plans_have_no_dim_side(spark, sf_dir):
+    """r11 star tier: the denormalized layout must plan Q3 with ZERO
+    exchanges AND zero broadcasts (no dim side at all — the customer /
+    nation / region columns came along at ingest), and Q5 with exactly
+    the rollup exchange and no broadcasts."""
+    from data_pipeline_package_for_python_spark.queries.relational import (
+        bucketed_star_tables,
+        q3_over_bucketed_star,
+        q5_over_bucketed_star,
+    )
+
+    ostar, lib = bucketed_star_tables(spark, sf_dir)
+    # the star table carries the denormalized dim columns
+    for col in ("c_mktsegment", "n_name", "r_name"):
+        assert col in ostar.columns
+
+    # at fixture scale the stats gate may broadcast the filtered star
+    # orders side (correct — it is tiny); the LAYOUT pin is the
+    # SMJ-over-buckets shape a TB-scale plan takes, so gate broadcasts
+    # off for the pin exactly as the fact-edge test does
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q3 = q3_over_bucketed_star(spark, ostar, lib)
+        r3 = plans.plan_report(q3)
+        assert r3.n_shuffles == 0, r3
+        p3 = q3._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p3
+        assert "SortMergeJoin" in p3
+
+        q5 = q5_over_bucketed_star(spark, ostar, lib)
+        r5 = plans.plan_report(q5)
+        assert r5.n_shuffles <= 1, r5
+        p5 = q5._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p5
+        assert "SortMergeJoin" in p5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_sorted_layout_roundtrip_and_pruning(spark, tables, tmp_path):
@@ -252,6 +295,7 @@ def test_release_bucketed_order_tables_cleans_everything(spark, sf_dir):
     entries = [
         v for k, v in _BUCKETED_PAIR_CACHE.items()
         if k[0] == spark.sparkContext.applicationId and k[1] == sf_dir
+        and len(v[0]) == 2  # the (orders, lineitem) pair, not star
     ]
     assert entries, "build must populate the cache"
     (names, base) = entries[0]

@@ -18,11 +18,17 @@ Protocol per scale factor:
      (bucketed Q3 must be 0, bucketed Q5 must be ≤1 — pinned by
      tests/test_bucketing.py; recorded here as evidence).
 
+r11: adds the DENORMALIZED star tier (bucketed_star_tables — dims
+pre-joined onto orders at ingest; zero dim side at query time) next to
+the plain bucketed pair, and writes a per-run suffixed artifact so
+repeat sessions never overwrite each other.
+
 Usage:  python tools/bench_bucketed_join.py [sf_dir ...]
         default: /root/repo/.testdata/sf1
-Env:    SPARK_GRAFT_BENCH_RUNS (default 5), SPARK_GRAFT_BUCKETS (32)
+Env:    SPARK_GRAFT_BENCH_RUNS (default 5), SPARK_GRAFT_BUCKETS (32),
+        SPARK_GRAFT_BENCH_TAG (artifact suffix, default "r11")
 
-Writes BENCH_bucketed_r10.json.
+Writes BENCH_bucketed_<tag>.json.
 """
 
 from __future__ import annotations
@@ -46,8 +52,11 @@ def main(argv) -> int:
     from data_pipeline_package_for_python_spark.queries import QUERIES
     from data_pipeline_package_for_python_spark.queries.relational import (
         bucketed_order_tables,
+        bucketed_star_tables,
         q3_over_bucketed,
+        q3_over_bucketed_star,
         q5_over_bucketed,
+        q5_over_bucketed_star,
     )
     from data_pipeline_package_for_python_spark import plans
     from data_pipeline_package_for_python_spark.queries._registry import load
@@ -58,7 +67,8 @@ def main(argv) -> int:
     spark = get_spark(app_name="bench-bucketed")
     spark.sparkContext.setLogLevel("ERROR")
 
-    out = {"metric": "bucketed_join_r10", "n_buckets": N_BUCKETS,
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r11")
+    out = {"metric": f"bucketed_join_{tag}", "n_buckets": N_BUCKETS,
            "runs": RUNS, "sf": {}}
     for sf_dir in sf_dirs:
         sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -72,6 +82,9 @@ def main(argv) -> int:
         t0 = time.perf_counter()
         ob, lib = bucketed_order_tables(spark, sf_dir, N_BUCKETS)
         t_write = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ostar, _ = bucketed_star_tables(spark, sf_dir, N_BUCKETS)
+        t_write_star = time.perf_counter() - t0
 
         shipped = {
             "q3": lambda: QUERIES["join_q3_topk"].spark_fn(
@@ -86,6 +99,10 @@ def main(argv) -> int:
             "q3": lambda: q3_over_bucketed(spark, ob, lib, cust).toPandas(),
             "q5": lambda: q5_over_bucketed(
                 spark, ob, lib, cust, nat, reg).toPandas(),
+        }
+        star = {
+            "q3": lambda: q3_over_bucketed_star(spark, ostar, lib).toPandas(),
+            "q5": lambda: q5_over_bucketed_star(spark, ostar, lib).toPandas(),
         }
         duck = {
             "q3": lambda: con.execute(
@@ -106,6 +123,10 @@ def main(argv) -> int:
                     q3_over_bucketed(spark, ob, lib, cust) if qid == "q3"
                     else q5_over_bucketed(spark, ob, lib, cust, nat, reg)
                 ).n_shuffles,
+                "star_exchanges": plans.plan_report(
+                    q3_over_bucketed_star(spark, ostar, lib) if qid == "q3"
+                    else q5_over_bucketed_star(spark, ostar, lib)
+                ).n_shuffles,
             }
 
         # global steady-state warm-up (same plateau rule as bench.py)
@@ -113,7 +134,7 @@ def main(argv) -> int:
         for i in range(6):
             t0 = time.perf_counter()
             for qid in ("q3", "q5"):
-                shipped[qid](); bucketed[qid](); duck[qid]()
+                shipped[qid](); bucketed[qid](); star[qid](); duck[qid]()
             this_pass = time.perf_counter() - t0
             print(f"[{sf_name}] warmup pass {i+1}: {this_pass:.2f}s",
                   file=sys.stderr)
@@ -123,12 +144,14 @@ def main(argv) -> int:
                 break
 
         sf_out = {"layout_write_sec": round(t_write, 2),
+                  "star_layout_extra_sec": round(t_write_star, 2),
                   "warmup_passes": passes, "queries": {}}
         for qid in ("q3", "q5"):
-            ts = {"shipped": [], "bucketed": [], "duckdb": []}
+            ts = {"shipped": [], "bucketed": [], "star": [], "duckdb": []}
             for _ in range(RUNS):
                 for label, fn in (("shipped", shipped[qid]),
                                   ("bucketed", bucketed[qid]),
+                                  ("star", star[qid]),
                                   ("duckdb", duck[qid])):
                     t0 = time.perf_counter()
                     fn()
@@ -137,11 +160,14 @@ def main(argv) -> int:
             sf_out["queries"][qid] = {
                 "sec_shipped": round(med["shipped"], 3),
                 "sec_bucketed": round(med["bucketed"], 3),
+                "sec_star": round(med["star"], 3),
                 "sec_duckdb": round(med["duckdb"], 3),
                 "ratio_shipped": round(med["shipped"] / med["duckdb"], 2),
                 "ratio_bucketed": round(med["bucketed"] / med["duckdb"], 2),
+                "ratio_star": round(med["star"] / med["duckdb"], 2),
                 "bucketed_speedup": round(
                     med["shipped"] / med["bucketed"], 2),
+                "star_speedup": round(med["shipped"] / med["star"], 2),
                 **audit[qid],
             }
             print(json.dumps({"sf": sf_name, "q": qid,
@@ -149,7 +175,7 @@ def main(argv) -> int:
         out["sf"][sf_name] = sf_out
         con.close()
 
-    with open(os.path.join(ROOT, "BENCH_bucketed_r10.json"), "w") as fh:
+    with open(os.path.join(ROOT, f"BENCH_bucketed_{tag}.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "sf"}))
     spark.stop()

@@ -27,7 +27,8 @@ micro-batches.  Evidence captured per micro-batch from
 
 Usage:  python tools/bench_streaming_scale.py [n_events n_files]
         default: 5_000_000 events, 25 files
-Writes BENCH_streaming_r10.json.
+Writes BENCH_streaming[_<n>m]_<tag>.json
+(tag from SPARK_GRAFT_BENCH_TAG, default "r11").
 """
 
 from __future__ import annotations
@@ -200,7 +201,7 @@ def main(argv) -> int:
         })
     state_rows = [b["state_rows"] for b in batches if b["state_rows"]]
     out = {
-        "metric": "streaming_scale_r10",
+        "metric": "streaming_scale",
         "n_events": n_events,
         "n_files": n_files,
         "n_users": N_USERS,
@@ -219,8 +220,9 @@ def main(argv) -> int:
         "batches": batches,
     }
     suffix = "" if n_events == 5_000_000 else f"_{n_events // 1_000_000}m"
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r11")
     with open(
-        os.path.join(ROOT, f"BENCH_streaming{suffix}_r10.json"), "w"
+        os.path.join(ROOT, f"BENCH_streaming{suffix}_{tag}.json"), "w"
     ) as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "batches"}))

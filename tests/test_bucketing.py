@@ -325,3 +325,28 @@ def test_release_bucketed_order_tables_cleans_everything(spark, sf_dir):
     ob2, _ = bucketed_order_tables(spark, sf_dir)
     assert ob2.count() == n_orders
     release_bucketed_order_tables(spark)
+
+
+def test_star_layout_shares_lineitem_and_releases(spark, sf_dir):
+    """The star tier must reuse the plain pair's lineitem table (one
+    write serves both tiers) and be covered by the release path."""
+    from data_pipeline_package_for_python_spark.queries.relational import (
+        _BUCKETED_PAIR_CACHE,
+        bucketed_order_tables,
+        bucketed_star_tables,
+        release_bucketed_order_tables,
+    )
+
+    release_bucketed_order_tables(spark)
+    _, lib_pair = bucketed_order_tables(spark, sf_dir)
+    before = len(_BUCKETED_PAIR_CACHE)
+    ostar, lib_star = bucketed_star_tables(spark, sf_dir)
+    # exactly ONE new cache entry (the star orders); lineitem shared
+    assert len(_BUCKETED_PAIR_CACHE) == before + 1
+    assert lib_star.schema == lib_pair.schema
+    # star orders carries every original orders column too
+    for col in ("o_orderkey", "o_custkey", "o_orderdate"):
+        assert col in ostar.columns
+    released = release_bucketed_order_tables(spark)
+    assert released == 2  # the pair entry + the star entry
+    assert not _BUCKETED_PAIR_CACHE

@@ -1746,6 +1746,51 @@ def join_star_q5_bucketed(spark, sf_dir):
 
 
 @query(
+    "join_q12_late_priority_bucketed",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def join_q12_late_priority_bucketed(spark, sf_dir):
+    """Q12 over the SAME bucketed (orders, lineitem) pair as the
+    Q3/Q5 layout queries — the amortization claim made checkable: one
+    ingest-time layout serves every orderkey equijoin, so Q12's fact
+    edge also plans exchange-free (its only shuffle is the 3-group
+    returnflag rollup).  The inequality lateness predicate evaluates
+    inside the SMJ output exactly as in ``join_q12_late_priority``
+    (same oracle)."""
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    o = ob.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lib.select("l_orderkey", "l_shipdate", "l_returnflag")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0))
+        .cast("long")
+        .alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1))
+        .cast("long")
+        .alias("low_line_count"),
+    )
+
+
+@query(
     "join_q3_topk_bucketed_star",
     oracle="""
     SELECT o.o_orderkey,

@@ -327,6 +327,20 @@ def test_release_bucketed_order_tables_cleans_everything(spark, sf_dir):
     release_bucketed_order_tables(spark)
 
 
+def test_q12_bucketed_reuses_layout_one_exchange(spark, sf_dir):
+    """Amortization pin: Q12 over the SAME pair layout plans with at
+    most the 3-group rollup exchange — the fact edge is free for every
+    orderkey equijoin, not just Q3/Q5 — and matches the shipped Q12."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["join_q12_late_priority"]
+                   .spark_fn(spark, sf_dir).collect()))
+    b_df = QUERIES["join_q12_late_priority_bucketed"].spark_fn(
+        spark, sf_dir)
+    assert plans.plan_report(b_df).n_shuffles <= 1
+    assert a == sorted(map(tuple, b_df.collect()))
+
+
 def test_star_layout_shares_lineitem_and_releases(spark, sf_dir):
     """The star tier must reuse the plain pair's lineitem table (one
     write serves both tiers) and be covered by the release path."""

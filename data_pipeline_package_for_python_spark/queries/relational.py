@@ -1791,6 +1791,50 @@ def join_q12_late_priority_bucketed(spark, sf_dir):
 
 
 @query(
+    "join_exists_q4_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_exists_q4_bucketed(spark, sf_dir):
+    """Q4's EXISTS over the shared bucketed pair — a different JOIN
+    TYPE (left semi) served exchange-free by the same layout.
+
+    The shipped ``join_exists_q4`` decorrelates the EXISTS into an
+    aggregation-below-join precisely to shrink the fact-sized shuffle
+    to 16-byte (key, max) rows.  Over the co-partitioned layout there
+    is no shuffle to shrink, so the rewrite inverts: express the
+    EXISTS DIRECTLY as a left-semi sort-merge join with the non-equi
+    lateness predicate as the SMJ's residual condition — both sides
+    consume their write-time bucket clustering and sort, no
+    aggregation stage at all before the 5-group priority rollup (the
+    plan's only exchange).  Same oracle as ``join_exists_q4``;
+    ``tests/test_bucketing.py`` pins the semi-join shape."""
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    o = ob.filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lib.select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
     "join_q3_topk_bucketed_star",
     oracle="""
     SELECT o.o_orderkey,

@@ -341,6 +341,33 @@ def test_q12_bucketed_reuses_layout_one_exchange(spark, sf_dir):
     assert a == sorted(map(tuple, b_df.collect()))
 
 
+def test_q4_bucketed_semi_join_over_layout(spark, sf_dir):
+    """Amortization pin for a different JOIN TYPE: Q4's EXISTS over
+    the pair layout plans as a left-semi SORT-MERGE join (residual
+    non-equi condition inside the SMJ) with zero sorts and at most the
+    5-group rollup exchange, and matches the shipped decorrelated Q4."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["join_exists_q4"]
+                   .spark_fn(spark, sf_dir).collect()))
+    b_df = QUERIES["join_exists_q4_bucketed"].spark_fn(spark, sf_dir)
+    assert plans.plan_report(b_df).n_shuffles <= 1
+    assert a == sorted(map(tuple, b_df.collect()))
+
+    # forced-SMJ layout pin (the TB-scale shape; at fixture scale the
+    # stats gate may broadcast the filtered orders side)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b2 = QUERIES["join_exists_q4_bucketed"].spark_fn(spark, sf_dir)
+        assert plans.plan_report(b2).n_shuffles <= 1
+        p = b2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p and "LeftSemi" in p
+        assert "Sort [" not in p.replace("SortMergeJoin", ""), p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_star_layout_shares_lineitem_and_releases(spark, sf_dir):
     """The star tier must reuse the plain pair's lineitem table (one
     write serves both tiers) and be covered by the release path."""

@@ -1835,6 +1835,140 @@ def join_exists_q4_bucketed(spark, sf_dir):
 
 
 @query(
+    "agg_having_q18_bucketed",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+           > 200.0
+    """,
+)
+def agg_having_q18_bucketed(spark, sf_dir):
+    """Q18 over the shared bucketed pair — the layout serving an
+    AGGREGATION, not just joins: ``groupBy(l_orderkey)`` on the
+    bucketed lineitem satisfies its clustered distribution straight
+    from the scan's ``HashPartitioning(l_orderkey)``, so the per-order
+    quantity rollup — a full fact-sized shuffle in the shipped
+    ``agg_having_q18`` — runs with ZERO exchanges, and the surviving
+    heavy orders merge-join bucketed orders on the same partitioning
+    (one local sort of the survivor side, no exchange).  Customer
+    stays a broadcast dim.  Same oracle as ``agg_having_q18``;
+    ``tests/test_bucketing.py`` pins the exchange-free aggregate."""
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    heavy = (
+        lib.select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200.0)
+    )
+    o = ob.select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        heavy.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "join_q21_semi_anti_bucketed",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+               AS n_late_supp
+      FROM j GROUP BY 1
+    ), late_pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE is_late = 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late_pairs lp
+    JOIN per_order po ON po.l_orderkey = lp.l_orderkey
+    JOIN supplier s   ON s.s_suppkey = lp.l_suppkey
+    WHERE po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY 1, 2
+    """,
+)
+def join_q21_semi_anti_bucketed(spark, sf_dir):
+    """Q21 over the shared bucketed pair — the layout making the
+    DIRECT EXISTS / NOT EXISTS formulation affordable: a fact-vs-fact
+    lineitem SELF-join pair, the shape the shipped
+    ``join_q21_waiting_suppliers`` decorrelates into per-order counts
+    precisely because two full-fact shuffles per predicate are
+    unpayable at scale.
+
+    Over the layout every orderkey edge is already co-partitioned, so
+    the official query's shape survives verbatim: late pairs ⋉
+    lineitem (another supplier shipped in the order — left-semi SMJ,
+    suppkey inequality as residual) then ⋉̸ the late set itself (no
+    OTHER supplier was late — left-anti SMJ), all four fact legs
+    exchange-free; the only exchange is the per-supplier verdict
+    rollup, and supplier is a broadcast dim.  The late-pair distinct
+    is also exchange-free — ``HashPartitioning(l_orderkey)`` satisfies
+    the (orderkey, suppkey) clustering.  'Late' = shipped >90 days
+    after order date (fixture has no commit dates), matching the
+    shipped oracle exactly."""
+    ob, lib = bucketed_order_tables(spark, sf_dir)
+    o = ob.select("o_orderkey", "o_orderdate")
+    li = lib.select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = (
+        j.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = lib.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+    )
+    multi = late.join(
+        other,
+        (late.l_orderkey == F.col("r_orderkey"))
+        & (late.l_suppkey != F.col("r_suppkey")),
+        "left_semi",
+    )
+    late_rhs = late.select(
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+    )
+    sole = multi.join(
+        late_rhs,
+        (multi.l_orderkey == F.col("a_orderkey"))
+        & (multi.l_suppkey != F.col("a_suppkey")),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+@query(
     "join_q3_topk_bucketed_star",
     oracle="""
     SELECT o.o_orderkey,

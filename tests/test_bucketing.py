@@ -368,6 +368,52 @@ def test_q4_bucketed_semi_join_over_layout(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_q18_bucketed_aggregation_consumes_layout(spark, sf_dir):
+    """Amortization pin for an AGGREGATION: Q18's per-order quantity
+    rollup over the bucketed lineitem satisfies its clustered
+    distribution straight from the scan — ZERO exchanges in the whole
+    plan (the shipped shape pays a full fact shuffle here), partial
+    and final HashAggregate fused in one stage, and the survivor join
+    to bucketed orders adds no exchange either.  Results match the
+    shipped Q18."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["agg_having_q18"]
+                   .spark_fn(spark, sf_dir).collect()))
+    b_df = QUERIES["agg_having_q18_bucketed"].spark_fn(spark, sf_dir)
+    assert plans.plan_report(b_df).n_shuffles == 0
+    assert a == sorted(map(tuple, b_df.collect()))
+
+
+def test_q21_bucketed_direct_semi_anti(spark, sf_dir):
+    """Amortization pin for the DIRECT EXISTS/NOT-EXISTS shape: over
+    the layout, Q21's official formulation (late pairs ⋉ other-supplier
+    lines, ⋉̸ other late suppliers) plans as left-semi + left-anti
+    sort-merge self-joins with only the final per-supplier rollup
+    exchange — the two fact-sized shuffles that forced the shipped
+    decorrelation are gone.  Results match the shipped decorrelated
+    Q21."""
+    from data_pipeline_package_for_python_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["join_q21_waiting_suppliers"]
+                   .spark_fn(spark, sf_dir).collect()))
+    b_df = QUERIES["join_q21_semi_anti_bucketed"].spark_fn(
+        spark, sf_dir)
+    assert plans.plan_report(b_df).n_shuffles <= 1
+    assert a == sorted(map(tuple, b_df.collect()))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b2 = QUERIES["join_q21_semi_anti_bucketed"].spark_fn(
+            spark, sf_dir)
+        assert plans.plan_report(b2).n_shuffles <= 1
+        p = b2._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in p and "LeftAnti" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_star_layout_shares_lineitem_and_releases(spark, sf_dir):
     """The star tier must reuse the plain pair's lineitem table (one
     write serves both tiers) and be covered by the release path."""

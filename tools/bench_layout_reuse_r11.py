@@ -41,6 +41,8 @@ N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
 PAIRS = (
     ("q12", "join_q12_late_priority", "join_q12_late_priority_bucketed"),
     ("q4", "join_exists_q4", "join_exists_q4_bucketed"),
+    ("q18", "agg_having_q18", "agg_having_q18_bucketed"),
+    ("q21", "join_q21_waiting_suppliers", "join_q21_semi_anti_bucketed"),
 )
 
 

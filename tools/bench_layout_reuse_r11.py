@@ -68,7 +68,7 @@ def main(argv) -> int:
     for sf_dir in sf_dirs:
         sf_name = os.path.basename(sf_dir.rstrip("/"))
         con = duckdb.connect()
-        for t in ("orders", "lineitem"):
+        for t in ("orders", "lineitem", "customer", "supplier"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"

@@ -46,6 +46,23 @@ def swap_cache(tag: str, df: DataFrame) -> DataFrame:
     return out
 
 
+# ensure_parallel memo: the partition-count probe (`df.rdd`) forces full
+# analysis + physical planning of the frame — ~20-40 ms of py4j/Catalyst
+# per call, paid on EVERY pipeline build for what is pure plan metadata.
+# Scan handles are cached per (sf_dir, table) by queries._registry.load,
+# so the same DataFrame OBJECT flows into every rebuild; memoizing the
+# (frame → decision) pair by object identity removes the repeat probes
+# without changing any decision (a DataFrame's partitioning is immutable).
+# Keyed by id() and VALIDATED by a weakref to the original frame so a
+# recycled id after GC can never serve a stale verdict; the memo holds
+# only weak references, so it cannot leak frames.
+import weakref
+
+_PARALLEL_MEMO: dict[
+    tuple[str, int], tuple["weakref.ref[DataFrame]", DataFrame]
+] = {}
+
+
 def ensure_parallel(df: DataFrame) -> DataFrame:
     """Round-robin repartition when upstream parallelism is below core count.
 
@@ -55,10 +72,22 @@ def ensure_parallel(df: DataFrame) -> DataFrame:
     expansion is the right trade at any scale — on a real cluster a 100 TB
     input already has thousands of splits and this is a no-op.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    sc = df.sparkSession.sparkContext
+    key = (sc.applicationId, id(df))
+    hit = _PARALLEL_MEMO.get(key)
+    if hit is not None and hit[0]() is df:
+        return hit[1]
+    target = sc.defaultParallelism
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    # weakref callback evicts the entry when the source frame dies, so a
+    # recycled id() can never serve a stale verdict and the memo cannot
+    # pin dead frames; the output is held strongly only while its source
+    # lives (sources are themselves the long-lived load() scan handles).
+    _PARALLEL_MEMO[key] = (
+        weakref.ref(df, lambda _r, k=key: _PARALLEL_MEMO.pop(k, None)),
+        out,
+    )
+    return out
 
 
 def md5_key_expr(col_sql: str, *, salt: str = "", n_hex: int = 8) -> str:

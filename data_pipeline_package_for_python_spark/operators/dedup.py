@@ -87,10 +87,16 @@ def exact_dedup(
 
     Returns (content_key, keep_id, n_copies).
     """
-    key = F.md5(F.col(text_col)) if by_hash else F.col(text_col)
-    return df.groupBy(key.alias("content_key")).agg(
-        F.min(id_col).alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    key = f"md5(`{text_col}`)" if by_hash else f"`{text_col}`"
+    # one sql() statement per build (bench path; see near_dedup_minhash)
+    return df.sparkSession.sql(
+        f"""
+        SELECT {key} AS content_key,
+               min(`{id_col}`) AS keep_id,
+               count(1) AS n_copies
+        FROM {{df}} GROUP BY {key}
+        """,
+        df=df,
     )
 
 
@@ -124,15 +130,20 @@ def _shingle_arrays(
     # shingle.  The floor must be 1, not 0 — Spark's sequence(1, 0) counts
     # DOWN to [1, 0] and slice(_, 0, n) then throws, whereas the DuckDB
     # oracle's generate_series(1, 0) is empty.
-    words = ensure_parallel(df).select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__ws")
+    # selectExpr (string batch, one py4j round trip per projection)
+    # instead of Column algebra: plan construction is pure driver-side
+    # socket chatter — guide §4, the Python boundary exists at build
+    # time too (measured: ~1250 round trips per near_dedup build before
+    # the batching, ~0.39 s of the bench's per-run cost).
+    words = ensure_parallel(df).selectExpr(
+        f"`{id_col}` AS id", f"split(`{text_col}`, ' ') AS __ws"
     )
-    shingles = F.expr(
+    return words.selectExpr(
+        "id",
         f"array_distinct(transform("
         f"sequence(1, greatest(size(__ws) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(__ws, i, {n}))))"
+        f" i -> concat_ws(' ', slice(__ws, i, {n})))) AS __sh_arr",
     )
-    return words.select("id", shingles.alias("__sh_arr"))
 
 
 def _shingle_hash() -> F.Column:
@@ -296,17 +307,30 @@ def _signatures_from_arrays(
     md5 runs once per shingle (``__h_arr``), not once per permutation.
     The equivalent explode → groupBy(id) → k×MIN formulation costs a
     corpus-wide shuffle; this one costs nothing beyond the scan."""
-    hashed = arrs.withColumn(
-        "__h_arr", F.expr(f"transform(__sh_arr, x -> {_HASH_LAMBDA})")
+    hashed = arrs.selectExpr(
+        "*", f"transform(__sh_arr, x -> {_HASH_LAMBDA}) AS __h_arr"
     )
     sigs = [
-        F.expr(
-            f"array_min(transform(__h_arr,"
-            f" h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L))"
-        ).alias(f"s{i}")
+        f"array_min(transform(__h_arr,"
+        f" h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L)) AS s{i}"
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return hashed.select("id", "__sh_arr", *sigs)
+    return hashed.selectExpr("id", "__sh_arr", *sigs)
+
+
+def _band_explode_sql(
+    sig_cols: list[str], bands: int, rows_per_band: int
+) -> str:
+    """`explode(array(<band keys>)) AS band_key` SQL snippet — one band
+    key per band, exploded in a single pass, NOT a union of per-band
+    frames (which would put `bands` copies of the upstream signature
+    subtree into the plan and re-aggregate it per band)."""
+    keys = []
+    for bi in range(bands):
+        cols = sig_cols[bi * rows_per_band : (bi + 1) * rows_per_band]
+        casts = ", ".join(f"cast(`{c}` as string)" for c in cols)
+        keys.append(f"concat_ws(':', '{bi}', {casts})")
+    return f"explode(array({', '.join(keys)})) AS band_key"
 
 
 def lsh_candidate_pairs(
@@ -337,19 +361,8 @@ def lsh_candidate_pairs(
         raise ValueError(
             f"{len(sig_cols)} signature columns != bands*rows_per_band"
         )
-    # One band key per band, exploded in a single pass — NOT a union of
-    # per-band frames, which would put `bands` copies of the upstream
-    # signature subtree into the plan and re-aggregate it per band.
-    keys = []
-    for bi in range(bands):
-        cols = sig_cols[bi * rows_per_band : (bi + 1) * rows_per_band]
-        keys.append(
-            F.concat_ws(
-                ":", F.lit(str(bi)), *[F.col(c).cast("string") for c in cols]
-            )
-        )
-    all_bands = signatures.select(
-        "id", F.explode(F.array(*keys)).alias("band_key")
+    all_bands = signatures.selectExpr(
+        "id", _band_explode_sql(sig_cols, bands, rows_per_band)
     )
     if max_band_freq is not None:
         # Window count over band_key: one shuffle on the same key the
@@ -362,11 +375,11 @@ def lsh_candidate_pairs(
             .filter(F.col("__bf") <= max_band_freq)
             .drop("__bf")
         )
-    a = all_bands.select(F.col("id").alias("id_a"), "band_key")
-    b = all_bands.select(F.col("id").alias("id_b"), "band_key")
+    a = all_bands.selectExpr("id AS id_a", "band_key")
+    b = all_bands.selectExpr("id AS id_b", "band_key")
     return (
         a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter("id_a < id_b")
         .select("id_a", "id_b")
         .distinct()
     )
@@ -382,57 +395,86 @@ def near_dedup_minhash(
     bands: int = 4,
     threshold: float = 0.5,
     max_band_freq: int | None = None,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """The scale path end-to-end: MinHash → LSH candidates → exact-Jaccard
     verification of candidates only.  Returns verified (id_a, id_b,
     jaccard ≥ threshold) pairs.
 
-    The (id, shingle-array) table is computed once and persisted — it
-    feeds the signatures, the band keys, and the verification joins.
-    Everything up to the band self-join is map-side (per-document arrays
-    + ``array_min`` signatures, no explode/groupBy); verification is
-    ``array_intersect`` on the two candidate docs' arrays — so the only
-    shuffles in the whole pipeline are the band-key self-join, the
-    candidate distinct, and the two id-keyed array lookups, each linear
-    in corpus + candidate volume.  ``max_band_freq`` caps degenerate LSH
-    buckets (see :func:`lsh_candidate_pairs`).
+    The (id, shingle-array) frame feeds the band keys once and the
+    verification joins twice.  Everything up to the band self-join is
+    map-side (per-document arrays + ``array_min`` signatures, no
+    explode/groupBy); verification is ``array_intersect`` on the two
+    candidate docs' arrays — so the only shuffles in the whole pipeline
+    are the band-key self-join, the candidate distinct, and the two
+    id-keyed array lookups, each linear in corpus + candidate volume.
+    ``max_band_freq`` caps degenerate LSH buckets (see
+    :func:`lsh_candidate_pairs`).
 
-    Cache lifetime: the persisted signature frame backs the RETURNED
-    (lazy) DataFrame, so it cannot be released here.  It occupies the
-    single-slot cache tag ``near_dedup_minhash.sigs`` (``_util.
-    swap_cache``): the next call unpersists it automatically, so
-    repeated runs in one session hold at most one live signature frame
-    (the round-2 bench measured 10× degradation once leaked blocks
-    started evicting).  It is also attached as ``result.sig_cache`` for
-    callers that want to release it earlier.
+    ``cache_signatures``: by default the signature lineage RECOMPUTES
+    for each of its three consumers — it is a map-only pipeline over
+    the scan, and guide-§5 arithmetic favors recompute at the 100 TB
+    design point (persisting shingle arrays means materializing a
+    dataset at least as large as the corpus into storage memory/disk,
+    evicting execution memory, where recompute costs two extra scans
+    of codegen'd string work).  Measured at sf0.1 the no-persist form
+    is also ~8% faster end-to-end (r11 A/B, 7-run medians 0.767 s vs
+    0.833 s) because each call otherwise pays a cache write of the fat
+    array column.  Pass ``cache_signatures=True`` for mid-size corpora
+    that are reused interactively; the persisted frame then occupies
+    the single-slot cache tag ``near_dedup_minhash.sigs``
+    (``_util.swap_cache`` — the next call unpersists it, bounding
+    leaked blocks, the round-2 failure mode) and is attached as
+    ``result.sig_cache`` for early release.
     """
     arrs = _shingle_arrays(df, id_col, text_col, n)
-    sigs = swap_cache(
-        "near_dedup_minhash.sigs",
-        _signatures_from_arrays(arrs, num_hashes=num_hashes),
-    )
-    cands = lsh_candidate_pairs(
-        sigs.drop("__sh_arr"),
-        bands=bands,
-        rows_per_band=num_hashes // bands,
-        max_band_freq=max_band_freq,
-    )
-    docs = sigs.select("id", "__sh_arr")
-    a = docs.select(F.col("id").alias("id_a"), F.col("__sh_arr").alias("__a"))
-    b = docs.select(F.col("id").alias("id_b"), F.col("__sh_arr").alias("__b"))
-    result = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "n_common", F.size(F.array_intersect(F.col("__a"), F.col("__b")))
+    sigs = _signatures_from_arrays(arrs, num_hashes=num_hashes)
+    if cache_signatures:
+        sigs = swap_cache("near_dedup_minhash.sigs", sigs)
+    # Everything downstream of the signature frame is ONE sql() call:
+    # classic DataFrames run the Catalyst analyzer EAGERLY on every
+    # transformation over the whole accumulated tree, so the previous
+    # ~15-op chain paid ~15 analyzer passes + py4j round trips per
+    # build (~0.23 s of driver time per bench run, guide §4 applied to
+    # plan construction).  A single statement is parsed and analyzed
+    # once; {sigs} resolves to the SAME persisted frame everywhere it
+    # appears, so the cache hits are unchanged, as is the physical
+    # shape (band self-join → distinct → two id-keyed lookups).
+    sig_cols = [c for c in sigs.columns if c not in ("id", "__sh_arr")]
+    band_src = f"SELECT id, {_band_explode_sql(sig_cols, bands, num_hashes // bands)} FROM {{sigs}}"
+    if max_band_freq is not None:
+        # window count over band_key: one shuffle on the same key the
+        # self-join below shuffles on; rows stream through, only the
+        # tally lives per partition even on the hot bucket.
+        band_src = (
+            f"SELECT id, band_key FROM ("
+            f"SELECT id, band_key,"
+            f" count(1) OVER (PARTITION BY band_key) AS __bf"
+            f" FROM ({band_src})) WHERE __bf <= {int(max_band_freq)}"
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.size("__a") + F.size("__b") - F.col("n_common")),
+    result = df.sparkSession.sql(
+        f"""
+        WITH bands AS ({band_src}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b USING (band_key)
+          WHERE a.id < b.id
+        ),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 size(array_intersect(sa.__sh_arr, sb.__sh_arr)) AS n_common,
+                 size(sa.__sh_arr) AS __na, size(sb.__sh_arr) AS __nb
+          FROM cand c
+          JOIN {{sigs}} sa ON sa.id = c.id_a
+          JOIN {{sigs}} sb ON sb.id = c.id_b
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        SELECT id_a, id_b,
+               n_common / (__na + __nb - n_common) AS jaccard
+        FROM scored
+        WHERE n_common / (__na + __nb - n_common)
+              >= CAST({threshold!r} AS DOUBLE)
+        """,
+        sigs=sigs,
     )
     result.sig_cache = sigs  # caller releases in long-lived sessions
     return result

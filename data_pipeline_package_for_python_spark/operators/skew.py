@@ -106,16 +106,23 @@ def local_topk_per_group(
                 )
 
     survivors = df.mapInPandas(combine, df.schema)
-    order = [
-        F.col(c).asc() if a else F.col(c).desc() for c, a in order_spec
-    ]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*group_cols).orderBy(*order)
-    return (
-        survivors.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    # final (tiny) exact window as ONE sql() statement — the
+    # withColumn/filter/drop chain costs three eager analyzer passes
+    # per build for the same plan.
+    grp = ", ".join(f"`{c}`" for c in group_cols)
+    order_sql = ", ".join(
+        f"`{c}` {'ASC' if a else 'DESC'}" for c, a in order_spec
+    )
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    return df.sparkSession.sql(
+        f"""
+        SELECT {cols} FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY {grp} ORDER BY {order_sql}) AS __rn
+          FROM {{survivors}}
+        ) WHERE __rn <= {int(k)}
+        """,
+        survivors=survivors,
     )
 
 

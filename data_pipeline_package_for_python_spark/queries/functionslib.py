@@ -376,10 +376,15 @@ def func_casts(spark, sf_dir):
 def func_array_explode_tf(spark, sf_dir):
     """split + explode → term frequency (the §2.2.7 array-row check)."""
     p = load(spark, sf_dir, "part")
-    return (
-        p.select(F.explode(F.split("p_name", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # one sql() statement per build (bench query: plan-construction
+    # round trips are part of the timed path — OPTIMIZATION_r11.md)
+    return spark.sql(
+        """
+        SELECT word, count(1) AS n
+        FROM (SELECT explode(split(p_name, ' ')) AS word FROM {p})
+        GROUP BY word
+        """,
+        p=p,
     )
 
 

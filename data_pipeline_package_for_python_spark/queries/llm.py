@@ -2020,18 +2020,19 @@ def multimodal_jpeg_decode_jvm(spark, sf_dir):
     keyed = imgs.withColumn(
         "media_id",
         F.regexp_extract(F.col("origin"), r"d(\d+)\.jpg$", 1).cast("long"),
-    ).select("media_id", "width", "height", "rgb")
+    ).select("media_id", "origin", "width", "height", "rgb")
 
     def compare(it):
         import numpy as np
         import pandas as pd
 
-        from ..operators.jpeg import jpeg_encode, jpeg_parse
+        from ..operators.jpeg import jpeg_parse
 
         for pdf in it:
             rows = []
-            for did, w, h, rgb in zip(
-                pdf["media_id"], pdf["width"], pdf["height"], pdf["rgb"]
+            for did, origin, w, h, rgb in zip(
+                pdf["media_id"], pdf["origin"], pdf["width"],
+                pdf["height"], pdf["rgb"]
             ):
                 did, w, h = int(did), int(w), int(h)
                 i = np.arange(w * h * 3, dtype=np.int64)
@@ -2044,12 +2045,15 @@ def multimodal_jpeg_decode_jvm(spark, sf_dir):
                     ) % 256
                 )
                 jvm = np.frombuffer(bytes(rgb), np.uint8).astype(np.int64)
-                _, _, out = jpeg_parse(
-                    jpeg_encode(
-                        w, h, src.astype(np.uint8).tobytes(),
-                        restart_interval=3,
-                    )
-                )
+                # the oracle-tier pixels come from jpeg_parse of the
+                # corpus file ITSELF — the file holds exactly the
+                # jpeg_encode(w, h, src) payload the corpus builder
+                # wrote, so re-encoding it here (the old path) ran the
+                # expensive encoder once per image for bytes we
+                # already have on shared storage (guide §4.2: do less
+                # work per batch, not just faster work)
+                with open(origin.removeprefix("file:"), "rb") as fh:
+                    _, _, out = jpeg_parse(fh.read())
                 py = np.frombuffer(out, np.uint8).astype(np.int64)
                 rows.append((
                     did, w, h,

@@ -456,20 +456,23 @@ def filter_q6(spark, sf_dir):
     """TPC-H Q6 shape: selective conjunctive filter + global agg.  Plan
     check: all four predicates appear in PushedFilters at the parquet scan."""
     li = load(spark, sf_dir, "lineitem")
-    filtered = li.filter(
-        (F.col("l_shipdate") >= "1997-01-01")
-        & (F.col("l_shipdate") < "1998-01-01")
-        & F.col("l_discount").between(0.03, 0.07)
-        & (F.col("l_quantity") < 24)
+    # one sql() statement per build (same analyzer-pass arithmetic as
+    # agg_q1); predicates and the decimal-exact revenue expression are
+    # unchanged, so PushedFilters and the value hash are identical.
+    return spark.sql(
+        """
+        SELECT cast(round(sum(cast(l_extendedprice as decimal(18,4))
+                             * cast(l_discount as decimal(18,4))), 2)
+                    as double) AS revenue,
+               count(1) AS n
+        FROM {li}
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+        li=li,
     )
-    revenue = F.round(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,4)")
-            * F.col("l_discount").cast("decimal(18,4)")
-        ),
-        2,
-    ).cast("double")
-    return filtered.agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n"))
 
 
 @query(
@@ -1128,7 +1131,7 @@ def join_fuzzy_levenshtein(spark, sf_dir):
     return matched.select("d_key", "d_name", "c_key", "c_name", "distance")
 
 
-def _orders_side_fits_broadcast(spark, orders_side) -> bool:
+def _orders_side_fits_broadcast(spark, orders_side, token=None) -> bool:
     """Stats-gated broadcast decision for the Q3/Q5 fact edge.
 
     Probes Catalyst's size estimate of the PRE-JOIN orders scan (a pure
@@ -1156,19 +1159,33 @@ def _orders_side_fits_broadcast(spark, orders_side) -> bool:
     # applicationId, not id(spark): id() can be recycled after a
     # stopped session is GC'd, letting a new session inherit a stale
     # gate verdict; the app id is unique per SparkContext lifetime.
+    app_id = spark.sparkContext.applicationId
+    if token is not None:
+        # Fast memo: a caller-supplied (query, dataset) token lets the
+        # verdict be reused WITHOUT re-building the probe frame at all —
+        # constructing it costs 2 eager analyzer passes (~30 ms of the
+        # old per-run build), and ``orders_side`` may then be passed as
+        # a zero-arg thunk that is only invoked on a miss.
+        tkey = (app_id, token, thr)
+        hit = _GATE_CACHE.get(tkey)
+        if hit is not None:
+            return hit
+    frame = orders_side() if callable(orders_side) else orders_side
     key = (
-        spark.sparkContext.applicationId,
-        orders_side._jdf.queryExecution().logical().semanticHash(),
+        app_id,
+        frame._jdf.queryExecution().logical().semanticHash(),
         thr,
     )
     hit = _GATE_CACHE.get(key)
     if hit is None:
-        hit = plans.estimated_size_bytes(orders_side) <= thr
+        hit = plans.estimated_size_bytes(frame) <= thr
         _GATE_CACHE[key] = hit
+    if token is not None:
+        _GATE_CACHE[(app_id, token, thr)] = hit
     return hit
 
 
-_GATE_CACHE: dict[tuple[str, int, int], bool] = {}
+_GATE_CACHE: dict[tuple, bool] = {}
 
 
 @query(
@@ -1198,20 +1215,40 @@ def join_star_q5(spark, sf_dir):
     the session threshold, otherwise a direct shuffle join with the
     tiny n_name rollup folding map-side above it (the 100 TB shape;
     the gate always declines there)."""
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01")
-        & (F.col("o_orderdate") < "1998-01-01")
-    )
+    o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
 
-    li_sel = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    # Both paths are built as ONE sql() statement: classic DataFrames
+    # run the analyzer eagerly per transformation, so the previous
+    # ~20-op chain cost ~0.11 s of driver-side plan construction per
+    # run (guide §4 applied at build time); a single statement parses
+    # and analyzes once.  Join ORDER in the FROM clause reproduces the
+    # old DataFrame shapes exactly (Catalyst keeps written order
+    # without CBO), so the physical plans — and the plan-pin tests —
+    # are unchanged.
+    revenue = (
+        "sum(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5d))"
+        " / cast(10000 as double) AS revenue"
+    )
+    filters = """
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    """
     # probe the PRUNED projection actually broadcast (2 of 6 columns),
-    # not the full orders scan — the gate should price what ships
-    o_bcast = o.select("o_orderkey", "o_custkey")
-    if _orders_side_fits_broadcast(spark, o_bcast):
+    # not the full orders scan — the gate should price what ships; the
+    # thunk only builds it on a gate-memo miss
+    if _orders_side_fits_broadcast(
+        spark,
+        lambda: o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        ).select("o_orderkey", "o_custkey"),
+        token=("q5_orders", sf_dir),
+    ):
         # Small-side path: every broadcast build is an INDEPENDENT base
         # scan (orders, customer, nation, region), so AQE materializes
         # all four concurrently — one wall-clock round instead of the
@@ -1221,35 +1258,21 @@ def join_star_q5(spark, sf_dir):
         # stage; the only shuffle is the 5-group rollup.  (The probed
         # orders estimate bounds the largest broadcast; c/n/r are true
         # dims.)
-        revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
-        return (
-            li_sel.join(
-                F.broadcast(o_bcast),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .join(
-                F.broadcast(c.select("c_custkey", "c_nationkey")),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .join(
-                F.broadcast(n.select("n_nationkey", "n_regionkey", "n_name")),
-                F.col("c_nationkey") == F.col("n_nationkey"),
-            )
-            .join(
-                F.broadcast(r.select("r_regionkey")),
-                F.col("n_regionkey") == F.col("r_regionkey"),
-            )
-            .groupBy("n_name")
-            .agg(revenue_expr.alias("revenue"))
+        return spark.sql(
+            f"""
+            SELECT /*+ BROADCAST(o), BROADCAST(c), BROADCAST(n),
+                       BROADCAST(r) */
+                   n.n_name, {revenue}
+            FROM {{li}} l
+            JOIN {{o}} o ON l.l_orderkey = o.o_orderkey
+            JOIN {{c}} c ON o.o_custkey = c.c_custkey
+            JOIN {{n}} n ON c.c_nationkey = n.n_nationkey
+            JOIN {{r}} r ON n.n_regionkey = r.r_regionkey
+            {filters}
+            GROUP BY n.n_name
+            """,
+            li=li, o=o, c=c, n=n, r=r,
         )
-    dims = star_join(
-        c,
-        (n, F.col("c_nationkey") == F.col("n_nationkey")),
-        (r, F.col("n_regionkey") == F.col("r_regionkey")),
-    ).select("c_custkey", "n_name")
-    enriched_orders = o.join(
-        F.broadcast(dims), o.o_custkey == dims.c_custkey
-    ).select("o_orderkey", "n_name")
     # Scale path: DIRECT shuffle join, aggregation after.  Unlike Q3
     # (grouping key == join key, so agg-below-join removes the
     # re-aggregation), Q5's final grouping key is n_name — ~25 groups —
@@ -1262,16 +1285,22 @@ def join_star_q5(spark, sf_dir):
     # default) additionally prunes lineitem rows whose orderkey misses
     # the date-filtered orders build when the creation side fits its
     # threshold.  At 100 TB both sides shuffle on l_orderkey/o_orderkey
-    # and AQE handles skew; no fact data is ever broadcast.
-    return (
-        li_sel.join(
-            enriched_orders,
-            li_sel.l_orderkey == enriched_orders.o_orderkey,
-        )
-        .groupBy("n_name")
-        .agg(
-            ssum("l_extendedprice * (1 - l_discount)").alias("revenue")
-        )
+    # and AQE handles skew; no fact data is ever broadcast.  The FROM
+    # order builds (c⋈n⋈r) → orders (all dim-broadcast) first, then the
+    # fact edge last, reproducing the old enriched-orders shape.
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+               n.n_name, {revenue}
+        FROM {{o}} o
+        JOIN {{c}} c ON o.o_custkey = c.c_custkey
+        JOIN {{n}} n ON c.c_nationkey = n.n_nationkey
+        JOIN {{r}} r ON n.n_regionkey = r.r_regionkey
+        JOIN {{li}} l ON l.l_orderkey = o.o_orderkey
+        {filters}
+        GROUP BY n.n_name
+        """,
+        li=li, o=o, c=c, n=n, r=r,
     )
 
 
@@ -1304,16 +1333,34 @@ def join_q3_topk(spark, sf_dir):
     the revenue aggregation folded into the join stage (the join's
     hash partitioning satisfies the grouping), never a driver-side
     broadcast of fact data."""
-    c = load(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    ).select("c_custkey")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "1998-01-01"
-    ).select("o_orderkey", "o_custkey", "o_orderdate")
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "1996-01-01"
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    if _orders_side_fits_broadcast(spark, o):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # single-statement builds for both paths — see join_star_q5 for the
+    # analyzer-pass arithmetic; join order in FROM reproduces the old
+    # DataFrame shapes and the plan pins exactly.
+    select_body = """
+           o.o_orderkey,
+           sum(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5d))
+               / cast(10000 as double) AS revenue,
+           cast(o.o_orderdate as date) AS orderdate
+    """
+    filters = """
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    """
+    tail = """
+      GROUP BY o.o_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10
+    """
+    if _orders_side_fits_broadcast(
+        spark,
+        lambda: o.filter(F.col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        token=("q3_orders", sf_dir),
+    ):
         # Small-side path: broadcast orders and customer as INDEPENDENT
         # base-scan builds (materialized concurrently by AQE) instead of
         # broadcasting the o⋈c join — the join-then-broadcast shape
@@ -1321,26 +1368,16 @@ def join_q3_topk(spark, sf_dir):
         # scheduler round each.  lineitem probes both broadcast hash
         # joins in one pipelined stage; one shuffle (per-orderkey agg of
         # the filter-reduced joined rows).
-        revenue_expr = ssum("l_extendedprice * (1 - l_discount)")
-        return (
-            li.join(
-                F.broadcast(o),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy("o_orderkey", "o_orderdate")
-            .agg(revenue_expr.alias("revenue"))
-            .select(
-                "o_orderkey",
-                "revenue",
-                F.col("o_orderdate").cast("date").alias("orderdate"),
-            )
-            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-            .limit(10)
+        return spark.sql(
+            f"""
+            SELECT /*+ BROADCAST(o), BROADCAST(c) */ {select_body}
+            FROM {{li}} l
+            JOIN {{o}} o ON l.l_orderkey = o.o_orderkey
+            JOIN {{c}} c ON o.o_custkey = c.c_custkey
+            {filters} {tail}
+            """,
+            li=li, o=o, c=c,
         )
-    enriched = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "o_orderdate"
-    )
     # Scale path: DIRECT shuffle join, aggregation after.  The join is
     # selective (BUILDING ≈ 1/5 of customers), so a per-orderkey
     # pre-aggregate would hash the FULL fact into a fact-cardinality
@@ -1350,20 +1387,18 @@ def join_q3_topk(spark, sf_dir):
     # grouping on (o_orderkey, o_orderdate) is satisfied by that
     # clustering, so the aggregation folds into the join stage
     # (pinned: 2 exchanges total).  Measured r8 at sf10: 4.12→3.82 s
-    # interleaved.  TakeOrdered(10) adds no shuffle.
-    return (
-        li.join(enriched, li.l_orderkey == enriched.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            ssum("l_extendedprice * (1 - l_discount)").alias("revenue")
-        )
-        .select(
-            "o_orderkey",
-            "revenue",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
+    # interleaved.  TakeOrdered(10) adds no shuffle.  FROM order:
+    # (o ⋈ bcast c) first — the segment filter prunes ~80% of orders
+    # BEFORE the fact edge — then the shuffle join with lineitem.
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(c) */ {select_body}
+        FROM {{o}} o
+        JOIN {{c}} c ON o.o_custkey = c.c_custkey
+        JOIN {{li}} l ON l.l_orderkey = o.o_orderkey
+        {filters} {tail}
+        """,
+        li=li, o=o, c=c,
     )
 
 
@@ -2066,30 +2101,39 @@ def agg_q1(spark, sf_dir):
     places, so the cent-scale sum is already exact): 5 per-row scaled
     aggregates instead of 7, and the oracle computes the byte-identical
     division so both engines hold the same doubles."""
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= "2001-09-01"
-    )
+    li = load(spark, sf_dir, "lineitem")
     disc_price = "l_extendedprice * (1 - l_discount)"
     charge = f"{disc_price} * (1 + l_tax)"
     div = "cast(100 as double)"
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        ssum(disc_price).alias("sum_disc_price"),
-        ssum(charge, 1_000_000).alias("sum_charge"),
-        F.expr(
-            f"sum(floor(l_quantity * 100 + 0.5d)) / {div}"
-            " / count(l_quantity)"
-        ).alias("avg_qty"),
-        F.expr(
-            f"sum(floor(l_extendedprice * 100 + 0.5d)) / {div}"
-            " / count(l_extendedprice)"
-        ).alias("avg_price"),
-        F.expr(
-            f"sum(floor(l_discount * 100 + 0.5d)) / {div}"
-            " / count(l_discount)"
-        ).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+    # one sql() statement = one parse + one analyzer pass; the previous
+    # groupBy/agg chain with 8 Column aggregates cost ~10 eager analyzer
+    # passes + ~166 py4j round trips per build (~0.07 s/run, guide §4 at
+    # plan-construction time).  Expression strings are byte-identical to
+    # the dsum/ssum forms they replace, so both engines still hold the
+    # same doubles by construction.
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(floor((l_quantity) * 100 + 0.5d))
+                   / {div} AS sum_qty,
+               sum(floor((l_extendedprice) * 100 + 0.5d))
+                   / {div} AS sum_base_price,
+               sum(floor(({disc_price}) * 10000 + 0.5d))
+                   / cast(10000 as double) AS sum_disc_price,
+               sum(floor(({charge}) * 1000000 + 0.5d))
+                   / cast(1000000 as double) AS sum_charge,
+               sum(floor(l_quantity * 100 + 0.5d)) / {div}
+                   / count(l_quantity) AS avg_qty,
+               sum(floor(l_extendedprice * 100 + 0.5d)) / {div}
+                   / count(l_extendedprice) AS avg_price,
+               sum(floor(l_discount * 100 + 0.5d)) / {div}
+                   / count(l_discount) AS avg_disc,
+               count(1) AS count_order
+        FROM {{li}}
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        li=li,
     )
 
 
@@ -2178,14 +2222,25 @@ def agg_rollup(spark, sf_dir):
     subtotal NULLs: gid bits are computed by the outer rollup exactly
     as in the single-phase plan."""
     li = load(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.expr("sum(floor(l_quantity * 100 + 0.5d))").alias("__qty_units"),
-    )
-    return base.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().alias("gid"),
-        F.sum("__n").alias("n"),
-        (F.sum("__qty_units") / F.lit(100.0).cast("double")).alias("sum_qty"),
+    # one sql() statement per build (see agg_q1); the two-phase
+    # agg-below-Expand rewrite is unchanged, expressed as a CTE.
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus,
+                 count(1) AS __n,
+                 sum(floor(l_quantity * 100 + 0.5d)) AS __qty_units
+          FROM {li}
+          GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS gid,
+               sum(__n) AS n,
+               sum(__qty_units) / cast(100.0 as double) AS sum_qty
+        FROM base
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        li=li,
     )
 
 
@@ -2512,18 +2567,19 @@ def window_running_sum(spark, sf_dir):
     """Running frame aggregate, exact via scaled-long units (cross-engine
     stable; same construction as _registry.dsum)."""
     o = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        (
-            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).over(w)
-            / F.lit(100.0)
-        ).alias("running_total"),
+    # one sql() statement per build (see agg_q1); the scaled-long window
+    # sum is the same expression the Column form produced.
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               sum(floor(o_totalprice * 100 + 0.5d)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 100.0d AS running_total
+        FROM {o}
+        """,
+        o=o,
     )
 
 
@@ -2678,8 +2734,13 @@ def window_topk_per_group(spark, sf_dir):
 
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "c_mktsegment", "o_orderkey", "o_totalprice"
+    # dim-enrich join as one sql() statement (see agg_q1 build notes)
+    j = spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */ c_mktsegment, o_orderkey, o_totalprice
+        FROM {o} o JOIN {c} c ON o.o_custkey = c.c_custkey
+        """,
+        o=o, c=c,
     )
     return local_topk_per_group(
         j,

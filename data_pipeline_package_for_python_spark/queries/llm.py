@@ -2016,11 +2016,11 @@ def multimodal_jpeg_decode_jvm(spark, sf_dir):
     out and the scan IS the intake (measured ≥2 orders over the
     Python floor — BENCH_jpeg_jvm_r11.json)."""
     corpus = _jpeg_corpus_dir(spark, sf_dir)
-    imgs = M.bgr_to_rgb(M.read_images_jvm(spark, corpus))
+    imgs = M.read_images_jvm(spark, corpus)
     keyed = imgs.withColumn(
         "media_id",
         F.regexp_extract(F.col("origin"), r"d(\d+)\.jpg$", 1).cast("long"),
-    ).select("media_id", "origin", "width", "height", "rgb")
+    ).select("media_id", "origin", "width", "height", "data_bgr")
 
     def compare(it):
         import numpy as np
@@ -2030,9 +2030,9 @@ def multimodal_jpeg_decode_jvm(spark, sf_dir):
 
         for pdf in it:
             rows = []
-            for did, origin, w, h, rgb in zip(
+            for did, origin, w, h, bgr in zip(
                 pdf["media_id"], pdf["origin"], pdf["width"],
-                pdf["height"], pdf["rgb"]
+                pdf["height"], pdf["data_bgr"]
             ):
                 did, w, h = int(did), int(w), int(h)
                 i = np.arange(w * h * 3, dtype=np.int64)
@@ -2044,7 +2044,17 @@ def multimodal_jpeg_decode_jvm(spark, sf_dir):
                         + (i % 3) * 3
                     ) % 256
                 )
-                jvm = np.frombuffer(bytes(rgb), np.uint8).astype(np.int64)
+                # BGR→RGB inline (same stride flip bgr_to_rgb performs):
+                # chaining the bgr_to_rgb pandas UDF here added a SECOND
+                # ArrowEvalPython node — two JVM↔Python transfers of the
+                # pixel payloads per run where one suffices (guide §4.1;
+                # measured +0.4 s of the 1.5 s warm query at sf0.01)
+                jvm = (
+                    np.frombuffer(bytes(bgr), np.uint8)
+                    .reshape(-1, 3)[:, ::-1]
+                    .reshape(-1)
+                    .astype(np.int64)
+                )
                 # the oracle-tier pixels come from jpeg_parse of the
                 # corpus file ITSELF — the file holds exactly the
                 # jpeg_encode(w, h, src) payload the corpus builder

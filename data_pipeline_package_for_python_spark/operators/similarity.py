@@ -967,18 +967,18 @@ def bucketed_topk(
     return _ranked_topk(scored, k)
 
 
-def _sq_dist_to_literal(vec_col: str, centroid: list[float]) -> F.Column:
+def _sq_dist_to_literal_sql(vec_col: str, centroid: list[float]) -> str:
     """Squared L2 distance from an array column to a constant centroid —
-    a zip_with/aggregate fold over literals, fully inside codegen."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            lit_c,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    a zip_with/aggregate fold over literals, fully inside codegen.
+    Emitted as SQL text: the Column-algebra form cost one F.lit py4j
+    round trip per dimension per centroid (k×d per assignment — see
+    OPTIMIZATION_r11.md).  CAST(repr AS DOUBLE) reproduces each double
+    exactly (shortest-repr round trip)."""
+    lits = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -994,12 +994,13 @@ def assign_to_centroids(
     few hundred of corpus bucketing; for large codebooks use
     :func:`ivf_assign` (broadcast centroid frame) instead, which trades
     a per-vector window shuffle for an O(1)-size plan."""
-    dists = F.array(
-        *[_sq_dist_to_literal(vec_col, c) for c in centroids]
-    )
-    return df.withColumn(
-        "cluster",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    dists = "array({})".format(", ".join(
+        _sq_dist_to_literal_sql(vec_col, c) for c in centroids
+    ))
+    return df.selectExpr(
+        "*",
+        f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+        " AS cluster",
     )
 
 
@@ -1123,21 +1124,25 @@ def kmeans_embeddings_exact(
         )
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.col("__u"),
-                    F.array(*[F.lit(int(cd)).cast("bigint") for cd in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+        # ONE expression string per assignment: the Column-algebra form
+        # built k×d F.lit().cast() literals (512+ py4j round trips and a
+        # giant eager analyzer pass) PER iteration — ~3000 round trips
+        # per 5-iteration run for what is a fixed literal table
+        # (OPTIMIZATION_r11.md; guide §4 applied at plan-build time).
+        # The SQL text is the exact same tree: bigint literals, zip_with
+        # squared-diff, bigint aggregate, first-match argmin.
+        dists = "array({})".format(", ".join(
+            "aggregate(zip_with(__u, array({}), "
+            "(a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, x) -> acc + x)".format(
+                ", ".join(f"{int(cd)}L" for cd in c)
             )
             for c in centroids
-        ])
-        return frame.withColumn(
-            "cluster",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        ))
+        return frame.selectExpr(
+            "*",
+            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+            " AS cluster",
         )
 
     assigned = None

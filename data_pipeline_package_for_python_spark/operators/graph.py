@@ -263,8 +263,16 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    # out_deg is referenced by EVERY round's plan; without its own
+    # checkpoint each round recompiles and re-executes the edges
+    # scan + groupBy + exchange that build it (lineage truncation on
+    # ``ranks`` does not help — the out_deg subtree hangs off each
+    # round's fresh plan).  Checkpointing it once removes one scan and
+    # one exchange per round; values are identical, so results are too.
+    out_deg = (
+        edges.groupBy(F.col(src).alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     elist = edges.select(
@@ -368,8 +376,13 @@ def pagerank_exact(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
-    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    # checkpointed for the same reason as in ``pagerank``: ten per-round
+    # plans each rebuild the out-degree aggregate from the edges scan
+    # otherwise (one scan + one exchange per round of pure recompute)
+    out_deg = (
+        edges.groupBy(F.col(src).alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("bigint"))
     elist = edges.select(

@@ -82,6 +82,31 @@ def test_pagerank_star_center_dominates(spark):
     assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
 
 
+def test_pagerank_exact_agrees_with_float_after_outdeg_checkpoint(spark):
+    """Ties the two loop variants together after the r11 out_deg
+    checkpoint (the per-round recompute removal must not change what
+    either loop computes): on a dangling-free graph the BIGINT ranks
+    divided by scale match the float ranks within the documented floor
+    loss (< 3 units per node per round)."""
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        pagerank_exact,
+    )
+
+    n, iters, scale = 7, 6, 1_000_000
+    g = [(i, (i + 1) % n) for i in range(n)] + [(i, (i + 3) % n) for i in range(n)]
+    e = _edges(spark, g)
+    fl = {r["id"]: r["rank"] for r in pagerank(e, iterations=iters).collect()}
+    ex = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_exact(
+            e, iterations=iters, scale=scale, assume_no_dangling=True
+        ).collect()
+    }
+    assert set(fl) == set(ex)
+    for node, rank in fl.items():
+        assert abs(ex[node] / scale - rank) <= 3 * iters / scale + 1e-9
+
+
 # --------------------------------------------------------------------- #
 # fuzzy_join_levenshtein                                                #
 # --------------------------------------------------------------------- #

@@ -490,48 +490,48 @@ def simhash64(
     computed as one groupBy with 64 SUM aggregates — single shuffle,
     entirely JVM-side.
     """
-    words = (
-        ensure_parallel(df).select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("w"),
-        )
-        .withColumn("md", F.md5(F.col("w")))
-        .withColumn(
-            "hi", F.conv(F.substring("md", 1, 8), 16, 10).cast("long")
-        )
-        .withColumn(
-            "lo", F.conv(F.substring("md", 9, 8), 16, 10).cast("long")
-        )
+    # ONE sql() statement for the whole 64-aggregate tree (guide §4 at
+    # plan-construction time, same treatment minhash got in opt 1): the
+    # previous Column-algebra form built 64 SUM(CASE...) aggregates plus
+    # two 32-deep `+` chains one py4j call at a time and re-ran the
+    # eager analyzer per chained op — ~0.8 s of pure driver build per
+    # call.  The SQL text is the same integer arithmetic (votes, sign
+    # tests, power-of-two reconstruction), so every value — and the
+    # oracle hash — is unchanged.
+    words = ensure_parallel(df).selectExpr(
+        f"`{id_col}` AS id", f"explode(split(`{text_col}`, ' ')) AS w"
+    ).selectExpr("id", "md5(w) AS md")
+    votes = ", ".join(
+        f"sum(CASE WHEN (shiftright({h}, {bit}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS v_{h}_{bit}"
+        for bit in range(32)
+        for h in ("hi", "lo")
     )
-    votes = []
-    for bit in range(32):
-        votes.append(
-            F.sum(
-                F.when(F.shiftright("hi", bit).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v_hi_{bit}")
+    recon = {
+        h: " + ".join(
+            f"(CASE WHEN v_{h}_{b} > 0 THEN {2 ** b} ELSE 0 END)"
+            for b in range(32)
         )
-        votes.append(
-            F.sum(
-                F.when(F.shiftright("lo", bit).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v_lo_{bit}")
+        for h in ("hi", "lo")
+    }
+    return df.sparkSession.sql(
+        f"""
+        SELECT id,
+               cast({recon['hi']} as bigint) AS simhash_hi,
+               cast({recon['lo']} as bigint) AS simhash_lo
+        FROM (
+          SELECT id, {votes}
+          FROM (
+            SELECT id,
+                   cast(conv(substring(md, 1, 8), 16, 10) as bigint) AS hi,
+                   cast(conv(substring(md, 9, 8), 16, 10) as bigint) AS lo
+            FROM {{words}}
+          )
+          GROUP BY id
         )
-    agg = words.groupBy("id").agg(*votes)
-    hi_bits = [
-        F.when(F.col(f"v_hi_{b}") > 0, F.lit(2**b)).otherwise(0)
-        for b in range(32)
-    ]
-    lo_bits = [
-        F.when(F.col(f"v_lo_{b}") > 0, F.lit(2**b)).otherwise(0)
-        for b in range(32)
-    ]
-    out = agg.select(
-        "id",
-        sum(hi_bits[1:], hi_bits[0]).cast("long").alias("simhash_hi"),
-        sum(lo_bits[1:], lo_bits[0]).cast("long").alias("simhash_lo"),
+        """,
+        words=words,
     )
-    return out
 
 
 def simhash_near_pairs(
@@ -586,59 +586,55 @@ def hamming_near_pairs(
             "4-band pigeonhole blocking only covers hamming <= 3; "
             f"got max_hamming={max_hamming}"
         )
+    # ONE sql() statement for the banding + self-join + verify tail
+    # (guide §4 at plan-construction time; same batching simhash64 and
+    # the minhash verify got).  Band keys fold the band index into the
+    # high bits of one narrow int64 join key; arithmetic is identical
+    # to the Column form this replaces, so values and hashes are
+    # unchanged.  4 × 16-bit bands: hi >> 16, hi & 0xFFFF, lo >> 16,
+    # lo & 0xFFFF.
     fp = fp.select(
         F.col(id_col).alias("id"),
         F.col(hi_col).alias("simhash_hi"),
         F.col(lo_col).alias("simhash_lo"),
     )
-    # 4 × 16-bit bands: hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF.
-    bands = [
-        F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+    band_vals = [
+        "(shiftright(simhash_hi, 16) & 65535)",
+        "(simhash_hi & 65535)",
+        "(shiftright(simhash_lo, 16) & 65535)",
+        "(simhash_lo & 65535)",
     ]
-    keyed = fp.select(
-        "id", "simhash_hi", "simhash_lo",
-        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"),
-    ).withColumn(
-        # one narrow int64 join key: band index in the high bits
-        "band_key",
-        F.shiftleft(F.col("band_idx").cast("long"), 16) + F.col("band_val"),
+    keys = ", ".join(
+        f"({i} * 65536) + {v}" for i, v in enumerate(band_vals)
+    )
+    keyed_src = (
+        "SELECT id, simhash_hi, simhash_lo,"
+        f" explode(array({keys})) AS band_key FROM {{fp}}"
     )
     if max_band_freq is not None:
-        freq_w = Window.partitionBy("band_key")
-        keyed = (
-            keyed.withColumn("__bf", F.count(F.lit(1)).over(freq_w))
-            .filter(F.col("__bf") <= max_band_freq)
-            .drop("__bf")
+        keyed_src = (
+            "SELECT id, simhash_hi, simhash_lo, band_key FROM ("
+            "SELECT *, count(1) OVER (PARTITION BY band_key) AS __bf"
+            f" FROM ({keyed_src})) WHERE __bf <= {int(max_band_freq)}"
         )
-    a = keyed.select(
-        F.col("id").alias("id_a"),
-        F.col("simhash_hi").alias("hi_a"),
-        F.col("simhash_lo").alias("lo_a"),
-        "band_key",
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"),
-        F.col("simhash_hi").alias("hi_b"),
-        F.col("simhash_lo").alias("lo_b"),
-        "band_key",
-    )
-    cand = (
-        a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
-    )
-    hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return fp.sparkSession.sql(
+        f"""
+        WITH keyed AS ({keyed_src}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
+                 b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
+          FROM keyed a JOIN keyed b USING (band_key)
+          WHERE a.id < b.id
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT id_a, id_b,
+                 cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)
+                      as bigint) AS hamming
+          FROM cand
+        ) WHERE hamming <= {int(max_hamming)}
+        """,
+        fp=fp,
     )
 
 

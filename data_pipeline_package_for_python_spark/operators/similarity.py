@@ -1038,9 +1038,15 @@ def kmeans_embeddings(
     with the final ``centroids`` list and per-iteration ``n_changed``
     trace attached as attributes.
     """
-    vecs = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).filter(F.col("__v").isNotNull())
+    # checkpointed like the exact twin (kmeans_embeddings_exact): the
+    # frame is re-scanned by every iteration's update collect plus the
+    # final assignment — without the checkpoint that is max_iterations+2
+    # full source scans of pure recompute
+    vecs = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     seed_rows = (
         vecs.orderBy("__id").limit(k).select("__v").collect()
     )

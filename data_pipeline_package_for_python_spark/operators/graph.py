@@ -230,6 +230,31 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     )
 
 
+def _broadcast_if_fits(frame: DataFrame, n_rows: int, bytes_per_row: int = 32):
+    """Gated broadcast for the per-round rank/frontier attach join.
+
+    The attach side of an iterative graph round is ≤ |V| rows of narrow
+    BIGINTs — but it hangs off a checkpointed RDD scan, whose Catalyst
+    size estimate is the (astronomical) default, so the planner would
+    never broadcast it on its own and each round pays a full SMJ
+    exchange of BOTH sides, including the big cached edge layout.  The
+    node count is already known exactly at build time (the loop's
+    ``count()``), so the decision is priced from real cardinality:
+    under the session ``autoBroadcastJoinThreshold`` the frame is
+    broadcast (each round = one broadcast + the one fundamental
+    aggregation shuffle, guide §2.4/§3.1); above it — the 100 TB graph,
+    where |V| itself is beyond any broadcast — the hint is withheld and
+    the round keeps the shuffle-join shape.  Same policy knob and
+    decline-at-scale semantics as the relational tier's
+    ``_orders_side_fits_broadcast``."""
+    from .. import plans
+
+    thr = plans.broadcast_threshold_bytes(frame.sparkSession)
+    if thr > 0 and n_rows * bytes_per_row <= thr:
+        return F.broadcast(frame)
+    return frame
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "u",
@@ -263,44 +288,55 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    # out_deg is referenced by EVERY round's plan; without its own
-    # checkpoint each round recompiles and re-executes the edges
-    # scan + groupBy + exchange that build it (lineage truncation on
-    # ``ranks`` does not help — the out_deg subtree hangs off each
-    # round's fresh plan).  Checkpointing it once removes one scan and
-    # one exchange per round; values are identical, so results are too.
+    # still checkpointed (r11): referenced by the elist_deg fold below
+    # and by dangling_ids at setup — one build
     out_deg = (
         edges.groupBy(F.col(src).alias("id"))
         .agg(F.count(F.lit(1)).alias("out_deg"))
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    elist = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    # The out-degree is FOLDED INTO the edge layout once (guide §2.4):
+    # the previous loop joined ranks ⋈ out_deg at the top of every
+    # round — one extra join (and its broadcast/exchange) × iterations
+    # for a value that never changes.  ``elist_deg`` carries
+    # (e_src, e_dst, out_deg) under a single checkpoint, so each round
+    # is exactly one join (ranks attach by src) + one aggregation
+    # (contributions by dst).  ``rank / out_deg`` per edge row equals
+    # the per-src share it replaces, so the summed in-mass — and the
+    # result — is unchanged (up to float summation order, which was
+    # never guaranteed; see the determinism caveat above).
+    # Checkpoint storage note (r11 advice): these one-time layouts stay
+    # pinned on executors for the session lifetime — the documented
+    # cost of lineage truncation in every iterative operator here.
+    elist_deg = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .join(out_deg.select(F.col("id").alias("e_src"), "out_deg"), "e_src")
+        .localCheckpoint(eager=False)
+    )
+    # nodes with no out-edges, computed once instead of re-deriving the
+    # NULL-out_deg frontier from a per-round join
+    dangling_ids = nodes.join(
+        out_deg, "id", "left_anti"
     ).localCheckpoint(eager=False)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
-        contrib_src = ranks.join(
-            out_deg, "id", "left"
-        ).withColumn(
-            "share",
-            F.when(
-                F.col("out_deg").isNotNull(),
-                F.col("rank") / F.col("out_deg"),
-            ),
-        )
         # dangling mass: ranks of nodes with no out-edges (one scalar)
         dangling = (
-            contrib_src.filter(F.col("out_deg").isNull())
+            ranks.join(_broadcast_if_fits(dangling_ids, n), "id", "semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
         inbound = (
-            elist.join(
-                contrib_src.select(F.col("id").alias("e_src"), "share"),
+            elist_deg.join(
+                _broadcast_if_fits(
+                    ranks.select(F.col("id").alias("e_src"), "rank"), n
+                ),
                 "e_src",
             )
             .groupBy(F.col("e_dst").alias("id"))
-            .agg(F.sum("share").alias("in_mass"))
+            .agg(
+                F.sum(F.col("rank") / F.col("out_deg")).alias("in_mass")
+            )
         )
         base = (1.0 - damping) + damping * dangling / n
         ranks = (
@@ -325,6 +361,7 @@ def pagerank_exact(
     iterations: int = 10,
     scale: int = 1_000_000,
     assume_no_dangling: bool = False,
+    assume_bidirected: bool = False,
 ) -> DataFrame:
     """Bit-deterministic PageRank: same power iteration as ``pagerank``
     but every quantity is a BIGINT in units of 1/``scale`` and damping
@@ -366,54 +403,91 @@ def pagerank_exact(
     1-row aggregate + broadcast is skipped — 2 fewer plan branches per
     round, measurably faster at any scale.  Results are bit-identical
     to the general path on such graphs ((17·(0 div n)) div 20 = 0).
+
+    ``assume_bidirected=True`` is the stronger ASSERTION that the edge
+    list contains (v, u) for every (u, v) — again true by construction
+    for any bidirected list.  It implies ``assume_no_dangling`` AND
+    that every node has in-degree ≥ 1 with node set = src set = dst
+    set, so (a) the node universe is the out-degree keys (no
+    union+distinct pass) and (b) the per-round nodes-left-join that
+    only exists to restore in-degree-0 nodes is skipped — the inbound
+    aggregate already covers every node.  Results are bit-identical to
+    the general path on such graphs (in_mass is never NULL there, so
+    ``coalesce(in_mass, 0)`` never fires).
     """
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
-    # checkpointed for the same reason as in ``pagerank``: ten per-round
-    # plans each rebuild the out-degree aggregate from the edges scan
-    # otherwise (one scan + one exchange per round of pure recompute)
+    if assume_bidirected:
+        assume_no_dangling = True
+    # still checkpointed (r11): referenced by the elist_deg fold below
+    # and by nodes/dangling_ids at setup — one build, not two or three
     out_deg = (
         edges.groupBy(F.col(src).alias("id"))
         .agg(F.count(F.lit(1)).alias("out_deg"))
         .localCheckpoint(eager=False)
     )
+    if assume_bidirected:
+        # src set == node set; one aggregation instead of union+distinct
+        nodes = out_deg.select("id")
+    else:
+        nodes = (
+            edges.select(F.col(src).alias("id"))
+            .union(edges.select(F.col(dst).alias("id")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
+    # Out-degree FOLDED INTO the edge layout once (guide §2.4): the
+    # previous loop opened every round with ranks ⋈ out_deg — one join
+    # (and its broadcast/exchange + AQE stage job) × iterations for a
+    # value that never changes.  ``elist_deg`` carries
+    # (e_src, e_dst, out_deg) under a single checkpoint; each round is
+    # now exactly one join (attach ranks by src) + one aggregation
+    # (sum shares by dst).  ``rank div out_deg`` per edge row equals
+    # the per-src share it replaces and BIGINT sums are
+    # order-insensitive, so the result is bit-identical.
+    # Checkpoint storage note (r11 advice): one-time layouts stay
+    # pinned on executors for the session lifetime — the documented
+    # cost of lineage truncation in every iterative operator here.
+    elist_deg = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .join(out_deg.select(F.col("id").alias("e_src"), "out_deg"), "e_src")
+        .localCheckpoint(eager=False)
+    )
+    if not assume_no_dangling:
+        dangling_ids = nodes.join(
+            out_deg, "id", "left_anti"
+        ).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("bigint"))
-    elist = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=False)
     base_const = (3 * scale) // 20
     for it in range(iterations):
-        contrib_src = ranks.join(out_deg, "id", "left").withColumn(
-            "share",
-            F.when(
-                F.col("out_deg").isNotNull(),
-                F.expr("rank div out_deg"),
-            ),
-        )
         inbound = (
-            elist.join(
-                contrib_src.select(F.col("id").alias("e_src"), "share"),
+            elist_deg.join(
+                _broadcast_if_fits(
+                    ranks.select(F.col("id").alias("e_src"), "rank"), n
+                ),
                 "e_src",
             )
             .groupBy(F.col("e_dst").alias("id"))
-            .agg(F.sum("share").cast("bigint").alias("in_mass"))
+            .agg(
+                F.sum(F.expr("rank div out_deg"))
+                .cast("bigint")
+                .alias("in_mass")
+            )
         )
         # (1-d)·scale + d·(dangling/n) + d·in_mass, d = 17/20, floors
-        out = nodes.join(inbound, "id", "left")
+        if assume_bidirected:
+            # every node has in-degree >= 1: inbound IS the node set
+            out = inbound
+        else:
+            out = nodes.join(inbound, "id", "left")
         if assume_no_dangling:
             dangling_term = F.lit(0).cast("bigint")
         else:
             # dangling mass as an in-plan 1-row aggregate, broadcast
             # back (scalar-total pattern) — no per-round driver collect
             dangling_df = (
-                contrib_src.filter(F.col("out_deg").isNull())
+                ranks.join(_broadcast_if_fits(dangling_ids, n), "id", "semi")
                 .agg(
                     F.coalesce(F.sum("rank"), F.lit(0))
                     .cast("bigint")
@@ -527,6 +601,13 @@ def bfs_distances(
     elist = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
     ).localCheckpoint(eager=False)
+    # NOTE (r12, measured and rejected): the pagerank-style gated
+    # broadcast of the settled frontier made this loop SLOWER at
+    # fixture scale (17 -> 19 jobs/run, 1.27 -> 1.68 s warm median at
+    # sf0.01) — unlike pagerank, each BFS round still shuffles the full
+    # (dist ∪ frontier) union for the groupBy-min, so the hint only
+    # added a broadcast job + the |V| count job without removing any
+    # exchange.  The relaxation keeps its shuffle-join shape.
     dist = nodes.join(
         seed_ids.withColumn("dist", F.lit(0).cast("bigint")),
         "id",

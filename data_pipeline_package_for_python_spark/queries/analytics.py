@@ -655,10 +655,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidir = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    # bidirected by construction -> every node has out-degree >= 1, so
-    # the dangling term is identically zero and its per-round scalar
-    # branch can be skipped (assertion documented in pagerank_exact)
-    return pagerank_exact(bidir, iterations=10, assume_no_dangling=True)
+    # bidirected by construction -> every node has out-degree >= 1 AND
+    # in-degree >= 1 with node set = src set = dst set, so the dangling
+    # term is identically zero, the node universe is the out-degree
+    # keys, and the per-round nodes-left-join can be skipped entirely
+    # (assertions documented in pagerank_exact; results bit-identical)
+    return pagerank_exact(bidir, iterations=10, assume_bidirected=True)
 
 
 @query(

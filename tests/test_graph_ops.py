@@ -107,6 +107,35 @@ def test_pagerank_exact_agrees_with_float_after_outdeg_checkpoint(spark):
         assert abs(ex[node] / scale - rank) <= 3 * iters / scale + 1e-9
 
 
+def test_pagerank_exact_bidirected_fastpath_bitwise_identical(spark):
+    """The r12 assume_bidirected fast path (node universe from
+    out-degree keys, no per-round nodes join, zero dangling term) must
+    be BIT-identical to the general path on a bidirected edge list —
+    the claim that lets graph_pagerank use it while staying
+    hash-checked against the unrolled DuckDB twin."""
+    from data_pipeline_package_for_python_spark.operators.graph import (
+        pagerank_exact,
+    )
+
+    n = 9
+    onedir = [(i, (i + 1) % n) for i in range(n)] + [
+        (i, (i * 4 + 1) % n) for i in range(n)
+    ]
+    bidir = onedir + [(v, u) for (u, v) in onedir]
+    e = _edges(spark, bidir)
+    general = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_exact(e, iterations=5).collect()
+    }
+    fast = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_exact(
+            e, iterations=5, assume_bidirected=True
+        ).collect()
+    }
+    assert general == fast
+
+
 # --------------------------------------------------------------------- #
 # fuzzy_join_levenshtein                                                #
 # --------------------------------------------------------------------- #

@@ -23,11 +23,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
-def counters(tracker):
+def max_job_id(tracker) -> int:
     jobs = tracker.getJobIdsForGroup(None) or []
+    return max(jobs) if jobs else -1
+
+
+def stage_counts(tracker, j_lo: int, j_hi: int) -> tuple[int, int, int]:
+    """(jobs, stages, tasks) for job ids in (j_lo, j_hi].  Must be called
+    right after the runs, before the UI store evicts them (the store
+    retains only ~1000 jobs, so absolute counts over a long sweep go
+    negative — job ids, however, are monotonic)."""
+    n_jobs = j_hi - j_lo
     n_stages = 0
     n_tasks = 0
-    for j in jobs:
+    for j in range(j_lo + 1, j_hi + 1):
         info = tracker.getJobInfo(j)
         if info is None:
             continue
@@ -36,7 +45,7 @@ def counters(tracker):
             if si is not None:
                 n_tasks += si.numTasks
         n_stages += len(info.stageIds)
-    return len(jobs), n_stages, n_tasks
+    return n_jobs, n_stages, n_tasks
 
 
 def main() -> None:
@@ -66,19 +75,23 @@ def main() -> None:
         q = QUERIES[n]
         spark.sparkContext.setJobDescription(f"r12-probe: {n}")
         times = []
-        j0, s0, t0c = counters(tracker)
+        nj = ns = nt = 0
         for _ in range(RUNS):
+            j0 = max_job_id(tracker)
             t0 = time.perf_counter()
             noop(q.spark_fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
-        j1, s1, t1c = counters(tracker)
+            dj, ds, dt = stage_counts(tracker, j0, max_job_id(tracker))
+            nj += dj
+            ns += ds
+            nt += dt
         spark.sparkContext.setJobDescription(None)
         med = statistics.median(times)
         print(
             f"{n}: median={med*1000:.0f}ms "
-            f"jobs/run={(j1-j0)/RUNS:.1f} "
-            f"stages/run={(s1-s0)/RUNS:.1f} "
-            f"tasks/run={(t1c-t0c)/RUNS:.1f} "
+            f"jobs/run={nj/RUNS:.1f} "
+            f"stages/run={ns/RUNS:.1f} "
+            f"tasks/run={nt/RUNS:.1f} "
             f"runs={[f'{t*1000:.0f}' for t in times]}"
         )
 

@@ -60,6 +60,30 @@ __all__ = [
 ]
 
 
+def _collect_no_aqe(df: DataFrame) -> list:
+    """``collect()`` with AQE scoped OFF (set/restore around one action).
+
+    For a fixed-shape tiny-output aggregate — the k-means update is
+    k×d rows at ANY corpus size — adaptive execution can neither
+    coalesce anything useful nor hit skew; it only splits the action
+    into an extra shuffle-stage job (2 jobs instead of 1, measured at
+    sf0.01 with identical wall time).  Scoping the conf around a single
+    driver-side action is the established pattern here (streaming's
+    ``_scoped_state_parallelism``); the harness runs queries
+    sequentially, so the session-global set/restore is safe."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        return df.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def dot(a: str, b: str) -> F.Column:
     """Left-to-right double-precision dot product of two array columns."""
     return F.expr(
@@ -1054,18 +1078,19 @@ def kmeans_embeddings(
     if len(centroids) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
 
+    # Update collect runs with AQE scoped OFF exactly like the exact
+    # twin (see kmeans_embeddings_exact): a fixed k×d-group two-stage
+    # aggregate gains nothing from runtime re-planning at any scale,
+    # and dropping it halves the per-iteration job count.
     for _ in range(max_iterations):
-        assigned = assign_to_centroids(vecs, "__v", centroids)
-        sums = (
-            assigned.select(
-                "cluster", F.posexplode(F.col("__v")).alias("pos", "x")
-            )
+        sums = _collect_no_aqe(
+            assign_to_centroids(vecs, "__v", centroids)
+            .select("cluster", F.posexplode(F.col("__v")).alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(
                 F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
-            .collect()
         )
         new_centroids = [list(c) for c in centroids]
         for r in sums:
@@ -1151,16 +1176,28 @@ def kmeans_embeddings_exact(
             " AS cluster",
         )
 
-    assigned = None
+    # r12 update-fusion A/B (measured; observed-metrics REJECTED): the
+    # k×d sums as Observation accumulators during a noop assignment
+    # pass would make each iteration one map-only job, but CollectMetrics
+    # evaluates its 520-field aggregate buffer with INTERPRETED
+    # projections — ~0.7-0.9 s/pass vs ~0.3 s for this codegen'd
+    # shuffle at sf0.01, and strictly worse per row at scale.  Two more
+    # rejected forms, same probe: flat-expanded squared distances
+    # (codegen fallback, 4-5× slower than the zip_with HOF) and the
+    # centroid matrix as ONE nested-array literal (py4j/analysis of the
+    # nested literal ~5× the literal-SQL build).  What stays: AQE is
+    # disabled around the update collect (scoped set/restore, the
+    # streaming _scoped_state_parallelism precedent) — the update is a
+    # FIXED k×d-group two-stage aggregate whose output is k×d rows, so
+    # runtime re-planning can neither coalesce anything useful nor hit
+    # skew at ANY scale, and dropping it halves the per-iteration job
+    # count (2 → 1, same-or-better wall, measured).
     for _ in range(iterations):
-        assigned = assign(vecs)
-        sums = (
-            assigned.select(
-                "cluster", F.posexplode(F.col("__u")).alias("pos", "x")
-            )
+        sums = _collect_no_aqe(
+            assign(vecs)
+            .select("cluster", F.posexplode(F.col("__u")).alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
         )
         new_centroids = [list(c) for c in centroids]
         for r in sums:

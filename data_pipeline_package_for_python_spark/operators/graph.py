@@ -35,11 +35,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     w = Window.partitionBy("u")
+    # No ``.distinct()`` here (r12, guide §2.4): the composite round is
+    # always small_star ∘ large_star, the windowed MIN in small_star is
+    # unaffected by duplicate rows, and small_star ends with its own
+    # distinct — so the round's OUTPUT SET is identical while this
+    # intermediate exchange (one full shuffle of the edge list per
+    # round) disappears.  Duplicate inflation is bounded: the input is
+    # the previous round's distinct set, so this emits at most one row
+    # per bidirected input edge.
     return (
         bidir.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -63,6 +70,12 @@ def _edge_checksum(edges: DataFrame) -> tuple:
     One action per iteration — the unavoidable cost of a data-dependent
     convergence loop.  The checksum job is also what materializes the
     ``localCheckpoint`` for the round."""
+    # NOTE (r12, measured and rejected): running this one-row aggregate
+    # with AQE scoped off (the k-means-update treatment) also disables
+    # AQE for the TWO star rounds the action materializes — their
+    # window shuffles then run at the static 32-partition width instead
+    # of coalescing, and the query got slower (tasks/run 199 → 316).
+    # The checksum keeps AQE.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         # decimal(38,0) accumulator: xxhash64 sums overflow BIGINT under

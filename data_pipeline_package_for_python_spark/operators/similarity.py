@@ -60,28 +60,7 @@ __all__ = [
 ]
 
 
-def _collect_no_aqe(df: DataFrame) -> list:
-    """``collect()`` with AQE scoped OFF (set/restore around one action).
-
-    For a fixed-shape tiny-output aggregate — the k-means update is
-    k×d rows at ANY corpus size — adaptive execution can neither
-    coalesce anything useful nor hit skew; it only splits the action
-    into an extra shuffle-stage job (2 jobs instead of 1, measured at
-    sf0.01 with identical wall time).  Scoping the conf around a single
-    driver-side action is the established pattern here (streaming's
-    ``_scoped_state_parallelism``); the harness runs queries
-    sequentially, so the session-global set/restore is safe."""
-    spark = df.sparkSession
-    key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "false")
-    try:
-        return df.collect()
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+from ._util import collect_no_aqe as _collect_no_aqe
 
 
 def dot(a: str, b: str) -> F.Column:

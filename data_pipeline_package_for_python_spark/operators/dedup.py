@@ -54,6 +54,15 @@ __all__ = [
 MINHASH_PRIME = 1_000_000_007
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into SQL text.
+
+    Embedded backticks are doubled, so a hostile/unlucky column name
+    cannot break out of the quoting — string-safe like the ``F.col``
+    forms these SQL-text builders replaced (ADVICE r11)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
     """Fixed affine coefficients (a, b) for the MinHash permutations.
 
@@ -87,12 +96,12 @@ def exact_dedup(
 
     Returns (content_key, keep_id, n_copies).
     """
-    key = f"md5(`{text_col}`)" if by_hash else f"`{text_col}`"
+    key = f"md5({_bq(text_col)})" if by_hash else _bq(text_col)
     # one sql() statement per build (bench path; see near_dedup_minhash)
     return df.sparkSession.sql(
         f"""
         SELECT {key} AS content_key,
-               min(`{id_col}`) AS keep_id,
+               min({_bq(id_col)}) AS keep_id,
                count(1) AS n_copies
         FROM {{df}} GROUP BY {key}
         """,
@@ -136,7 +145,7 @@ def _shingle_arrays(
     # time too (measured: ~1250 round trips per near_dedup build before
     # the batching, ~0.39 s of the bench's per-run cost).
     words = ensure_parallel(df).selectExpr(
-        f"`{id_col}` AS id", f"split(`{text_col}`, ' ') AS __ws"
+        f"{_bq(id_col)} AS id", f"split({_bq(text_col)}, ' ') AS __ws"
     )
     return words.selectExpr(
         "id",
@@ -499,7 +508,8 @@ def simhash64(
     # tests, power-of-two reconstruction), so every value — and the
     # oracle hash — is unchanged.
     words = ensure_parallel(df).selectExpr(
-        f"`{id_col}` AS id", f"explode(split(`{text_col}`, ' ')) AS w"
+        f"{_bq(id_col)} AS id",
+        f"explode(split({_bq(text_col)}, ' ')) AS w",
     ).selectExpr("id", "md5(w) AS md")
     votes = ", ".join(
         f"sum(CASE WHEN (shiftright({h}, {bit}) & 1) = 1 THEN 1 ELSE -1 END)"
@@ -507,9 +517,13 @@ def simhash64(
         for bit in range(32)
         for h in ("hi", "lo")
     )
+    # every term a BIGINT literal (`L` suffix): with INT literals the
+    # left-associative sum of bits 0..30 reaches exactly INT_MAX before
+    # the 2^31 term widens the chain — zero headroom, and any reordering
+    # of the terms would overflow under ANSI mode (ADVICE r11)
     recon = {
         h: " + ".join(
-            f"(CASE WHEN v_{h}_{b} > 0 THEN {2 ** b} ELSE 0 END)"
+            f"(CASE WHEN v_{h}_{b} > 0 THEN {2 ** b}L ELSE 0L END)"
             for b in range(32)
         )
         for h in ("hi", "lo")

@@ -61,6 +61,8 @@ __all__ = [
 
 
 from ._util import collect_no_aqe as _collect_no_aqe
+from ._util import register_session_cache as _register_session_cache
+from ._util import sweep_session_caches as _sweep_session_caches
 
 
 def dot(a: str, b: str) -> F.Column:
@@ -548,8 +550,17 @@ def ivf_train_centroids(
 # one live Broadcast per (application, codebook contents): repeated index
 # builds over the same codebook reuse the executor-resident copy instead
 # of accumulating fresh broadcasts (the same leak class BloomSketch's
-# cache/release closed in r10 for bloom bitmaps)
-_CODEBOOK_BC_CACHE: dict = {}
+# cache/release closed in r10 for bloom bitmaps).  Dead-session handles
+# are dropped by the shared sweep (their executors are gone; destroy is
+# best-effort on whatever driver state remains).
+def _drop_codebook_broadcast(_key, bc) -> None:
+    bc.unpersist(blocking=False)
+    bc.destroy()
+
+
+_CODEBOOK_BC_CACHE: dict = _register_session_cache(
+    {}, cleanup=_drop_codebook_broadcast
+)
 
 
 def _codebook_broadcast(spark, Cn):
@@ -567,6 +578,7 @@ def _codebook_broadcast(spark, Cn):
     )
     bc = _CODEBOOK_BC_CACHE.get(key)
     if bc is None:
+        _sweep_session_caches(key[0])
         bc = spark.sparkContext.broadcast(Cn)
         _CODEBOOK_BC_CACHE[key] = bc
     return bc
@@ -1044,7 +1056,10 @@ def kmeans_embeddings(
     # checkpointed like the exact twin (kmeans_embeddings_exact): the
     # frame is re-scanned by every iteration's update collect plus the
     # final assignment — without the checkpoint that is max_iterations+2
-    # full source scans of pure recompute
+    # full source scans of pure recompute.  Checkpoint storage note
+    # (r11 advice): the blocks stay pinned on executors for the session
+    # lifetime — the documented cost of lineage truncation shared with
+    # the graph operators' per-round checkpoints.
     vecs = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .filter(F.col("__v").isNotNull())

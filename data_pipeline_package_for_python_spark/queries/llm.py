@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ._registry import load, query
+from ..operators import _util as _outil
 from ..operators import dedup as D
 from ..operators import graph as G
 from ..operators import multimodal as M
@@ -1947,8 +1948,18 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 # one tiny JPEG corpus per (session, sf_dir), written ONCE driver-side —
 # a stand-in for the ingest layout (production JPEG corpora already sit
-# on distributed storage; the query under test is the READ side)
-_JPEG_CORPUS_CACHE: dict = {}
+# on distributed storage; the query under test is the READ side).
+# Dead-session corpora (entry + tempdir) are reclaimed by the shared
+# session-cache sweep.
+def _drop_jpeg_corpus(_key, path) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+_JPEG_CORPUS_CACHE: dict = _outil.register_session_cache(
+    {}, cleanup=_drop_jpeg_corpus
+)
 
 
 def _jpeg_corpus_dir(spark, sf_dir: str) -> str:
@@ -1961,6 +1972,7 @@ def _jpeg_corpus_dir(spark, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     d = _JPEG_CORPUS_CACHE.get(key)
     if d is None:
+        _outil.sweep_session_caches(key[0])
         d = tempfile.mkdtemp(prefix="dpp_jpeg_corpus_")
         ids = [
             int(r.doc_id)

@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ._registry import davg, dsum, load, query, ssum
+from ..operators import _util
 from ..operators.joins import (
     asof_join,
     asof_join_nearest,
@@ -1178,6 +1179,7 @@ def _orders_side_fits_broadcast(spark, orders_side, token=None) -> bool:
     )
     hit = _GATE_CACHE.get(key)
     if hit is None:
+        _util.sweep_session_caches(app_id)
         hit = plans.estimated_size_bytes(frame) <= thr
         _GATE_CACHE[key] = hit
     if token is not None:
@@ -1185,7 +1187,7 @@ def _orders_side_fits_broadcast(spark, orders_side, token=None) -> bool:
     return hit
 
 
-_GATE_CACHE: dict[tuple, bool] = {}
+_GATE_CACHE: dict[tuple, bool] = _util.register_session_cache({})
 
 
 @query(
@@ -1411,10 +1413,18 @@ def join_q3_topk(spark, sf_dir):
 # zero exchanges on the fact edge — the 100 TB posture where the shuffle
 # is paid at ingest time and amortizes over the whole query mix.
 # value = ((orders_name, lineitem_name), tempdir) so the release path
-# can drop the catalog tables AND reclaim the multi-GB data directory
+# can drop the catalog tables AND reclaim the multi-GB data directory.
+# Dead-session entries are swept by the shared registry (their catalog
+# died with the session; the tempdir is what the cleanup reclaims).
+def _drop_bucketed_tempdir(_key, value) -> None:
+    import shutil
+
+    shutil.rmtree(value[1], ignore_errors=True)
+
+
 _BUCKETED_PAIR_CACHE: dict[
     tuple[str, str, int], tuple[tuple[str, str], str]
-] = {}
+] = _util.register_session_cache({}, cleanup=_drop_bucketed_tempdir)
 
 
 def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
@@ -1462,6 +1472,7 @@ def bucketed_order_tables(spark, sf_dir: str, n_buckets: int = 8):
     key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
     hit = _BUCKETED_PAIR_CACHE.get(key)
     if hit is None:
+        _util.sweep_session_caches(key[0])
         # stable digest, NOT Python hash(): PYTHONHASHSEED randomizes
         # hash() per process, so with a persistent metastore every new
         # process would mint a fresh table name and orphan the old
@@ -1533,6 +1544,7 @@ def bucketed_star_tables(spark, sf_dir: str, n_buckets: int = 8):
     key = (spark.sparkContext.applicationId, sf_dir, n_buckets, "star")
     hit = _BUCKETED_PAIR_CACHE.get(key)
     if hit is None:
+        _util.sweep_session_caches(key[0])
         suffix = hashlib.md5(
             f"{sf_dir}:{n_buckets}:star".encode()
         ).hexdigest()[:8]

@@ -25,14 +25,24 @@ orders↔lineitem fact edge goes through the same stats-gated
 ``_orders_side_fits_broadcast`` probe as Q3/Q5, so at the 100 TB design
 point every query here degrades to a shuffle join on the already
 key-partitioned orderkey instead of OOMing the driver.
+
+Build discipline (round 12, guide §4 applied at plan-build time): every
+query here is ONE ``spark.sql()`` statement (Q11/Q15 are two, split at a
+``localCheckpoint`` boundary that removes a second fact scan).  Classic
+DataFrame chains run the analyzer eagerly per transformation — the r11
+decomposition measured 12-71% of per-run cost as pure driver-side
+py4j/analyzer work, and the round-12 pure-build probe put this module at
+2.59 s per registry sweep.  Join ORDER in each FROM clause plus explicit
+``/*+ BROADCAST */`` hints reproduce the old DataFrame join shapes
+(Catalyst keeps written order without CBO); the stats gate keeps its
+decline-at-scale semantics via a per-(query, dataset) token memo.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from ._registry import load, query, ssum
+from ._registry import load, query
 from .relational import _orders_side_fits_broadcast
 
 _UNITS = "floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5d)"
@@ -40,16 +50,8 @@ _SQL_UNITS = (
     "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
     " AS BIGINT)"
 )
-
-
-def _join_orders_edge(spark, li_side, o_side, on):
-    """The fact edge: broadcast the (pruned) orders side when the
-    stats gate prices it under the session threshold, else a shuffle
-    join on orderkey — the 100 TB path, where both sides arrive
-    hash-partitioned on the join key."""
-    if _orders_side_fits_broadcast(spark, o_side):
-        return li_side.join(F.broadcast(o_side), on)
-    return li_side.join(o_side, on)
+# Spark-side revenue rollup: exact BIGINT unit sum, one double division.
+_REV = f"sum({_UNITS}) / cast(10000 as double)"
 
 
 # ---------------------------------------------------------------------- #
@@ -92,54 +94,54 @@ def join_q7_nation_trade(spark, sf_dir):
     one fact-sized exchange is the gated orderkey edge, and the final
     rollup groups ≤ 2·|years| rows."""
     n = load(spark, sf_dir, "nation")
-    s = (
-        load(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(n),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # Gate prices the pruned orders side actually joined (orders after
+    # the nation-filtered customer semireduction); the thunk only builds
+    # the probe frame on a token-memo miss.
+    o_hint = (
+        ", BROADCAST(o)"
+        if _orders_side_fits_broadcast(
+            spark,
+            lambda: o.join(
+                F.broadcast(
+                    c.join(
+                        F.broadcast(n),
+                        F.col("c_nationkey") == F.col("n_nationkey"),
+                    )
+                    .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+                    .select("c_custkey")
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey"),
+            token=("q7_orders", sf_dir),
         )
-        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        else ""
     )
-    c = (
-        load(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(n),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    o = (
-        load(spark, sf_dir, "orders")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "cust_nation")
-    )
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-        )
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            "l_extendedprice",
-            "l_discount",
-            F.year("l_shipdate").alias("l_year"),
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-    )
-    j = _join_orders_edge(
-        spark,
-        li,
-        o.select("o_orderkey", "cust_nation"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    return (
-        j.filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(ssum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(s), BROADCAST(n1), BROADCAST(c),
+                   BROADCAST(n2){o_hint} */
+               n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               {_REV} AS revenue
+        FROM {{li}} l
+        JOIN {{s}} s  ON l.l_suppkey = s.s_suppkey
+        JOIN {{n}} n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN {{o}} o  ON l.l_orderkey = o.o_orderkey
+        JOIN {{c}} c  ON o.o_custkey = c.c_custkey
+        JOIN {{n}} n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+        """,
+        li=li, s=s, n=n, o=o, c=c,
     )
 
 
@@ -183,60 +185,59 @@ def join_q8_market_share(spark, sf_dir):
     edge; output is |years| rows."""
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    nr = n.join(
-        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select("n_nationkey", "r_name")
-    p = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    s = (
-        load(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(nr),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_hint = (
+        ", BROADCAST(o)"
+        if _orders_side_fits_broadcast(
+            spark,
+            lambda: o.join(
+                F.broadcast(
+                    c.join(
+                        F.broadcast(
+                            n.join(
+                                F.broadcast(r),
+                                F.col("n_regionkey")
+                                == F.col("r_regionkey"),
+                            ).select("n_nationkey", "r_name")
+                        ),
+                        F.col("c_nationkey") == F.col("n_nationkey"),
+                    )
+                    .filter(F.col("r_name") == "AMERICA")
+                    .select("c_custkey")
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey"),
+            token=("q8_orders", sf_dir),
         )
-        .select(
-            "s_suppkey",
-            (F.col("r_name") == "ASIA").cast("long").alias("is_asia"),
-        )
+        else ""
     )
-    c = (
-        load(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(nr),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .filter(F.col("r_name") == "AMERICA")
-        .select("c_custkey")
-    )
-    o = (
-        load(spark, sf_dir, "orders")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
-    )
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_orderkey", "is_asia", F.expr(_UNITS).alias("units"))
-    )
-    j = _join_orders_edge(
-        spark, li, o, F.col("l_orderkey") == F.col("o_orderkey")
-    )
-    agg = j.groupBy("o_year").agg(
-        F.sum(
-            F.when(F.col("is_asia") == 1, F.col("units")).otherwise(
-                F.lit(0)
-            )
-        ).alias("asia_units"),
-        F.sum("units").alias("total_units"),
-    )
-    return agg.select(
-        "o_year",
-        (F.col("asia_units") / F.col("total_units")).alias("mkt_share"),
-        (F.col("total_units") / F.lit(10000.0)).alias("total_revenue"),
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p), BROADCAST(s), BROADCAST(ns),
+                   BROADCAST(rs), BROADCAST(c), BROADCAST(nc),
+                   BROADCAST(rc){o_hint} */
+               year(o.o_orderdate) AS o_year,
+               sum(CASE WHEN rs.r_name = 'ASIA'
+                        THEN {_UNITS} ELSE CAST(0 AS BIGINT) END)
+                 / sum({_UNITS}) AS mkt_share,
+               {_REV} AS total_revenue
+        FROM {{li}} l
+        JOIN {{p}} p  ON l.l_partkey = p.p_partkey
+        JOIN {{s}} s  ON l.l_suppkey = s.s_suppkey
+        JOIN {{n}} ns ON s.s_nationkey = ns.n_nationkey
+        JOIN {{r}} rs ON ns.n_regionkey = rs.r_regionkey
+        JOIN {{o}} o  ON l.l_orderkey = o.o_orderkey
+        JOIN {{c}} c  ON o.o_custkey = c.c_custkey
+        JOIN {{n}} nc ON c.c_nationkey = nc.n_nationkey
+        JOIN {{r}} rc ON nc.n_regionkey = rc.r_regionkey
+        WHERE rc.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        GROUP BY 1
+        """,
+        li=li, p=p, s=s, n=n, r=r, o=o, c=c,
     )
 
 
@@ -273,44 +274,37 @@ def join_q9_profit(spark, sf_dir):
 
     Scale: part filter and supplier⋈nation broadcast; one gated
     orderkey edge; |nations|·|years| output rows."""
-    p = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%red%"))
-        .select("p_partkey", "p_retailprice")
-    )
-    s = (
-        load(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(load(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_hint = (
+        ", BROADCAST(o)"
+        if _orders_side_fits_broadcast(
+            spark,
+            lambda: o.select("o_orderkey"),
+            token=("q9_orders", sf_dir),
         )
-        .select("s_suppkey", F.col("n_name").alias("nation"))
+        else ""
     )
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", F.year("o_orderdate").alias("o_year")
-    )
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            "l_orderkey",
-            "nation",
-            F.expr(
-                "floor((l_extendedprice * (1 - l_discount)"
-                " - 0.6d * p_retailprice * l_quantity)"
-                " * 10000 + 0.5d)"
-            ).alias("profit_units"),
-        )
-    )
-    j = _join_orders_edge(
-        spark, li, o, F.col("l_orderkey") == F.col("o_orderkey")
-    )
-    return (
-        j.groupBy("nation", "o_year")
-        .agg(
-            (F.sum("profit_units") / F.lit(10000.0)).alias("sum_profit")
-        )
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p), BROADCAST(s), BROADCAST(n){o_hint} */
+               n.n_name AS nation,
+               year(o.o_orderdate) AS o_year,
+               sum(floor((l_extendedprice * (1 - l_discount)
+                   - 0.6d * p_retailprice * l_quantity)
+                   * 10000 + 0.5d)) / cast(10000 as double) AS sum_profit
+        FROM {{li}} l
+        JOIN {{p}} p ON l.l_partkey = p.p_partkey
+        JOIN {{s}} s ON l.l_suppkey = s.s_suppkey
+        JOIN {{n}} n ON s.s_nationkey = n.n_nationkey
+        JOIN {{o}} o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        """,
+        li=li, p=p, s=s, n=n, o=o,
     )
 
 
@@ -346,45 +340,44 @@ def join_q10_returned_customers(spark, sf_dir):
     both engines.  Scale: the top-k compiles to
     TakeOrderedAndProject (per-partition heaps + driver merge of 20
     rows), never a global sort."""
-    o = (
-        load(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= "1996-07-01")
-            & (F.col("o_orderdate") < "1996-10-01")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_hint_lead = (
+        "/*+ BROADCAST(o) */ "
+        if _orders_side_fits_broadcast(
+            spark,
+            lambda: o.filter(
+                (F.col("o_orderdate") >= "1996-07-01")
+                & (F.col("o_orderdate") < "1996-10-01")
+            ).select("o_orderkey", "o_custkey"),
+            token=("q10_orders", sf_dir),
         )
-        .select("o_orderkey", "o_custkey")
+        else ""
     )
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", F.expr(_UNITS).alias("units"))
-    )
-    cn = load(spark, sf_dir, "customer").join(
-        F.broadcast(load(spark, sf_dir, "nation")),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-    )
-    j = _join_orders_edge(
-        spark, li, o, F.col("l_orderkey") == F.col("o_orderkey")
-    )
-    per_cust = j.groupBy("o_custkey").agg(
-        F.sum("units").alias("rev_units")
-    )
-    return (
-        per_cust.join(
-            F.broadcast(
-                cn.select("c_custkey", "c_name", "c_acctbal", "n_name")
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
+    return spark.sql(
+        f"""
+        WITH per_cust AS (
+          SELECT {o_hint_lead}o.o_custkey, sum({_UNITS}) AS rev_units
+          FROM {{li}} l
+          JOIN {{o}} o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+            AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+          GROUP BY 1
         )
-        .orderBy(F.col("rev_units").desc(), F.col("c_custkey"))
-        .limit(20)
-        .select(
-            "c_custkey",
-            "c_name",
-            (F.col("rev_units") / F.lit(10000.0)).alias("revenue"),
-            "c_acctbal",
-            "n_name",
-        )
+        SELECT /*+ BROADCAST(c), BROADCAST(n) */
+               c.c_custkey, c.c_name,
+               pc.rev_units / cast(10000 as double) AS revenue,
+               c.c_acctbal, n.n_name
+        FROM per_cust pc
+        JOIN {{c}} c ON pc.o_custkey = c.c_custkey
+        JOIN {{n}} n ON c.c_nationkey = n.n_nationkey
+        ORDER BY pc.rev_units DESC, c.c_custkey
+        LIMIT 20
+        """,
+        li=li, o=o, c=c, n=n,
     )
 
 
@@ -427,26 +420,29 @@ def agg_q11_important_parts(spark, sf_dir):
     reads the materialized |parts|-sized frame instead of replanning
     (and re-scanning) the fact subtree — Catalyst does not dedup
     identical subtrees across branches on its own."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", F.expr(_UNITS).alias("units")
-    )
-    per_part = (
-        li.groupBy("l_partkey")
-        .agg(F.sum("units").alias("part_units"))
-        .localCheckpoint(eager=False)
-    )
-    total = per_part.agg(
-        F.expr("(5 * sum(part_units)) div (4 * count(*))").alias(
-            "threshold_units"
-        )
-    )
-    return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("part_units") > F.col("threshold_units"))
-        .select(
-            "l_partkey",
-            (F.col("part_units") / F.lit(10000.0)).alias("part_value"),
-        )
+    li = load(spark, sf_dir, "lineitem")
+    per_part = spark.sql(
+        f"""
+        SELECT l_partkey, sum({_UNITS}) AS part_units
+        FROM {{li}}
+        GROUP BY 1
+        """,
+        li=li,
+    ).localCheckpoint(eager=False)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(t) */
+               pp.l_partkey,
+               pp.part_units / cast(10000 as double) AS part_value
+        FROM {pp} pp
+        CROSS JOIN (
+          SELECT (5 * sum(part_units)) div (4 * count(*))
+                   AS threshold_units
+          FROM {pp}
+        ) t
+        WHERE pp.part_units > t.threshold_units
+        """,
+        pp=per_part,
     )
 
 
@@ -481,31 +477,39 @@ def join_q12_late_priority(spark, sf_dir):
     inequality predicate evaluates inside the join's output (no
     pair-blowup — it's still an equi-join on orderkey); conditional
     sums fold map-side."""
-    o = (
-        load(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1997-01-01")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_hint_lead = (
+        "/*+ BROADCAST(o) */ "
+        if _orders_side_fits_broadcast(
+            spark,
+            lambda: o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            token=("q12_orders", sf_dir),
         )
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        else ""
     )
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate", "l_returnflag"
-    )
-    j = _join_orders_edge(
-        spark, li, o, F.col("l_orderkey") == F.col("o_orderkey")
-    ).filter(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    )
-    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return j.groupBy("l_returnflag").agg(
-        F.sum(F.when(is_high, 1).otherwise(0))
-        .cast("long")
-        .alias("high_line_count"),
-        F.sum(F.when(is_high, 0).otherwise(1))
-        .cast("long")
-        .alias("low_line_count"),
+    return spark.sql(
+        f"""
+        SELECT {o_hint_lead}l.l_returnflag,
+               cast(sum(CASE WHEN o.o_orderpriority
+                                  IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               cast(sum(CASE WHEN o.o_orderpriority
+                                  IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM {{li}} l
+        JOIN {{o}} o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+        GROUP BY 1
+        """,
+        li=li, o=o,
     )
 
 
@@ -544,27 +548,29 @@ def join_q15_top_supplier(spark, sf_dir):
     instead of replanning (and re-scanning) the fact subtree — one
     fact scan total; the max broadcasts as a single-row frame joined
     back."""
-    rev = (
-        load(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1996-04-01")
-        )
-        .groupBy("l_suppkey")
-        .agg(F.expr(f"sum({_UNITS})").alias("rev_units"))
-        .localCheckpoint(eager=False)
-    )
-    mx = rev.agg(F.max("rev_units").alias("max_units"))
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.join(F.broadcast(mx))
-        .filter(F.col("rev_units") == F.col("max_units"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey",
-            "s_name",
-            (F.col("rev_units") / F.lit(10000.0)).alias("total_revenue"),
-        )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = spark.sql(
+        f"""
+        SELECT l_suppkey, sum({_UNITS}) AS rev_units
+        FROM {{li}}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+        """,
+        li=li,
+    ).localCheckpoint(eager=False)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(m), BROADCAST(s) */
+               s.s_suppkey, s.s_name,
+               r.rev_units / cast(10000 as double) AS total_revenue
+        FROM {rev} r
+        CROSS JOIN (SELECT max(rev_units) AS max_units FROM {rev}) m
+        JOIN {s} s ON r.l_suppkey = s.s_suppkey
+        WHERE r.rev_units = m.max_units
+        """,
+        rev=rev, s=s,
     )
 
 
@@ -599,36 +605,25 @@ def agg_q16_supplier_variety(spark, sf_dir):
     happens BEFORE the part join (fact → |parts|·|supps-per-part|
     rows); the blacklist anti-join broadcasts; count distinct runs on
     the already-deduplicated pairs."""
-    pairs = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    p = (
-        load(spark, sf_dir, "part")
-        .filter(
-            (F.col("p_brand") != "Brand#45")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
-        )
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-    )
-    bad = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    return (
-        pairs.join(
-            F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-        )
-        .join(
-            F.broadcast(bad),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(p), BROADCAST(bad) */
+               p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT pr.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {li}) pr
+        JOIN {p} p ON pr.l_partkey = p.p_partkey
+        LEFT ANTI JOIN (
+          SELECT s_suppkey FROM {s} WHERE s_acctbal < 0
+        ) bad ON pr.l_suppkey = bad.s_suppkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        GROUP BY 1, 2, 3
+        """,
+        li=li, p=p, s=s,
     )
 
 
@@ -664,39 +659,23 @@ def filter_q19_disjunctive(spark, sf_dir):
     brand-OR filter) with the disjunction as a post-join filter; the
     residual quantity bounds are lineitem-local and push to the
     scan."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        "l_quantity",
-        F.expr(_UNITS).alias("units"),
-    )
-    p = load(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_size"
-    )
-    q = F.col("l_quantity")
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 5)
-            & q.between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 10)
-            & q.between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 15)
-            & q.between(20, 30)
-        )
-    )
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .filter(cond)
-        .agg(
-            (F.sum("units") / F.lit(10000.0)).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p) */
+               {_REV} AS revenue,
+               count(1) AS n_lines
+        FROM {{li}} l
+        JOIN {{p}} p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        li=li, p=p,
     )
 
 
@@ -745,31 +724,32 @@ def join_q20_excess_shippers(spark, sf_dir):
     from ONE partkey-partitioned window over that small frame — no
     self-join, no second fact scan (the windowed-total discipline of
     window_share_of_total, relational.py)."""
-    red = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%red%"))
-        .select("p_partkey")
-    )
-    ps = (
-        load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.expr("sum(floor(l_quantity + 0.5d))").alias("qty")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT /*+ BROADCAST(p) */
+                 l.l_partkey, l.l_suppkey,
+                 sum(floor(l_quantity + 0.5d)) AS qty
+          FROM {li} l
+          JOIN (SELECT p_partkey FROM {part}
+                WHERE p_name LIKE '%red%') p
+            ON l.l_partkey = p.p_partkey
+          GROUP BY 1, 2
+        ), w AS (
+          SELECT l_suppkey, qty,
+                 sum(qty) OVER (PARTITION BY l_partkey) AS part_qty,
+                 count(1) OVER (PARTITION BY l_partkey) AS n_supp
+          FROM ps
         )
-    )
-    w = Window.partitionBy("l_partkey")
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        ps.withColumn("part_qty", F.sum("qty").over(w))
-        .withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .filter(
-            F.col("qty") * F.col("n_supp") > F.lit(2) * F.col("part_qty")
-        )
-        .select("l_suppkey")
-        .distinct()
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name")
+        SELECT /*+ BROADCAST(s) */ s.s_suppkey, s.s_name
+        FROM (SELECT DISTINCT l_suppkey FROM w
+              WHERE qty * n_supp > 2 * part_qty) d
+        JOIN {s} s ON d.l_suppkey = s.s_suppkey
+        """,
+        li=li, part=part, s=s,
     )
 
 
@@ -819,45 +799,46 @@ def join_q21_waiting_suppliers(spark, sf_dir):
     Scale: one gated orderkey edge; per-order supplier counts and the
     distinct late-pair set reuse the same orderkey partitioning, so
     the verdict join is co-partitioned; output is ≤ |suppliers|."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    j = _join_orders_edge(
-        spark, li, o, F.col("l_orderkey") == F.col("o_orderkey")
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o_hint_lead = (
+        "/*+ BROADCAST(o) */ "
+        if _orders_side_fits_broadcast(
+            spark,
+            lambda: o.select("o_orderkey", "o_orderdate"),
+            token=("q21_orders", sf_dir),
         )
-        .cast("int")
-        .alias("is_late"),
+        else ""
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
-    late_pairs = (
-        j.filter(F.col("is_late") == 1)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        late_pairs.join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
+    return spark.sql(
+        f"""
+        WITH j AS (
+          SELECT {o_hint_lead}l.l_orderkey, l.l_suppkey,
+                 CAST((l.l_shipdate
+                       > o.o_orderdate + INTERVAL 90 DAYS) AS INT)
+                   AS is_late
+          FROM {{li}} l
+          JOIN {{o}} o ON l.l_orderkey = o.o_orderkey
+        ), per_order AS (
+          SELECT l_orderkey
+          FROM j
+          GROUP BY 1
+          HAVING count(DISTINCT l_suppkey) > 1
+             AND count(DISTINCT CASE WHEN is_late = 1
+                                     THEN l_suppkey END) = 1
+        ), late_pairs AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE is_late = 1
         )
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "numwait")
+        SELECT /*+ BROADCAST(s) */
+               s.s_suppkey, s.s_name, cnt.numwait
+        FROM (SELECT lp.l_suppkey, count(1) AS numwait
+              FROM late_pairs lp
+              JOIN per_order po ON lp.l_orderkey = po.l_orderkey
+              GROUP BY 1) cnt
+        JOIN {{s}} s ON cnt.l_suppkey = s.s_suppkey
+        """,
+        li=li, o=o, s=s,
     )
 
 
@@ -909,56 +890,43 @@ def join_q2_min_cost_supplier(spark, sf_dir):
     re-aggregates the small offers frame and joins back
     co-partitioned on partkey."""
     n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    s_eu = (
-        load(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                n.join(
-                    F.broadcast(r),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                ).select("n_nationkey", "n_name")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+    r = load(spark, sf_dir, "region")
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        WITH s_eu AS (
+          SELECT /*+ BROADCAST(n), BROADCAST(r) */
+                 s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+          FROM {sup} s
+          JOIN {nat} n ON s.s_nationkey = n.n_nationkey
+          JOIN {reg} r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ), pq AS (
+          SELECT p_partkey, p_name FROM {part}
+          WHERE p_type = 'STANDARD' AND p_size <= 25
+        ), offers AS (
+          SELECT /*+ BROADCAST(se), BROADCAST(p) */
+                 l.l_partkey, l.l_suppkey,
+                 min(l.l_extendedprice) AS offer_price
+          FROM {li} l
+          JOIN (SELECT s_suppkey FROM s_eu) se
+            ON l.l_suppkey = se.s_suppkey
+          JOIN pq p ON l.l_partkey = p.p_partkey
+          GROUP BY 1, 2
+        ), best AS (
+          SELECT l_partkey AS b_partkey, min(offer_price) AS min_price
+          FROM offers GROUP BY 1
         )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    p = (
-        load(spark, sf_dir, "part")
-        .filter(
-            (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
-        )
-        .select("p_partkey", "p_name")
-    )
-    offers = (
-        load(spark, sf_dir, "lineitem")
-        .join(
-            F.broadcast(s_eu.select("s_suppkey")),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("l_extendedprice").alias("offer_price"))
-    )
-    best = offers.groupBy(
-        F.col("l_partkey").alias("b_partkey")
-    ).agg(F.min("offer_price").alias("min_price"))
-    return (
-        offers.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("offer_price") == F.col("min_price")),
-        )
-        .join(
-            F.broadcast(s_eu), F.col("l_suppkey") == F.col("s_suppkey")
-        )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select(
-            "s_acctbal",
-            "s_name",
-            "n_name",
-            F.col("l_partkey").alias("p_partkey"),
-            "p_name",
-            "offer_price",
-        )
+        SELECT /*+ BROADCAST(s), BROADCAST(p) */
+               s.s_acctbal, s.s_name, s.n_name,
+               o.l_partkey AS p_partkey, p.p_name, o.offer_price
+        FROM offers o
+        JOIN best b ON o.l_partkey = b.b_partkey
+                   AND o.offer_price = b.min_price
+        JOIN s_eu s ON o.l_suppkey = s.s_suppkey
+        JOIN pq p   ON o.l_partkey = p.p_partkey
+        """,
+        sup=sup, nat=n, reg=r, part=part, li=li,
     )

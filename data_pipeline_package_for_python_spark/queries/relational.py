@@ -1782,7 +1782,14 @@ def join_star_q5_bucketed(spark, sf_dir):
     (orders, lineitem) pair as ``join_q3_topk_bucketed`` (one write
     serves every orderkey join), dims broadcast, zero fact-edge
     exchanges — only the 25-group rollup shuffles.  Identical results
-    to ``join_star_q5`` (same oracle)."""
+    to ``join_star_q5`` (same oracle).
+
+    Note (r11 sf10 evidence, BENCH_bucketed_r11_sf10_3sessions.json):
+    this plain bucketed variant measures 2.15–2.79× the DuckDB control
+    at sf10; the denormalized ``join_star_q5_bucketed_star`` tier
+    (1.46–1.89×) is the layout that meets the ≤2× bar and supersedes
+    this query for that claim — this one stays as the
+    co-partitioned-pair shape."""
     ob, lib = bucketed_order_tables(spark, sf_dir)
     return q5_over_bucketed(
         spark, ob, lib,
